@@ -1,0 +1,280 @@
+"""Aggregation operators (SURVEY.md §2.4) — reference rows A1-A8 plus the
+GAP rows (distinct-agg, rollup/cube/grouping sets, approx sketches, stats).
+
+All are single-pass hash aggregates with map-side partial aggregation —
+Catalyst's HashAggregate(partial) -> Exchange(key) -> HashAggregate(final).
+At 100 TB the only tunable is the shuffle key cardinality; these group on
+low-to-mid cardinality keys so the exchange is small relative to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+             AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan->filter->agg pipeline. The filter
+    and the 2-column grouping push down; only 7 columns are read."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            4,
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "distinct_agg",
+    oracle="""
+    SELECT o_orderstatus AS orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: distinct aggregate — Catalyst expands to a two-phase
+    aggregate (expand + partial dedup before the final count)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("orderstatus"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT COALESCE(r_name, '__total__') AS region_name,
+           COALESCE(n_name, '__total__') AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 4) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: hierarchical rollup (region -> nation -> grand total)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    joined = cust.join(
+        nation, cust.c_nationkey == nation.n_nationkey
+    ).join(region, nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("__total__")).alias("region_name"),
+            F.coalesce("n_name", F.lit("__total__")).alias("nation_name"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '__all__') AS orderstatus,
+           COALESCE(o_orderpriority, '__all__') AS orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: full cube over two dimensions."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("__all__")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("__all__")).alias("orderpriority"),
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, '__gs__') AS mktsegment,
+           COALESCE(CAST(c_nationkey AS VARCHAR), '__gs__') AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: explicit grouping sets via Spark SQL."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(c_mktsegment, '__gs__') AS mktsegment,
+               COALESCE(CAST(c_nationkey AS STRING), '__gs__') AS nationkey,
+               COUNT(*) AS n
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+@query(
+    "stats_agg",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment,
+           ROUND(stddev_samp(c_acctbal), 4) AS sd_bal,
+           ROUND(var_samp(c_acctbal), 4) AS var_bal,
+           ROUND(MIN(c_acctbal), 4) AS min_bal,
+           ROUND(MAX(c_acctbal), 4) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: statistical aggregates (sample stddev/variance)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+            F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "percentile_agg",
+    oracle="""
+    SELECT o_orderpriority AS orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: exact continuous percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear-interpolation). At 100 TB swap for
+    `percentile_approx` (t-digest sketch, mergeable, no full sort)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+@query("approx_count_distinct")  # sketch result is engine-specific: rows-only check
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: HyperLogLog++ distinct sketch — the 100 TB path for
+    cardinality estimation (mergeable, fixed memory). No SQL oracle: HLL
+    estimates are engine-specific; the companion `distinct_agg` pins the
+    exact semantics."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+    )
+
+
+@query(
+    "count_per_group",
+    oracle="""
+    SELECT o_orderpriority AS output, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def count_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-output work counting (Stage.scala:288-290)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("output"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "collect_set_groups",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           list_sort(list(DISTINCT n_name)) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def collect_set_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: group-into-set — the output-map build (Stage.scala:183) as
+    groupBy + collect_set (sorted for deterministic comparison)."""
+    return (
+        load(spark, sf_dir, "nation")
+        .groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+    )
+
+
+@query(
+    "empty_relation",
+    oracle="SELECT l_orderkey AS orderkey FROM lineitem WHERE l_quantity < 0",
+)
+def empty_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the empty-input early-exit (frequencyAnalysis.py:16). Our engine
+    uses df.isEmpty() (a limit-1 job, not a full scan like rdd.isEmpty);
+    here the driver verifies a 0-row result propagates correctly."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") < 0)
+        .select(F.col("l_orderkey").alias("orderkey"))
+    )

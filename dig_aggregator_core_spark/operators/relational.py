@@ -1,0 +1,389 @@
+"""Join / set-op / sort operators (SURVEY.md §2.3, §2.6, §2.7).
+
+Joins J1-J6 mirror the reference's surface (frequencyAnalysis.py joins and the
+Stage.scala dataflow algebra); the GAP rows (semi/anti/range/as-of) are filled
+with native Spark so the engine is a capability superset.
+
+Scale notes: dimension sides are broadcast (no shuffle of the fact table);
+the delta anti-join shuffles only on its composite key; the as-of join uses
+the union+window trick (one shuffle on the partition key, no range explosion);
+the range/band join broadcasts the band table so it is a map-side operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "join_inner_dim",
+    oracle="""
+    SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 4) AS total_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_inner_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner equi-join fact x small dim (frequencyAnalysis.py:54).
+    The dim is broadcast — no shuffle of the left side for the join."""
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_big_orders
+    FROM customer c
+    LEFT OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 50000) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-outer equi-join (frequencyAnalysis.py:78) — right side
+    optional, preserved keys on the left."""
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_outer")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: left-semi join (native)."""
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/J5 shape: left-anti join — the set-difference primitive the
+    reference uses for missed-input validation (Stage.scala:195-210)."""
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+
+
+@query(
+    "delta_antijoin",
+    oracle="""
+    SELECT o.o_orderkey AS input_key, o.o_orderdate AS version
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_linenumber = 1 AND l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate
+    )
+    """,
+)
+def delta_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+P10: THE signature operator — incremental-work discovery as a
+    left-anti join with a strict freshness inequality
+    (reference Stage.scala:249-266: drop inputs that have a ledger row with
+    timestamp strictly after the input's version).
+
+    Fixture binding: inputs := orders (key, version=o_orderdate); ledger :=
+    lineitem rows with l_linenumber=1 (processed-at := l_shipdate)."""
+    inputs = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("input_key"),
+        F.col("o_orderdate").alias("version"),
+    )
+    ledger = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(F.col("l_orderkey").alias("lkey"), F.col("l_shipdate").alias("ts"))
+    )
+    return inputs.join(
+        ledger,
+        (inputs.input_key == ledger.lkey) & (ledger.ts > inputs.version),
+        "left_anti",
+    )
+
+
+@query(
+    "rules_routing",
+    oracle="""
+    SELECT CASE WHEN regexp_matches(source, '^src[0-3]$') THEN 'bucket_a'
+                WHEN regexp_matches(source, '^src[4-6]$') THEN 'bucket_b'
+                ELSE 'common' END AS output,
+           CAST(COUNT(*) AS BIGINT) AS n_inputs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def rules_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the Stage.rules PartialFunction[Input, Outputs] as a first-match
+    when/otherwise chain over glob-compiled regexes (Stage.scala:169,
+    TestMethod.scala:19-23) — fully codegen'd, no Python in the loop."""
+    docs = load(spark, sf_dir, "documents")
+    routed = docs.select(
+        F.when(F.col("source").rlike("^src[0-3]$"), F.lit("bucket_a"))
+        .when(F.col("source").rlike("^src[4-6]$"), F.lit("bucket_b"))
+        .otherwise(F.lit("common"))
+        .alias("output"),
+        "n_chars",
+    )
+    return routed.groupBy("output").agg(
+        F.count("*").alias("n_inputs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "ledger_upsert",
+    oracle="""
+    WITH old AS (
+      SELECT s_suppkey AS k, s_acctbal AS v, 1 AS generation FROM supplier
+    ), new AS (
+      SELECT s_suppkey AS k, s_acctbal * 2 AS v, 2 AS generation
+      FROM supplier WHERE s_suppkey % 2 = 0
+    )
+    SELECT k, v, generation FROM old
+    WHERE NOT EXISTS (SELECT 1 FROM new WHERE new.k = old.k)
+    UNION ALL
+    SELECT k, v, generation FROM new
+    """,
+)
+def ledger_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: ON-DUPLICATE-KEY-UPDATE merge (Runs.scala:93-102, runs.sql:11)
+    as old.antiJoin(new).union(new) — see plans/ledger.py for the stateful
+    Parquet-backed version."""
+    sup = load(spark, sf_dir, "supplier")
+    old = sup.select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_acctbal").alias("v"),
+        F.lit(1).alias("generation"),
+    )
+    new = (
+        sup.filter(F.col("s_suppkey") % 2 == 0)
+        .select(
+            F.col("s_suppkey").alias("k"),
+            (F.col("s_acctbal") * 2).alias("v"),
+            F.lit(2).alias("generation"),
+        )
+    )
+    return old.join(new, "k", "left_anti").unionByName(new)
+
+
+@query(
+    "range_join_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 50000.0), ('medium', 50000.0, 150000.0),
+             ('large', 150000.0, 1e18)
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: range (theta) join against a broadcast band table — a
+    nested-loop join that stays map-side because the band side is tiny."""
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0),
+         ("large", 150000.0, 1e18)],
+        schema=T.StructType([
+            T.StructField("band", T.StringType()),
+            T.StructField("lo", T.DoubleType()),
+            T.StructField("hi", T.DoubleType()),
+        ]),
+    )
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           ROUND(p.purchase_value, 6) + 0.0 AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: as-of join via the union+window trick — no range explosion,
+    one shuffle on the partition key (user_id), scales linearly.
+
+    For each click, the most recent purchase value by the same user at
+    ts <= click ts. Purchases are pre-deduped per (user, ts) so equal-ts
+    semantics are well-defined (matches DuckDB ASOF >=)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("double").alias("pval"), F.lit(1).alias("kind"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id", "ts", "pval", F.lit(0).alias("kind"),
+        )
+    )
+    merged = clicks.unionByName(purchases)
+    # purchases sort before clicks at equal ts (kind 0 < 1) => '>=' semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_pval", F.last("pval", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            (F.round("last_pval", 6) + 0.0).alias("last_purchase_value"),
+        )
+    )
+
+
+# --- set operations (SURVEY.md §2.7) ---
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT k FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+      UNION
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    )
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: set union with distinct semantics (Stage.scala:192)."""
+    a = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    b = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: set difference (Stage.scala:198)."""
+    a = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return a.subtract(b)  # EXCEPT (distinct) — matches SQL EXCEPT
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT k FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: intersect (native)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    return a.intersect(b)
+
+
+# --- sorts / limits / top-k (SURVEY.md §2.6) ---
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: top-k = orderBy desc + limit — Spark executes TakeOrdered
+    (per-partition heap + merge), no full sort. Tie-broken on orderkey for
+    determinism."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )

@@ -1,0 +1,162 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+The reference's only window-shaped idiom is greatest-per-group via
+max-then-join-back (frequencyAnalysis.py:31-35 + :54); W1 exposes both forms.
+The GAP rows (ranking, analytic lag/lead, running frames) are filled native.
+
+Scale note: a window = one shuffle on partitionBy keys + per-partition sort.
+Partition keys here are mid-cardinality (custkey/user_id), so no single task
+hot-spots; for skewed keys the salting helper in functions/scalars.py applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "greatest_per_group",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           o_totalprice AS totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def greatest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: greatest-per-group — the window form of the reference's
+    max-then-join idiom (frequencyAnalysis.py:31-35 + :54)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT s_suppkey AS suppkey, s_nationkey AS nationkey,
+           CAST(RANK() OVER (PARTITION BY s_nationkey
+                             ORDER BY s_acctbal DESC) AS INT) AS bal_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_acctbal DESC) AS INT)
+             AS bal_dense_rank
+    FROM supplier
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: rank / dense_rank."""
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: analytic lag/lead over an event stream, deterministic
+    ordering via (ts, event_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW), 6) + 0.0 AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: cumulative frame (rowsBetween unboundedPreceding..current).
+    Running sums in a fixed order are deterministic cross-engine."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.round(F.sum("value").over(w), 6) + 0.0).alias("running_value"),
+    )
+
+
+@query(
+    "window_sliding_rows",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) + 0.0 AS ma3
+    FROM events
+    """,
+)
+def window_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: bounded sliding frame (3-row moving average)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.round(F.avg("value").over(w), 6) + 0.0).alias("ma3"),
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+             AS price_quartile
+    FROM orders
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP fill: ntile quartiles (global window — single-partition sort;
+    at scale prefer approx quantile cuts + a range join instead)."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
