@@ -1,4 +1,28 @@
-"""Deduplication operators over the documents table (filled in this round)."""
+"""Deduplication operators over the documents/embeddings tables — the
+training-data-pipeline dedup suite: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Every operator is deterministic and cross-engine reproducible so the DuckDB
+oracle can check it exactly: hashes are md5 (identical hex in both engines),
+folds state their accumulation order, and near-dup pairs are *verified*
+(exact Jaccard / hamming / cosine) after candidate generation, which is the
+shape a production pipeline uses anyway (LSH proposes, exact check disposes).
+
+Because the synthetic corpus has no natural near-dups, each near-dup op runs
+over ``corpus`` = documents UNION a deterministic mutation of each document
+(doc_id + 1_000_000, text truncated to the first 4/5 of its tokens) — the
+mutation pairs are the ground truth the op must find.
+
+Scale design (100 TB):
+- exact: shuffle on a 16-byte digest, never on the text itself.
+- minhash-lsh: per-doc signature is a narrow shuffle; the band join explodes
+  only docs sharing a band key (output-linear, not O(n^2)).
+- ngram-jaccard: blocked on (lang) so the quadratic term is per-block;
+  at real scale the block key would be (lang, length-band, lsh-bucket).
+- simhash: candidate pairs only via 16-bit block-key equality (two hash-join
+  passes), verified with bit_count — no full cross join anywhere.
+- embedding: blocked on label (stand-in for an IVF coarse quantizer).
+"""
 
 from __future__ import annotations
 
@@ -7,6 +31,62 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
+
+MUT_OFFSET = 1_000_000
+
+# ---------------------------------------------------------------- corpus
+
+_CORPUS_SQL = """
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, lang FROM documents
+),
+corpus AS (
+  SELECT doc_id, toks, lang FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         toks[1:greatest(3, (len(toks) * 4) // 5)] AS toks, lang
+  FROM base
+),
+shingled AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [array_to_string(toks, ' ')] END AS sh_set
+  FROM corpus
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks"), "lang"
+    )
+    mut = base.select(
+        (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+        F.expr("slice(toks, 1, greatest(3, (size(toks) * 4) div 5))").alias(
+            "toks"
+        ),
+        "lang",
+    )
+    return base.unionByName(mut)
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, sh_set): distinct word-3-gram shingles per corpus doc."""
+    return _corpus(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CASE WHEN size(toks) >= 3 THEN "
+            "  array_distinct(transform(sequence(0, size(toks) - 3),"
+            "    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+            "ELSE array(concat_ws(' ', toks)) END"
+        ).alias("sh_set"),
+    )
+
+
+# ---------------------------------------------------------------- exact
 
 
 @query(
@@ -17,9 +97,9 @@ from ..tables import load
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on content digest, keep lowest doc_id.
-    Hashing the digest (not the full text) keeps the shuffle narrow at scale.
-    """
+    """Exact dedup: hash-groupBy on the content digest, keep lowest doc_id.
+    Grouping on the 16-byte digest (not the text) keeps the shuffle narrow
+    regardless of document size."""
     return (
         load(spark, sf_dir, "documents")
         .groupBy(F.md5("text").alias("h"))
@@ -28,4 +108,347 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_copies"),
         )
         .drop("h")
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_CORPUS_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+                 / (len(a.sh_set) + len(b.sh_set)
+                    - len(list_intersect(a.sh_set, b.sh_set))), 6) AS jaccard
+    FROM shingled a JOIN shingled b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+          / (len(a.sh_set) + len(b.sh_set)
+             - len(list_intersect(a.sh_set, b.sh_set))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup within language blocks: 3-gram shingle
+    sets, |A∩B| / |A∪B| >= 0.5. The quadratic pair space is confined to each
+    lang block (at scale: lang x length-band x LSH bucket)."""
+    sh = _shingled(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh_set"), F.col("b.sh_set")))
+    union = (
+        F.size(F.col("a.sh_set")) + F.size(F.col("b.sh_set")) - inter
+    )
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- minhash-lsh
+
+_N_HASH = 8  # 4 bands x 2 rows
+_N_BANDS = 4
+
+_MINHASH_SQL = f"""
+exploded AS (
+  SELECT doc_id, unnest(sh_set) AS sh FROM shingled
+),
+mh AS (
+  SELECT e.doc_id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || e.sh)) AS h
+  FROM exploded e CROSS JOIN (SELECT unnest(range({_N_HASH})) AS seed) s
+  GROUP BY e.doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         MAX(CASE WHEN seed % 2 = 0 THEN h END)
+           || MAX(CASE WHEN seed % 2 = 1 THEN h END) AS band_key
+  FROM mh GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_MINHASH_SQL}
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+                 / (len(sa.sh_set) + len(sb.sh_set)
+                    - len(list_intersect(sa.sh_set, sb.sh_set))), 6) AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+          / (len(sa.sh_set) + len(sb.sh_set)
+             - len(list_intersect(sa.sh_set, sb.sh_set))) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: shingle -> 8 md5 minhashes -> 4 bands of 2 ->
+    band-bucket self-join -> exact-Jaccard verification at >= 0.5.
+
+    md5 minhashes (min over hex strings) are engine-portable; the band join
+    touches only colliding buckets, so cost is output-linear. The verify
+    step re-joins the shingle sets — candidates are few, so this is cheap.
+    """
+    sh = _shingled(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("sh_set").alias("sh"))
+    seeds = spark.range(_N_HASH).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        exploded.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
+            ).alias("h")
+        )
+    )
+    bands = mh.groupBy(
+        "doc_id", F.expr("seed div 2").alias("band")
+    ).agg(
+        F.concat(
+            F.max(F.when(F.col("seed") % 2 == 0, F.col("h"))),
+            F.max(F.when(F.col("seed") % 2 == 1, F.col("h"))),
+        ).alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+_SIMHASH_BITS = 32
+
+
+def _hex2long(pos_fn: str) -> str:
+    """SQL expression turning the first 8 hex chars of column `h` into a
+    BIGINT, portable across Spark (`instr`) and DuckDB (`strpos`)."""
+    terms = [
+        f"(CAST({pos_fn}('0123456789abcdef', substring(h, {i}, 1)) AS BIGINT)"
+        f" - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bit_sum_cols(shift_fmt: str) -> str:
+    """32 conditional-sum columns c0..c31 (+1 if bit set else -1)."""
+    return ", ".join(
+        "SUM(CASE WHEN (({shifted}) & 1) = 1 THEN 1 ELSE -1 END) AS c{b}".format(
+            shifted=shift_fmt.format(b=b), b=b
+        )
+        for b in range(_SIMHASH_BITS)
+    )
+
+
+def _simhash_expr() -> str:
+    return " + ".join(
+        f"CASE WHEN c{b} > 0 THEN CAST({2 ** b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for b in range(_SIMHASH_BITS)
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH {_CORPUS_SQL},
+tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM corpus
+),
+th AS (
+  SELECT doc_id, h32 FROM (
+    SELECT doc_id, md5(t) AS h, {_hex2long('strpos')} AS h32 FROM tok
+  )
+),
+bits AS (
+  SELECT doc_id, {_bit_sum_cols('(h32 >> {b})')} FROM th GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, {_simhash_expr()} AS simhash FROM bits
+),
+keyed AS (
+  SELECT doc_id, simhash, simhash >> 16 AS hi, simhash & 65535 AS lo FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+  FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature from md5-derived token hashes
+    (frequency-weighted majority vote per bit over the doc's tokens),
+    candidates from 16-bit half-key equality (classic block permutation),
+    verified with hamming distance <= 3.
+
+    No cross join: the two half-key equi-joins are ordinary hash joins, so
+    cost tracks the number of colliding pairs, not n^2."""
+    corpus = _corpus(spark, sf_dir)
+    tok = corpus.select("doc_id", F.explode("toks").alias("t"))
+    th = tok.select(
+        "doc_id", F.md5("t").alias("h")
+    ).selectExpr("doc_id", _hex2long("instr") + " AS h32")
+    bits = th.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"SUM(CASE WHEN (shiftright(h32, {b}) & 1) = 1"
+                f" THEN 1 ELSE -1 END)"
+            ).alias(f"c{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    sig = bits.selectExpr("doc_id", _simhash_expr() + " AS simhash")
+    keyed = sig.selectExpr(
+        "doc_id", "simhash", "shiftright(simhash, 16) AS hi", "simhash & 65535 AS lo"
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+
+    def half_join(key: str) -> DataFrame:
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+
+    cand = half_join("hi").union(half_join("lo")).distinct()
+    hamming = F.expr("bit_count(sim_a ^ sim_b)")
+    return cand.filter(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------- embedding
+
+_EMB_CORPUS_SQL = """
+ebase AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+ecorpus AS (
+  SELECT vec_id, v, label FROM ebase
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(v, x -> x * 1.01 + 0.001), label
+  FROM ebase
+),
+enorm AS (
+  SELECT vec_id, v, label,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM ecorpus
+)
+"""
+
+_EMB_COS_SQL = """
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+    (acc, x) -> acc + x) / (a.nrm * b.nrm)
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_EMB_CORPUS_SQL}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_EMB_COS_SQL}, 6) AS cosine
+    FROM enorm a JOIN enorm b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_EMB_COS_SQL} >= 0.999
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine >= 0.999 within label blocks (the label
+    stands in for an IVF coarse-quantizer cell; at scale the blocker is a
+    learned centroid assignment, same join shape).
+
+    Dot products fold sequentially over the vector so Spark and the oracle
+    produce bit-identical doubles."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        "label",
+    )
+    mut = emb.select(
+        (F.col("vec_id") + MUT_OFFSET).alias("vec_id"),
+        F.expr("transform(v, x -> x * 1.01 + 0.001)").alias("v"),
+        "label",
+    )
+    corpus = emb.unionByName(mut).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(transform(v, x -> x * x),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        ),
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (a.nrm * b.nrm)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.999)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
     )

@@ -1,4 +1,200 @@
-"""Similarity-search operators over the embeddings table (filled in this
-round)."""
+"""Similarity search over the embeddings table (array<float> column).
+
+Two paths, as a real pipeline would ship them:
+- brute-force cosine top-k: exact baseline, O(n_queries x n_corpus) — fine
+  when the query set is small or the corpus is broadcastable;
+- sign-LSH bucketed top-k: the scale path — corpus and queries are hashed to
+  buckets by the sign pattern of leading dimensions (random-hyperplane LSH
+  with axis-aligned planes, deterministic and engine-portable), and the
+  cross product is confined to each bucket. At 100 TB the bucket id becomes
+  the shuffle/partition key and each bucket fits one task.
+
+Dot products fold sequentially (aggregate/zip_with in Spark, list_reduce in
+the DuckDB oracle) so both engines produce bit-identical doubles.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+_TOPK = 5
+_QUERY_FILTER = "vec_id % 100 = 0"
+
+_VECS_SQL = """
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+              (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+)
+"""
+
+_COS_SQL = """
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+    (acc, x) -> acc + x) / (q.nrm * c.nrm)
+"""
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        "label",
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(transform(v, x -> x * x),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        ),
+    )
+
+
+_COS_SPARK = (
+    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y),"
+    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (q.nrm * c.nrm)"
+)
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH {_VECS_SQL},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos
+      FROM (SELECT * FROM vecs WHERE {_QUERY_FILTER}) q
+      JOIN vecs c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOPK}
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score every pair, keep k per query via a ranking window."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.expr(_QUERY_FILTER)).alias("q")
+    c = vecs.alias("c")
+    scored = (
+        F.broadcast(q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        ))
+        .crossJoin(c.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        ))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+_BUCKET_SQL = (
+    "concat("
+    + ", ".join(
+        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 5)
+    )
+    + ")"
+)
+_BUCKET_SPARK = (
+    "concat("
+    + ", ".join(
+        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(0, 4)
+    )
+    + ")"
+)
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH {_VECS_SQL},
+    keyed AS (SELECT *, {_BUCKET_SQL} AS bucket FROM vecs),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.bucket AS bucket, {_COS_SQL} AS cos
+      FROM (SELECT * FROM keyed WHERE {_QUERY_FILTER}) q
+      JOIN keyed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine,
+           CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOPK}
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket join (16 buckets from 4 sign
+    bits), scoring only within the query's bucket — the equi-join on bucket
+    replaces the cross join, which is what survives the 100x scale-up."""
+    vecs = _vecs(spark, sf_dir).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    q = vecs.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("cbucket"),
+    )
+    scored = (
+        q.join(c, (q.bucket == c.cbucket) & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

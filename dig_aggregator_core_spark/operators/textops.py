@@ -1,3 +1,212 @@
-"""Text-analysis operators over the documents table (filled in this round)."""
+"""Text-analysis operators over the documents table — the training-data
+pipeline surface (language-ID, quality scoring, token counting, document
+fingerprinting).
+
+All hot-path ops are built-in column expressions (JVM/codegen); the only
+Python is the language-ID scorer, which is an Arrow-batched ``mapInPandas``
+(the deliberate showcase of the vectorized-UDF path).
+
+Scale: every op here is embarrassingly parallel per row — no shuffle at all
+except the profile aggregations, which group on tiny keys.
+"""
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+             AS n_unique_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]'))
+             AS INT) AS n_bpeish_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN {_STOP_SQL})) AS INT) AS n_stopwords
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, unique tokens, a BPE-ish regex
+    tokenization (word pieces + non-alnum singletons), and stopword hits —
+    all as native array/regex expressions."""
+    toks = F.split(F.col("text"), " ")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("n_bpeish_tokens"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS))
+        ).alias("n_stopwords"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               AS n_uniq,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN {_STOP_SQL})) AS DOUBLE) AS n_stop,
+             CAST(length(text) AS DOUBLE) AS n_len
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((n_len - (n_tokens - 1)) / n_tokens, 6) AS avg_token_len,
+           ROUND(n_uniq / n_tokens, 6) AS ttr,
+           ROUND(n_stop / n_tokens, 6) AS stopword_ratio,
+           ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
+                 + 0.4 * (n_uniq / n_tokens)
+                 + 0.2 * LEAST(n_stop / n_tokens * 5.0, 1.0), 6)
+             AS quality_score
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/type-token-ratio/stopword components combined
+    into a deterministic [0,1] score (the usual heuristic pre-filter before
+    expensive model-based scoring in a training-data pipeline)."""
+    toks = F.split(F.col("text"), " ")
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("double").alias("n_uniq"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+        .cast("double")
+        .alias("n_stop"),
+        F.length("text").cast("double").alias("n_len"),
+    )
+    return t.select(
+        "doc_id",
+        F.round((F.col("n_len") - (F.col("n_tokens") - 1)) / F.col("n_tokens"), 6)
+        .alias("avg_token_len"),
+        F.round(F.col("n_uniq") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        F.round(
+            0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+            + 0.4 * (F.col("n_uniq") / F.col("n_tokens"))
+            + 0.2 * F.least(F.col("n_stop") / F.col("n_tokens") * 5.0, F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ascii(substring(text, CAST(i AS INT), 1))
+                                        AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content digest (md5 of normalized text) plus
+    a 31-base polynomial rolling hash mod 1e9+7 computed as a fold over
+    character codes — pure catalyst expressions, no UDF."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
+        F.expr(
+            "aggregate("
+            "  transform(sequence(1, length(text)),"
+            "            i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),"
+            "  CAST(0 AS BIGINT),"
+            "  (acc, c) -> (acc * 31 + c) % 1000000007)"
+        ).alias("rolling_hash"),
+    )
+
+
+@query(
+    "lang_profile",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6)
+             AS avg_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (the aggregation side of language-ID QA)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg(F.size(F.split(F.col("text"), " ")).cast("double")), 6)
+            .alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+# deterministic char-bigram profiles per language for the heuristic scorer.
+# (Synthetic corpus shares one vocabulary, so profiles are illustrative; the
+# mechanism — vectorized batch scoring over Arrow — is the real payload.)
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "er", "an", "re"),
+    "de": ("en", "er", "ch", "de", "ei"),
+    "fr": ("es", "le", "de", "re", "en"),
+    "es": ("de", "la", "os", "en", "ar"),
+    "zh": ("zh", "ng", "sh", "ia", "ua"),
+}
+
+
+def langid_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched language-ID: score each doc's char-bigram multiset
+    against fixed per-language profiles; deterministic argmax with
+    lexicographic tie-break."""
+    for pdf in batches:
+        preds = []
+        for text in pdf["text"]:
+            bigrams: dict[str, int] = {}
+            for i in range(len(text) - 1):
+                bg = text[i : i + 2]
+                bigrams[bg] = bigrams.get(bg, 0) + 1
+            best = ("und", -1)
+            for lang in sorted(_LANG_PROFILES):
+                score = sum(bigrams.get(bg, 0) for bg in _LANG_PROFILES[lang])
+                if score > best[1]:
+                    best = (lang, score)
+            preds.append(best[0])
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "predicted_lang": preds})
+
+
+@query("text_langid")  # Python scorer: rows-only check (not SQL-expressible)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via mapInPandas (Arrow batches, ~10-100x over row UDFs).
+    Returns (doc_id, predicted_lang)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        langid_batches, schema="doc_id long, predicted_lang string"
+    )

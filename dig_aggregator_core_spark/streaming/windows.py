@@ -1,3 +1,172 @@
-"""Streaming window operators over the events table (filled in this round)."""
+"""Windowed event-time operators over the events table (SURVEY.md §2.9).
+
+The reference has no streaming engine — its incremental model is batch
+re-runs against a ledger. Here we provide the native Spark surface:
+tumbling / sliding / session windows (checkable in batch against SQL
+oracles, identical semantics under readStream), plus a genuine Structured
+Streaming run (AvailableNow trigger → memory sink) registered as
+`stream_tumbling_availablenow` whose result must equal the batch oracle —
+that IS the run-to-idle parity the reference's pull-based model implies.
+
+Scale: windowed aggs shuffle once on (window, keys); watermarks bound state.
+Session windows use Spark's native session_window (state merges adjacent
+events); the oracle pins semantics with a gaps-and-islands rewrite.
+"""
 
 from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("tumbling_window", oracle=_TUMBLING_ORACLE)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows per event_type."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT event_id, value,
+             unnest([time_bucket(INTERVAL 12 HOUR, ts),
+                     time_bucket(INTERVAL 12 HOUR, ts) - INTERVAL 12 HOUR])
+               AS window_start
+      FROM events
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM starts GROUP BY window_start
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-day length, 12-hour slide — every event lands in
+    exactly two windows (the oracle materializes both bucket starts)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 2 HOUR AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 2-hour inactivity gap per user. Spark's native
+    session_window; the oracle is the equivalent gaps-and-islands SQL
+    (session end = last event + gap, matching Spark's definition)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "2 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_stream_counter = itertools.count()
+
+
+@query("stream_tumbling_availablenow", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window agg executed as a REAL Structured Streaming query:
+    file source -> event-time window agg -> memory sink, with
+    Trigger.AvailableNow (run-to-idle, the reference's batch-incremental
+    semantics — SURVEY.md §2.9). The result must equal the batch oracle.
+    """
+    # file streaming source needs an explicit schema; reuse the batch loader
+    # (which also handles the nanos-timestamp conversion) to derive it.
+    batch = load(spark, sf_dir, "events")
+    sink = f"stream_tumbling_sink_{next(_stream_counter)}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source requires a directory; select just events.parquet
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert batch.schema is not None  # loader exercised for schema parity
+    return spark.table(sink)
