@@ -1,0 +1,254 @@
+"""Parquet-backed provenance ledgers: `runs` and `runstatus`.
+
+Reproduces the reference's MySQL tables and their upsert semantics
+(reference runs.sql:1-12, Runs.scala:77-116; runstatus.sql:1-12,
+RunStatus.scala:56-128) on plain Parquet:
+
+- upsert on the unique key = old.antiJoin(new, key).union(new), written as a
+  NEW versioned directory (`v=N+1`) — no read-modify-overwrite of the
+  directory being scanned, and the previous version remains readable until
+  the new one is committed (poor-man's snapshot isolation; Delta MERGE INTO
+  is the drop-in upgrade where the dependency is allowed);
+- single-writer per stage run, exactly like the reference's usage;
+- `RunStatus.insert` on an existing key RESETS started/ended to NULL
+  (RunStatus.scala:79-83 — pinned by the ported RunsStatusTest).
+
+The ledger is metadata (one row per processed input-output), orders of
+magnitude smaller than the data, so these merges stay cheap at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import datetime, timezone
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .inputs import Input
+
+RUNS_SCHEMA = T.StructType(
+    [
+        T.StructField("project", T.StringType(), False),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("input", T.StringType(), False),
+        T.StructField("version", T.TimestampType(), False),
+        T.StructField("output", T.StringType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+    ]
+)
+
+RUNSTATUS_SCHEMA = T.StructType(
+    [
+        T.StructField("project", T.StringType(), False),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("output", T.StringType(), False),
+        T.StructField("started", T.TimestampType(), True),
+        T.StructField("ended", T.TimestampType(), True),
+        T.StructField("created", T.TimestampType(), False),
+    ]
+)
+
+
+def utc_now() -> datetime:
+    """UTC wall clock (reference pins UTC everywhere: Implicits.scala:16)."""
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class _VersionedTable:
+    """A Parquet table stored as versioned subdirectories `v=N`; the
+    current state is the highest N. Writes create N+1."""
+
+    def __init__(self, spark: SparkSession, path: str, schema: T.StructType):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(m.group(1))
+            for d in os.listdir(self.path)
+            if (m := re.fullmatch(r"v=(\d+)", d))
+        )
+
+    def exists(self) -> bool:
+        return bool(self._versions())
+
+    def migrate(self) -> None:
+        """CREATE TABLE IF NOT EXISTS (reference Runs.scala:36-45)."""
+        if not self.exists():
+            self._write(self.spark.createDataFrame([], self.schema))
+
+    def drop(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    def read(self) -> DataFrame:
+        vs = self._versions()
+        if not vs:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(
+            f"{self.path}/v={vs[-1]}"
+        )
+
+    def _write(self, df: DataFrame) -> None:
+        nxt = (self._versions() or [-1])[-1] + 1
+        # ledger is metadata-sized: one file keeps listing cheap
+        df.coalesce(1).write.mode("errorifexists").parquet(
+            f"{self.path}/v={nxt}"
+        )
+        self._gc(keep=3)
+
+    def _gc(self, keep: int) -> None:
+        import shutil
+
+        for v in self._versions()[:-keep]:
+            shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)
+
+    def upsert(self, new: DataFrame, key: list[str]) -> None:
+        """Merge-on-key: drop old rows whose key appears in `new`, union
+        the new rows (reference Runs.scala:93-102 ON DUPLICATE KEY UPDATE).
+        """
+        old = self.read()
+        merged = old.join(new.select(*key).distinct(), key, "left_anti").unionByName(
+            new
+        )
+        self._write(merged)
+
+    def delete_where(self, cond) -> int:
+        old = self.read()
+        n = old.filter(cond).count()
+        if n:
+            self._write(old.filter(~cond))
+        return n
+
+
+class RunsLedger:
+    """The `runs` table: provenance of (input, version) -> output per
+    (project, method, stage). Unique key: (project, method, stage, input,
+    output) — reference runs.sql:11."""
+
+    KEY = ["project", "method", "stage", "input", "output"]
+
+    def __init__(self, spark: SparkSession, path: str, project: str, method: str):
+        self.table = _VersionedTable(spark, path, RUNS_SCHEMA)
+        self.spark = spark
+        self.project = project
+        self.method = method
+
+    def migrate(self) -> None:
+        self.table.migrate()
+
+    def drop(self) -> None:
+        self.table.drop()
+
+    def all(self) -> list:
+        return self.table.read().collect()
+
+    def insert(
+        self,
+        stage: str,
+        output: str,
+        inputs: list[Input],
+        now: Optional[datetime] = None,
+    ) -> None:
+        """Upsert one row per input (reference Runs.scala:77-103): same key
+        -> version and timestamp replaced."""
+        ts = now or utc_now()
+        rows = [
+            (self.project, self.method, stage, i.key, i.version, output, ts)
+            for i in inputs
+        ]
+        if not rows:
+            return
+        new = self.spark.createDataFrame(rows, RUNS_SCHEMA)
+        self.table.upsert(new, self.KEY)
+
+    def of(self, stage: str) -> DataFrame:
+        """All ledger rows for this (project, method, stage)
+        (reference Runs.scala:106-116)."""
+        return self.table.read().filter(
+            (F.col("project") == self.project)
+            & (F.col("method") == self.method)
+            & (F.col("stage") == stage)
+        )
+
+    def delete(self, stage: str, output: str) -> int:
+        return self.table.delete_where(
+            (F.col("project") == self.project)
+            & (F.col("method") == self.method)
+            & (F.col("stage") == stage)
+            & (F.col("output") == output)
+        )
+
+
+class RunStatusLedger:
+    """The `runstatus` table: per-output lifecycle. Unique key: (project,
+    method, stage, output) — reference runstatus.sql:11. Re-insert of an
+    existing key RESETS started/ended (RunStatus.scala:79-83)."""
+
+    KEY = ["project", "method", "stage", "output"]
+
+    def __init__(self, spark: SparkSession, path: str, project: str, method: str):
+        self.table = _VersionedTable(spark, path, RUNSTATUS_SCHEMA)
+        self.spark = spark
+        self.project = project
+        self.method = method
+
+    def migrate(self) -> None:
+        self.table.migrate()
+
+    def drop(self) -> None:
+        self.table.drop()
+
+    def all(self) -> list:
+        return self.table.read().collect()
+
+    def insert(self, stage: str, output: str, now: Optional[datetime] = None) -> None:
+        ts = now or utc_now()
+        new = self.spark.createDataFrame(
+            [(self.project, self.method, stage, output, None, None, ts)],
+            RUNSTATUS_SCHEMA,
+        )
+        self.table.upsert(new, self.KEY)
+
+    def _set(self, stage: str, output: str, col: str, ts: datetime) -> None:
+        cur = self.table.read()
+        k = (
+            (F.col("project") == self.project)
+            & (F.col("method") == self.method)
+            & (F.col("stage") == stage)
+            & (F.col("output") == output)
+        )
+        self.table._write(
+            cur.withColumn(col, F.when(k, F.lit(ts)).otherwise(F.col(col)))
+        )
+
+    def start(self, stage: str, output: str, now: Optional[datetime] = None) -> None:
+        self._set(stage, output, "started", now or utc_now())
+
+    def end(self, stage: str, output: str, now: Optional[datetime] = None) -> None:
+        self._set(stage, output, "ended", now or utc_now())
+
+    def of(self, stage: str) -> DataFrame:
+        return self.table.read().filter(
+            (F.col("project") == self.project)
+            & (F.col("method") == self.method)
+            & (F.col("stage") == stage)
+        )
+
+    def delete(self, stage: str, output: str) -> int:
+        return self.table.delete_where(
+            (F.col("project") == self.project)
+            & (F.col("method") == self.method)
+            & (F.col("stage") == stage)
+            & (F.col("output") == output)
+        )
