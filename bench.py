@@ -41,8 +41,10 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/executors so query 1 doesn't pay session startup
+    # warm the JVM/executors so query 1 doesn't pay session startup:
+    # codegen + shuffle machinery, then the parquet reader / FS init paths
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

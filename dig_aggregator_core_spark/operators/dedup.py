@@ -59,8 +59,15 @@ shingled AS (
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks"), "lang"
+    # The hashing stages downstream are CPU-bound narrow maps; a small input
+    # (one parquet file -> 1-2 scan partitions) would serialize them onto two
+    # cores. Spread the corpus across the cluster first — at real scale the
+    # many input files make this a no-op-sized shuffle of raw text.
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        load(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"), "lang")
     )
     mut = base.select(
         (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
@@ -161,27 +168,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASH = 8  # 4 bands x 2 rows
 _N_BANDS = 4
 
-_MINHASH_SQL = f"""
-exploded AS (
-  SELECT doc_id, unnest(sh_set) AS sh FROM shingled
-),
-mh AS (
-  SELECT e.doc_id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || e.sh)) AS h
-  FROM exploded e CROSS JOIN (SELECT unnest(range({_N_HASH})) AS seed) s
-  GROUP BY e.doc_id, s.seed
-),
-bands AS (
-  SELECT doc_id, seed // 2 AS band,
-         MAX(CASE WHEN seed % 2 = 0 THEN h END)
-           || MAX(CASE WHEN seed % 2 = 1 THEN h END) AS band_key
-  FROM mh GROUP BY doc_id, seed // 2
-),
-cand AS (
+# Each minhash h{i} = min over the doc's shingles of md5("{i}|" + shingle):
+# computed as a per-row array fold (list_min / array_min), so signature
+# construction is a narrow map with NO shuffle — the only shuffles in the
+# whole op are the band-bucket join and the verify joins.
+_MINHASH_SQL = (
+    "mh AS (\n  SELECT doc_id, "
+    + ", ".join(
+        f"list_min(list_transform(sh_set, s -> md5('{i}|' || s))) AS h{i}"
+        for i in range(_N_HASH)
+    )
+    + "\n  FROM shingled\n),\n"
+    + "bands AS (\n"
+    + "  SELECT doc_id, band, band_key FROM (\n"
+    + "    SELECT doc_id, unnest(["
+    + ", ".join(
+        f"struct_pack(band := {b}, band_key := h{2 * b} || h{2 * b + 1})"
+        for b in range(_N_BANDS)
+    )
+    + "], recursive := true) FROM mh)\n"
+    + "),\n"
+    + """cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 """
+)
 
 
 @query(
@@ -204,30 +217,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup: shingle -> 8 md5 minhashes -> 4 bands of 2 ->
     band-bucket self-join -> exact-Jaccard verification at >= 0.5.
 
-    md5 minhashes (min over hex strings) are engine-portable; the band join
-    touches only colliding buckets, so cost is output-linear. The verify
-    step re-joins the shingle sets — candidates are few, so this is cheap.
+    md5 minhashes (min over hex strings) are engine-portable. Signatures are
+    a narrow per-row array fold (array_min over transform) — no explode, no
+    shuffle — so at 100 TB the signature stage is a pure map over the corpus.
+    The band join touches only colliding buckets (output-linear), and the
+    verify step re-joins the shingle sets — candidates are few, so cheap.
     """
     sh = _shingled(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("sh_set").alias("sh"))
-    seeds = spark.range(_N_HASH).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        exploded.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))
-            ).alias("h")
-        )
+    mh = sh.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.expr(f"transform(sh_set, s -> md5(concat('{i}|', s)))")
+            ).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ],
     )
-    bands = mh.groupBy(
-        "doc_id", F.expr("seed div 2").alias("band")
-    ).agg(
-        F.concat(
-            F.max(F.when(F.col("seed") % 2 == 0, F.col("h"))),
-            F.max(F.when(F.col("seed") % 2 == 1, F.col("h"))),
-        ).alias("band_key")
-    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                        ).alias("band_key"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
