@@ -27,6 +27,11 @@ HEADLINE = [
     "greatest_per_group",
     "asof_join",
     "topk_orders",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "exists_subquery",
+    "scalar_subquery_avg",
+    "fn_json",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",

@@ -1,0 +1,254 @@
+"""Scalar-function coverage: date/time arithmetic, string ops, math, array &
+map functions, and JSON extraction (SURVEY.md §2.8 GAP rows — the reference
+payload uses only basename/dirname/glob/NaN/arith, `Implicits.scala:23-32`,
+`frequencyAnalysis.py:7,20-21,59-62`; everything here is the native-Spark
+superset the rebuilt engine exposes).
+
+All functions run JVM-side inside whole-stage codegen — no Python UDFs. Each
+query pins cross-engine-identical semantics (rounding, truncation direction,
+collation) so the DuckDB oracle hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST('2001-12-31' AS DATE)) AS INT) AS days_to_eoy,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: extract (year/month/day/quarter), truncation,
+    interval arithmetic, day difference, end-of-month. All Catalyst
+    built-ins; at scale these fold into the scan projection."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(
+            F.lit("2001-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_eoy"),
+        F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           CAST(length(p_name) AS INT) AS name_len,
+           substring(p_name, 1, 5) AS name5,
+           concat_ws('#', p_brand, p_type) AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           replace(p_type, ' ', '_') AS type_us,
+           CAST(strpos(p_type, 'E') AS INT) AS first_e,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           trim(' ' || p_brand || ' ') AS brand_trim
+    FROM part WHERE p_partkey % 50 = 0
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: case, length, substring, concat_ws, pad, replace,
+    position, regexp capture, trim — the columnar superset of the
+    reference's basename/dirname ops (Implicits.scala:23-32)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.regexp_replace("p_type", " ", "_").alias("type_us"),
+        F.instr(F.col("p_type"), "E").alias("first_e"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias(
+            "brand_trim"
+        ),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           abs(l_discount - 0.05) AS abs_d,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           ROUND(sqrt(l_quantity), 6) AS qty_sqrt,
+           ROUND(ln(l_extendedprice + 1), 6) AS price_ln,
+           ROUND(pow(l_tax + 1, 2), 6) AS tax_p1_sq,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS d_sign,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: abs/ceil/floor/round/sqrt/ln/pow/sign/mod plus
+    greatest/least — all codegen'd column expressions."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_p1_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("d_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_toks,
+           CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           list_sort(list_distinct(toks))[1] AS min_tok,
+           CAST(list_contains(toks, 'the') AS BOOLEAN) AS has_the,
+           array_to_string(toks[1:3], '-') AS first3
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE doc_id % 20 = 0
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions: size, distinct, element_at (positive/negative),
+    sort, contains, slice+join. The split→transform pipeline shape matches
+    the dedup/text operators' shingling step."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.element_at(F.sort_array(F.array_distinct("toks")), 1).alias(
+            "min_tok"
+        ),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.concat_ws("-", F.slice("toks", 1, 3)).alias("first3"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           map(['type'], [event_type])['type'][1] AS type_via_map
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: construct from arrays + key lookup (round-trips a
+    value through a map column)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "type_via_map",
+            F.element_at(
+                F.map_from_arrays(
+                    F.array(F.lit("type")), F.array(F.col("event_type"))
+                ),
+                "type",
+            ),
+        )
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string column (get_json_object — the columnar
+    form of the reference's driver-side json4s/json.loads parsing,
+    Config.scala:26, commitRun.py:21)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_band,
+           CAST(o_totalprice IS NOT NULL AS BOOLEAN) AS has_price,
+           if(o_orderpriority LIKE '1-%', 1, 0) AS urgent
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar functions: coalesce/nullif, CASE WHEN band,
+    null test, if + LIKE."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_or_open"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+        F.col("o_totalprice").isNotNull().alias("has_price"),
+        F.when(F.col("o_orderpriority").like("1-%"), 1)
+        .otherwise(0)
+        .alias("urgent"),
+    )

@@ -198,3 +198,132 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------- IVF
+
+_N_PROBE = 2
+_CENTROID_FILTER_SQL = "vec_id % 89 = 0"
+
+# assignment / probing both rank centroids by cosine; ties broken by id
+_IVF_ORACLE = f"""
+WITH {_VECS_SQL},
+centroids AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vecs
+  WHERE {_CENTROID_FILTER_SQL}
+),
+assigned AS (
+  SELECT vec_id, v, nrm, cent_id FROM (
+    SELECT x.vec_id, x.v, x.nrm, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(x.v) + 1), i -> x.v[i] * c.cv[i])),
+               (acc, x) -> acc + x) / (x.nrm * c.cn) DESC, c.cent_id) AS rk
+    FROM vecs x CROSS JOIN centroids c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT q.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.cv[i])),
+               (acc, x) -> acc + x) / (q.nrm * c.cn) DESC, c.cent_id) AS rk
+    FROM (SELECT * FROM vecs WHERE {_QUERY_FILTER}) q CROSS JOIN centroids c
+  ) WHERE rk <= {_N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(q.v) + 1), i -> q.v[i] * a.v[i])),
+           (acc, x) -> acc + x) / (q.nrm * a.nrm) AS cos
+  FROM probes p
+  JOIN vecs q ON q.vec_id = p.query_id
+  JOIN assigned a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {_TOPK}
+"""
+
+
+@query("ann_ivf_probe", oracle=_IVF_ORACLE)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every 89th vector
+    stands in for a trained centroid set), each corpus vector assigned to
+    its nearest centroid's cell, queries probing their nprobe=2 nearest
+    cells and scoring only vectors in those cells.
+
+    Scale path: the cell assignment is computed once and materialized
+    bucketed-by-cell, so query-time work is a broadcast of (query, probed
+    cell) pairs against co-located cell partitions — the cross product is
+    confined to probed cells, never the full corpus. The centroid table is
+    tiny and broadcast everywhere."""
+    vecs = _vecs(spark, sf_dir)
+    cents = F.broadcast(
+        vecs.filter(F.expr("vec_id % 89 = 0")).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    cos_to_cent = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (nrm * cn)"
+    )
+    rk_w = Window.partitionBy("vec_id").orderBy(
+        F.col("cc").desc(), F.col("cent_id")
+    )
+    ranked = (
+        vecs.crossJoin(cents)
+        .withColumn("cc", cos_to_cent)
+        .withColumn("rk", F.row_number().over(rk_w))
+    )
+    assigned = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", "v", "nrm", "cent_id"
+    )
+    probes = (
+        ranked.filter(F.expr(_QUERY_FILTER) & (F.col("rk") <= _N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    q = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        probes.join(F.broadcast(q), "query_id")
+        .join(
+            assigned.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv2"),
+                F.col("nrm").alias("cn2"),
+                "cent_id",
+            ),
+            "cent_id",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(qv, cv2, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn2)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

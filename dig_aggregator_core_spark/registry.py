@@ -41,12 +41,15 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401
         aggregates,
+        analytic,
         dedup,
         frequency,
         multimodal,
         relational,
+        scalarfn,
         similarity,
         textops,
         windows,
     )
+    from .streaming import stateful as stream_stateful  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
