@@ -1,0 +1,134 @@
+"""Source/sink round-trip operators (SURVEY.md §2.1): the reference's
+glob-partitioned JSON ingest re-expressed Spark-native, partition-pruned
+parquet sinks, and CSV/ORC format round-trips.
+
+The reference's signature input pattern is a JSON scan over a partitioned
+S3 glob with wildcard captures recovered from the path
+(`frequencyAnalysis.py:24,109` — `variants/*/*/part-*`; capture semantics
+`Glob.scala:53-58`, `Input.scala:58-62`). Here: `partitionBy` on write,
+path-glob + `input_file_name()` + `regexp_extract` on read — the capture
+comes out of the file path exactly as the reference's `Glob.unapplySeq`
+extractor delivers it, but fully columnar.
+
+Each query materializes the intermediate to scratch (overwrite — re-entrant)
+then reads it back, so the scan path under test is real file I/O; the oracle
+computes the same answer straight from the source table, proving the
+round-trip faithful.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+def _scratch(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), "spark_graft_scratch", name)
+
+
+@query(
+    "scan_json_partitioned_glob",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_json_partitioned_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4+P6: partitioned JSON write, then a path-glob JSON scan with the
+    partition value recovered from the file path by regex capture — the
+    reference's `variants/*/*/part-*` ingest with `Glob` captures
+    (frequencyAnalysis.py:109, Glob.scala:53-58), columnar end to end."""
+    path = _scratch("docs_json")
+    docs = load(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").json(path)
+    schema = "doc_id bigint, text string, source string, n_chars bigint"
+    scanned = (
+        spark.read.schema(schema)
+        .json(f"{path}/lang=*/part-*")
+        .withColumn(
+            "lang",
+            F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1),
+        )
+    )
+    return scanned.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "sink_partition_pruning",
+    oracle="""
+    SELECT l_linestatus AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 4) AS total_price
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def sink_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: hive-partitioned parquet sink, read back with a partition-key
+    filter — the scan touches only the `l_returnflag=R` directory
+    (partition pruning; at 100 TB this is the difference between reading
+    one partition and the whole table)."""
+    path = _scratch("lineitem_by_flag")
+    li = load(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    scanned = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return scanned.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+    )
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 + CSV GAP: header CSV sink then schema'd CSV scan (no inference —
+    SURVEY.md §7 hard part (e): explicit schemas everywhere)."""
+    path = _scratch("orders_csv")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").option("header", True).csv(path)
+    scanned = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).option("header", True).csv(path)
+    return scanned.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(AVG(p_retailprice), 4) AS avg_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC GAP row: columnar round-trip through ORC (Avro would need the
+    external spark-avro package, not available offline — same API shape)."""
+    path = _scratch("part_orc")
+    p = load(spark, sf_dir, "part")
+    p.write.mode("overwrite").orc(path)
+    scanned = spark.read.orc(path)
+    return scanned.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )

@@ -47,6 +47,7 @@ def load_all() -> None:
         multimodal,
         relational,
         scalarfn,
+        scans,
         similarity,
         textops,
         windows,
