@@ -46,6 +46,7 @@ def load_all() -> None:
         frequency,
         multimodal,
         relational,
+        reshape,
         scalarfn,
         scans,
         similarity,
