@@ -1,0 +1,152 @@
+"""Scale-technique operators: salted joins for skewed keys, bucketed
+co-located joins, and an Arrow-batched grouped-aggregate UDAF.
+
+These demonstrate (with oracle-checked results) the three techniques the
+engine leans on when AQE alone isn't enough at 100 TB: key salting splits a
+hot key across tasks; bucketing pre-shuffles both sides of a recurring join
+ONCE at write time so every later join is exchange-free; Pandas UDAFs keep
+unavoidable Python vectorized over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import query
+from ..tables import load
+
+_SALT = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * f.rate), 4) AS adjusted
+    FROM lineitem l
+    JOIN (SELECT 'A' AS flag, 0.9 AS rate UNION ALL
+          SELECT 'N', 1.0 UNION ALL
+          SELECT 'R', 1.1) f ON l.l_returnflag = f.flag
+    GROUP BY l_returnflag
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: l_returnflag has only 3 values — the worst-case skewed
+    key (every row lands on one of 3 reducers in a plain shuffle join).
+    Salting appends a random-free deterministic salt (row-derived mod) to
+    the fact key and explodes the dim side across all salts, spreading each
+    hot key over `_SALT` tasks. Result is identical to the unsalted join,
+    which the oracle checks. (With AQE skew-join this is often automatic;
+    salting is the explicit form for when it isn't.)"""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_orderkey") % _SALT).cast("int")
+    )
+    rates = spark.createDataFrame(
+        [("A", 0.9), ("N", 1.0), ("R", 1.1)], "flag string, rate double"
+    )
+    salted_rates = rates.crossJoin(
+        spark.range(_SALT).select(F.col("id").cast("int").alias("salt"))
+    )
+    return (
+        li.join(
+            salted_rates,
+            (li.l_returnflag == salted_rates.flag)
+            & (li.salt == salted_rates.salt),
+        )
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("rate")), 4).alias(
+                "adjusted"
+            ),
+        )
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 4) AS total
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables written `bucketBy(16,
+    orderkey)` once, then joined WITHOUT any exchange — the buckets line up
+    and each task joins its bucket pair (SortMergeJoin with zero shuffle;
+    verify with .explain: no Exchange above the scans). At 100 TB this is
+    the difference between re-shuffling two fact tables on every join and
+    paying the shuffle once at ingest."""
+    wh = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", "bucketed")
+    o_tbl, l_tbl = "graft_orders_b", "graft_lineitem_b"
+    for tbl in (o_tbl, l_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # external tables: explicit paths, so no dependence on the (static)
+    # warehouse dir of whatever session the driver hands us
+    load(spark, sf_dir, "orders").write.mode("overwrite").option(
+        "path", f"{wh}/orders_b"
+    ).bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(o_tbl)
+    load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).write.mode("overwrite").option("path", f"{wh}/lineitem_b").bucketBy(
+        16, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable(l_tbl)
+    o = spark.table(o_tbl)
+    li = spark.table(l_tbl)
+    # merge hint pins SortMergeJoin even where the fixture-sized side would
+    # broadcast, so the plan exhibits the production shape: SMJ over two
+    # Bucketed:true scans with NO exchange on the join keys
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+        )
+    )
+
+
+def _geomean_udf():
+    # created lazily — pandas_udf type resolution wants an active session
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        """Grouped-agg Pandas UDAF: geometric mean, vectorized over Arrow
+        batches (the slow-path escape hatch done the fast way — never
+        row-at-a-time Python)."""
+        import numpy as np
+
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    return geomean
+
+
+@query(
+    "udaf_pandas_geomean",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS geomean_price
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a grouped-agg pandas_udf (Arrow transfer, one
+    Python call per group-partition — not per row). The oracle is the
+    closed-form SQL equivalent, pinning numeric agreement to 4 places."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    geomean = _geomean_udf()
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.round(geomean("l_extendedprice"), 4).alias("geomean_price"))
+    )

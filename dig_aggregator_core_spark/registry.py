@@ -48,6 +48,7 @@ def load_all() -> None:
         relational,
         reshape,
         scalarfn,
+        scale,
         scans,
         similarity,
         textops,
