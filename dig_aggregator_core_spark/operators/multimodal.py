@@ -139,3 +139,82 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, body_len long, mean_byte double",
     )
     return out.withColumn("mean_byte", F.round("mean_byte", 6))
+
+
+_FRAME = 16  # bytes per fake "frame"
+_STRIDE = 4  # keep every 4th frame
+
+
+def _frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            d = fake_decode(bytes(payload))
+            body = bytes(payload)[8:]
+            n_frames = (len(body) + _FRAME - 1) // _FRAME
+            sampled = range(0, n_frames, _STRIDE)
+            checksum = sum(
+                sum(body[f * _FRAME : (f + 1) * _FRAME]) for f in sampled
+            )
+            rows.append(
+                (
+                    doc_id,
+                    n_frames,
+                    len(list(sampled)),
+                    checksum,
+                    # "resize": halve the decoded dims (stand-in for a real
+                    # pixel resample — the codec hook is the only stub)
+                    d["width"] // 2,
+                    d["height"] // 2,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_frames",
+                "n_sampled",
+                "checksum",
+                "half_width",
+                "half_height",
+            ],
+        )
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) + {_FRAME - 1}) // {_FRAME}
+                AS BIGINT) AS n_frames,
+           CAST(((octet_length(encode(text)) + {_FRAME - 1}) // {_FRAME}
+                 + {_STRIDE - 1}) // {_STRIDE} AS BIGINT) AS n_sampled,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(text) + 1),
+                  i -> CASE WHEN ((i - 1) // {_FRAME}) % {_STRIDE} = 0
+                       THEN CAST(ascii(substring(text, CAST(i AS INT), 1))
+                                 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END)),
+                (acc, c) -> acc + c) AS BIGINT) AS checksum,
+           CAST((n_chars % 640) // 2 AS INT) AS half_width,
+           CAST((length(text) % 480) // 2 AS INT) AS half_height
+    FROM documents
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + resize over the binary payload via mapInPandas:
+    the body is treated as fixed-size frames, every `_STRIDE`-th frame kept
+    (checksummed so the oracle verifies exactly WHICH bytes were sampled),
+    and decoded dimensions halved. The Arrow batch shape and per-frame
+    slicing are the real video-pipeline plumbing; only the codec is a stub.
+    """
+    docs = attach_binary(load(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "payload").mapInPandas(
+        _frame_sample_batches,
+        schema=(
+            "doc_id long, n_frames long, n_sampled long, checksum long,"
+            " half_width int, half_height int"
+        ),
+    )
