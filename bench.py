@@ -46,10 +46,22 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/executors so query 1 doesn't pay session startup:
-    # codegen + shuffle machinery, then the parquet reader / FS init paths
+    # warm the JVM/executors so query 1 doesn't pay session startup: codegen,
+    # shuffle + broadcast machinery, AQE, and the parquet reader / FS init
+    # paths — one tiny representative query touching all of them
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
+    from pyspark.sql import functions as F
+
+    li1 = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
+        10_000
+    )
+    dim = spark.range(10).select(F.col("id").alias("l_linenumber"))
+    (
+        li1.join(F.broadcast(dim), "l_linenumber")
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    )
 
     times: dict[str, float] = {}
     for name in HEADLINE:
