@@ -387,3 +387,84 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("totalprice"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderkey % 7 END AS band,
+             o_totalprice AS price
+      FROM orders
+    ), r AS (
+      SELECT CASE WHEN range % 8 = 7 THEN NULL ELSE range END AS band,
+             range * 10.0 AS rate
+      FROM range(8)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+           ROUND(SUM(l.price * COALESCE(r.rate, 1.0)), 4) AS weighted
+    FROM l JOIN r ON l.band IS NOT DISTINCT FROM r.band
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of dropping out — still a hash join (the null-safe
+    comparator is a valid equi-key), not a theta join."""
+    l = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 7)
+        .alias("band"),
+        F.col("o_totalprice").alias("price"),
+    )
+    r = spark.range(8).select(
+        F.when(F.col("id") % 8 == 7, F.lit(None))
+        .otherwise(F.col("id"))
+        .alias("rband"),
+        (F.col("id") * 10.0).alias("rate"),
+    )
+    return l.join(F.broadcast(r), l.band.eqNullSafe(r.rband)).agg(
+        F.count("*").alias("n_matched"),
+        F.round(
+            F.sum(F.col("price") * F.coalesce(F.col("rate"), F.lit(1.0))), 4
+        ).alias("weighted"),
+    )
+
+
+@query(
+    "sample_hash_systematic",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(SUM(l_extendedprice), 4) AS total_price
+    FROM lineitem
+    WHERE CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+    """,
+)
+def sample_hash_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling: hash the row key, keep hash%k==0.
+    Unlike df.sample() this is reproducible across engines, runs, and
+    partitionings — the property a training-data pipeline needs for
+    auditable subsets. md5-derived so Spark and the oracle agree bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem")
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return li.filter(h32 % 10 == 0).agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+    )

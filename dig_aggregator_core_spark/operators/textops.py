@@ -210,3 +210,46 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         langid_batches, schema="doc_id long, predicted_lang string"
     )
+
+
+@query(
+    "text_bigram_diversity",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_distinct(bg)) AS INT) AS n_uniq_bigrams,
+           CAST(len(bg) AS INT) AS n_bigrams,
+           ROUND(CAST(len(list_distinct(bg)) AS DOUBLE)
+                 / greatest(len(bg), 1), 6) AS diversity
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def text_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram diversity (distinct/total bigrams): a repetition-quality
+    signal for corpus filtering — low diversity flags boilerplate/spam.
+    Pure array expressions; same shingling shape as the dedup family."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    bg = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN"
+        "  transform(sequence(0, size(toks) - 2),"
+        "    i -> concat_ws(' ', toks[i], toks[i+1]))"
+        " ELSE array() END"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(bg)).alias("n_uniq_bigrams"),
+        F.size(bg).alias("n_bigrams"),
+        F.round(
+            F.size(F.array_distinct(bg)).cast("double")
+            / F.greatest(F.size(bg), F.lit(1)),
+            6,
+        ).alias("diversity"),
+    )

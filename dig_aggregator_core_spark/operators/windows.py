@@ -160,3 +160,31 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("orderkey"),
         F.ntile(4).over(w).alias("price_quartile"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 4) AS near_total
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame (RANGE BETWEEN n PRECEDING): sums orders
+    whose key lies within 100 of the current row's key — a frame defined on
+    ORDER-BY VALUES, not row positions (contrast window_sliding_rows)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("near_total"),
+    )
