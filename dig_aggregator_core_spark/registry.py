@@ -42,6 +42,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         analytic,
+        analytic2,
         dedup,
         frequency,
         multimodal,
