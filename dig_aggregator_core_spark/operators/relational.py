@@ -468,3 +468,36 @@ def sample_hash_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
     )
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10
+          < CASE WHEN lang = 'en' THEN 5 ELSE 2 END
+    GROUP BY lang
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates (50% en, 20%
+    other) decided by a key hash, not RNG — the same rows are kept on any
+    engine, run, or partitioning, unlike df.sampleBy(). This is how a
+    training pipeline rebalances language mix reproducibly. Pure
+    map-side filter; the only shuffle is the reporting aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    rate = F.when(F.col("lang") == "en", 5).otherwise(2)
+    return (
+        docs.filter(h32 % 10 < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -252,4 +252,56 @@ def text_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size(bg), F.lit(1)),
             6,
         ).alias("diversity"),
+    )
+
+
+@query(
+    "text_tfidf_topterm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY 1
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+    SELECT doc_id, term, ROUND(score, 6) AS score
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.term) AS rn
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    WHERE rn = 1
+    """,
+)
+def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-term-per-document extraction: term frequency per
+    (doc, term), document frequency per term (one shuffle on term), corpus
+    size as a broadcast scalar, score = tf * ln(N/df), then row_number=1
+    per doc with a deterministic (score DESC, term ASC) tie-break. All
+    score inputs are exact integers, so the double math is bit-identical
+    cross-engine. At scale the df relation is the small side of the join
+    once low-df terms dominate — AQE converts it to broadcast."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = docs.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = docs.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = load(spark, sf_dir, "documents").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("n") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", F.round("score", 6).alias("score"))
     )

@@ -1,0 +1,118 @@
+"""Time-series operators over the events fixture: calendar resampling with
+gap-fill (dense day spine × sparse aggregate, zero- and forward-fill) and
+batch sessionization (lag + cumulative-sum session ids) — the two idioms a
+pipeline needs between raw event logs and windowed training features.
+
+The streaming twins live in ``streaming/windows.py`` (tumbling / sliding /
+session windows); these are the batch forms, expressed so the whole plan
+stays in Catalyst: the day spine is ``sequence()`` + ``explode`` (no
+driver-side date loop), fills are window functions, and session boundaries
+are order-invariant under timestamp ties (a tie's gap is 0, never a new
+session), so results are stable across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, SUM(value) AS vs
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM b
+    )
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+           ROUND(CAST(COALESCE(vs, 0) AS DOUBLE), 4) AS total,
+           ROUND(CAST(COALESCE(vs,
+             LAST_VALUE(vs IGNORE NULLS) OVER (
+               ORDER BY spine.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS DOUBLE), 4) AS ffill
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample with gap-fill: aggregate events to days, generate
+    the dense day spine with sequence()+explode (distributed — no driver
+    loop), left-join, then zero-fill and forward-fill (last non-null via an
+    ignorenulls window). The unpartitioned ORDER BY window is fine here
+    (one row per day); per-series data partitions by series key first."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("vs")
+    )
+    spine = (
+        daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.coalesce("vs", F.lit(0)).cast("double"), 4).alias(
+                "total"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("vs"), F.last("vs", ignorenulls=True).over(w), F.lit(0)
+                ).cast("double"),
+                4,
+            ).alias("ffill"),
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                           PARTITION BY user_id ORDER BY ts)
+                       <= 30 * 60 * 1000000
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a 30-minute inactivity gap starts a new
+    session. lag-over-user-order flags boundaries; summing flags yields the
+    session count (the full lag+cumsum form also assigns session ids — the
+    count is the oracle-checkable projection). One shuffle on user_id
+    shared by the window and the final group-by. The streaming equivalent
+    is session_window (streaming/windows.py)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

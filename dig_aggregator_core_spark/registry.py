@@ -53,6 +53,7 @@ def load_all() -> None:
         scans,
         similarity,
         textops,
+        timeseries,
         windows,
     )
     from .streaming import stateful as stream_stateful  # noqa: F401
