@@ -37,6 +37,14 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "text_quality_score",
     "tumbling_window",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q18_large_volume",
+    "q21_waiting_supplier",
+    "text_tfidf_topterm",
+    "sessionize_events",
+    "timeseries_gapfill",
+    "sample_stratified_hash",
 ]
 
 
