@@ -195,3 +195,132 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("click_id", "purchase_id", "user_id")
     return _run_to_memory(joined, "append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT CAST(user_id % 5 AS BIGINT) AS cohort, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total
+    FROM events JOIN (SELECT range AS uid, range % 5 AS cohort
+                      FROM range(100000)) dim
+      ON user_id = uid
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream joins a
+    static (batch) dimension — the dimension is re-resolvable per batch, no
+    state is kept for it, and the static side broadcasts. The canonical
+    enrichment shape (events × user/cohort dim) for feature pipelines;
+    result equals the batch join, which the oracle pins."""
+    dim = spark.range(100_000).select(
+        F.col("id").alias("uid"), (F.col("id") % 5).alias("cohort")
+    )
+    stream = _events_stream(spark, sf_dir)
+    enriched = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.uid)
+        .groupBy("cohort", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value").cast("double"), 4).alias("total"),
+        )
+    )
+    return _run_to_memory(enriched, "complete")
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas's driver worker speaks protobuf to the
+    JVM state server; the google.protobuf package is not bundled in this
+    environment, so the operator is capability-gated (tests skip, the
+    driver registry omits it) rather than stubbed with fake results."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator on the Spark 4 transformWithState API (the
+    applyInPandasWithState successor): a StatefulProcessor keeps per-user
+    (count, max) in a ValueState backed by the RocksDB state store —
+    incremental, spillable per-key state, the building block for
+    arbitrary streaming accumulators. Run-to-idle with update mode; the
+    final per-key emission equals the batch aggregate the oracle pins."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = 0, float("-inf")
+            if self._state.exists():
+                n, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [round(mx, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _events_stream(spark, sf_dir).select("user_id", "value")
+        stats = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType=(
+                "user_id bigint, n_events bigint, max_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        # update mode re-emits a key on every batch that touches it;
+        # AvailableNow runs one batch here, but keep the last emission per
+        # key for batch-boundary invariance
+        out = _run_to_memory(stats, "update")
+    finally:
+        if before is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, before)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
