@@ -324,3 +324,62 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+@query(
+    "stream_kafka_shaped",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka consumer surface without a broker: the stream is reshaped
+    to Kafka's wire schema (key/value binary, topic, partition, offset,
+    timestamp) and then processed exactly as a Kafka pipeline would —
+    `CAST(value AS STRING)` → `from_json` with an explicit schema →
+    aggregate. Swapping the source for a real broker is the one line
+    `spark.readStream.format("kafka").option("subscribe", ...)`; everything
+    downstream of the wire columns is identical, which is the part this
+    engine owns (the reference names Kafka only as an ecosystem target,
+    README.md:119). No broker exists in this environment, so the wire
+    columns are synthesized deterministically from the event log."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    wire = stream.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_id", "event_type", "value", "props"))
+        .cast("binary")
+        .alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("user_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    payload_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", StringType()),
+            StructField("props", StringType()),
+        ]
+    )
+    parsed = wire.select(
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("m")
+    ).select("m.event_type", "m.props")
+    out = parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+        .cast("bigint")
+        .alias("k_total"),
+    )
+    return _run_to_memory(out, "complete")
