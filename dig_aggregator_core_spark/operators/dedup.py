@@ -473,3 +473,95 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+# ------------------------------------------------- connected components
+
+_PAIRS_SQL = """pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+        / (len(sa.sh_set) + len(sb.sh_set)
+           - len(list_intersect(sa.sh_set, sb.sh_set))) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach AS (
+  SELECT u, u AS r FROM nodes
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+)
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_MINHASH_SQL}, {_PAIRS_SQL}
+    SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: connected components over the verified
+    MinHash-LSH near-dup pair graph, labeling every clustered doc with the
+    minimum doc_id of its component (the canonical "keep one per cluster"
+    step after pairwise dedup).
+
+    Genuinely iterative — min-label propagation to a fixpoint, with
+    `localCheckpoint` truncating lineage each round so plan depth stays
+    constant. Dup graphs have tiny diameters (pairs/triangles), so this
+    converges in 2-3 rounds; at 100 TB scale the same loop with the
+    large-star/small-star contraction (Kiveris et al.) bounds rounds at
+    O(log n). The oracle pins the exact same labeling via a recursive CTE
+    (min reachable id), so even this non-single-query operator is
+    hash-checked, not just smoke-tested."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = (
+        edges.select("u").distinct().select(
+            F.col("u").alias("node"), F.col("u").alias("label")
+        )
+    ).localCheckpoint()
+    while True:
+        prop = (
+            edges.join(lab, edges.v == lab.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_lab = (
+            lab.alias("o")
+            .join(prop.alias("p"), F.col("o.node") == F.col("p.u"), "left")
+            .select(
+                F.col("o.node").alias("node"),
+                F.least(
+                    F.col("o.label"),
+                    F.coalesce(F.col("p.nmin"), F.col("o.label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    return lab.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("bigint").alias("component"),
+    )
