@@ -278,3 +278,48 @@ def empty_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0)
         .select(F.col("l_orderkey").alias("orderkey"))
     )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the reference's delta model
+    (Stage.scala:249-266) applied to an aggregate instead of a job list: a
+    stored partial aggregate over already-processed data is MERGED with the
+    partial aggregate of the new delta, never recomputing the old half.
+    Works because count/sum are algebraic (merge = sum of partials); avg
+    and friends decompose the same way. The oracle pins merged == full
+    recompute. At 100 TB this is the difference between touching the day's
+    delta and re-scanning the table: both partials group on the same key,
+    so the merge is a co-partitioned union+sum."""
+    import os
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    partial = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
+        F.count("*").alias("pn"), F.sum("o_totalprice").alias("ptotal")
+    )
+    stored_path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", "agg_state"
+    )
+    # epoch 1: "already processed" history -> stored partial aggregate
+    partial(orders.filter(F.col("o_orderkey") % 2 == 0)).write.mode(
+        "overwrite"
+    ).parquet(stored_path)
+    # epoch 2: only the delta is aggregated, then merged with the store
+    delta = partial(orders.filter(F.col("o_orderkey") % 2 == 1))
+    stored = spark.read.parquet(stored_path)
+    return (
+        stored.unionByName(delta)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("ptotal").cast("double"), 4).alias("total"),
+        )
+    )
