@@ -46,6 +46,7 @@ def load_all() -> None:
         dedup,
         frequency,
         multimodal,
+        pipeline,
         relational,
         reshape,
         scalarfn,
