@@ -45,6 +45,7 @@ HEADLINE = [
     "sessionize_events",
     "timeseries_gapfill",
     "sample_stratified_hash",
+    "pipeline_corpus_curation",
 ]
 
 
