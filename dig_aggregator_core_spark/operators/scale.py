@@ -150,3 +150,96 @@ def udaf_pandas_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_returnflag").alias("returnflag"))
         .agg(F.round(geomean("l_extendedprice"), 4).alias("geomean_price"))
     )
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT l_returnflag AS returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_returnflag
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy override: `.hint("shuffle_hash")` forces a
+    ShuffledHashJoin where the planner would pick sort-merge or broadcast —
+    the escape hatch when statistics mislead (SHJ skips both sort passes
+    when one side fits a per-partition hash map but is too big to
+    broadcast). The result is strategy-invariant, which the oracle pins;
+    the plan swap is the point (`.explain` shows ShuffledHashJoin)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "mapinarrow_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> x * x)),
+                 (acc, x) -> acc + x)), 6) AS l2_norm,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+)
+def mapinarrow_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native batch UDF surface: mapInArrow hands each partition as
+    pyarrow RecordBatches — zero pandas conversion, the leanest Python hot
+    path Spark offers (below it only JVM expressions remain). The kernel
+    accumulates x² dimension-by-dimension (same sequential fold order as
+    the oracle's list_reduce, so doubles match bit-for-bit). The shape to
+    copy for real vector workloads: fixed-size-list columns in, numpy
+    views over Arrow buffers, no per-row Python."""
+    import pyarrow as pa
+    import numpy as np
+
+    def norm_batches(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            lists = emb.to_pylist()
+            dims = np.array([len(v) for v in lists], dtype=np.int32)
+            n = len(lists)
+            acc = np.zeros(n, dtype=np.float64)
+            width = int(dims.max()) if n else 0
+            for d in range(width):
+                col = np.array(
+                    [v[d] if d < len(v) else 0.0 for v in lists],
+                    dtype=np.float64,
+                )
+                acc = acc + col * col  # sequential across dims, like the fold
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_ids,
+                    pa.array(np.round(np.sqrt(acc), 6), type=pa.float64()),
+                    pa.array(dims, type=pa.int32()),
+                ],
+                names=["vec_id", "l2_norm", "dim"],
+            )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    return emb.mapInArrow(
+        norm_batches, schema="vec_id bigint, l2_norm double, dim int"
+    )
