@@ -157,3 +157,148 @@ def nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("band"),
     )
     return o.orderBy(F.col("band").desc_nulls_last(), "orderkey").limit(25)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): keeps duplicate cardinality —
+    a row surviving k_left - k_right times — unlike the set-semantics
+    `except` (U2). Spark plans both as aggregate+join on the value, no
+    sort."""
+    li = load(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    return r.exceptAll(a)
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): min(k_left, k_right) copies
+    of each value survive."""
+    li = load(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    return r.intersectAll(a)
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT s_suppkey AS suppkey, metric,
+           ROUND(CAST(val AS DOUBLE), 4) AS val
+    FROM (
+      SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE)
+      FROM supplier
+    )
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long), the inverse of the pivot row: native
+    `df.unpivot` — a generator expansion, no shuffle. The oracle expresses
+    the same relation as the portable UNION ALL form."""
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nationkey"),
+    )
+    return supp.unpivot(
+        ids=["suppkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    ).select("suppkey", "metric", F.round("v", 4).alias("val"))
+
+
+@query(
+    "lateral_topn_per_group",
+    oracle="""
+    SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+           ROUND(CAST(t.o_totalprice AS DOUBLE), 4) AS totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer), run through
+    Spark SQL's LATERAL support. Catalyst decorrelates it into the same
+    window top-k plan as the DataFrame form — there is no per-row re-scan
+    at execution, which is exactly why LATERAL is safe at scale."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+               ROUND(CAST(t.o_totalprice AS DOUBLE), 4) AS totalprice
+        FROM v_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@query(
+    "sample_train_val_test",
+    oracle="""
+    SELECT CASE
+             WHEN h % 100 < 80 THEN 'train'
+             WHEN h % 100 < 90 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by key hash — the
+    split is a pure function of doc_id, so it is stable across engines,
+    re-runs, repartitions, and incremental appends (a new doc never moves
+    an old doc between splits, unlike fraction-based randomSplit)."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    split = (
+        F.when(h % 100 < 80, "train").when(h % 100 < 90, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
