@@ -178,3 +178,56 @@ def scan_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice").cast("double"), 4).alias("total"),
         )
     )
+
+
+@query(
+    "scan_merge_schema_evolution",
+    oracle="""
+    SELECT era, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(sz) AS BIGINT) AS n_with_size
+    FROM (
+      SELECT 'v1' AS era, p_partkey, NULL AS sz
+      FROM part WHERE p_partkey % 2 = 0
+      UNION ALL
+      SELECT 'v2', p_partkey, p_size
+      FROM part WHERE p_partkey % 2 = 1
+    )
+    GROUP BY era
+    """,
+)
+def scan_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across partitioned files: epoch v1 wrote (era, key),
+    epoch v2 added a column — `mergeSchema=true` reconciles them at scan
+    time, NULL-filling v1 rows. The survival skill for multi-year datasets
+    where old files are never rewritten (SURVEY.md §1.2's schema-merging
+    ingest, but with declared per-epoch schemas instead of inference)."""
+    path = _scratch("part_evolving")
+    part = load(spark, sf_dir, "part")
+    part.filter(F.col("p_partkey") % 2 == 0).select(
+        F.lit("v1").alias("era"), "p_partkey"
+    ).write.mode("overwrite").parquet(path + "/era=v1_files")
+    part.filter(F.col("p_partkey") % 2 == 1).select(
+        F.lit("v2").alias("era"), "p_partkey", F.col("p_size").alias("sz")
+    ).write.mode("overwrite").parquet(path + "/era=v2_files")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        path + "/era=v1_files", path + "/era=v2_files"
+    )
+    return merged.groupBy("era").agg(
+        F.count("*").alias("n"), F.count("sz").alias("n_with_size")
+    )
+
+
+@query(
+    "join_cross_product",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product (BroadcastNestedLoopJoin): legitimate
+    only when one side is tiny — Spark requires the explicit crossJoin
+    call precisely because an accidental one at fact scale is fatal."""
+    region = load(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
+    nation = load(spark, sf_dir, "nation").select(F.col("n_name").alias("nation"))
+    return region.crossJoin(F.broadcast(nation))
