@@ -305,3 +305,44 @@ def text_tfidf_topterm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "term", F.round("score", 6).alias("score"))
     )
+
+
+@query(
+    "text_edit_distance_pairs",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substring(a.text, 1, 60),
+                            substring(b.text, 1, 60)) AS INT) AS dist
+    FROM documents a JOIN documents b
+      ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    WHERE levenshtein(substring(a.text, 1, 60),
+                      substring(b.text, 1, 60)) <= 45
+    """,
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification: levenshtein over 60-char prefixes of
+    candidate pairs (here: adjacent same-language docs — in production the
+    candidates come from LSH). The bounded prefix keeps the O(len²) DP
+    cost constant per pair, the standard trick for using edit distance at
+    corpus scale at all; candidates-first keeps it off the n² pair space."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 60).alias("prefix")
+    )
+    a = docs.alias("a")
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("prefix").alias("prefix_b"),
+    )
+    dist = F.levenshtein(F.col("a.prefix"), F.col("prefix_b"))
+    return (
+        a.join(b, (F.col("a.doc_id") == F.col("join_id"))
+               & (F.col("a.lang") == F.col("lang_b")))
+        .filter(dist <= 45)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("doc_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )

@@ -188,3 +188,37 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         F.round(F.sum("o_totalprice").over(w), 4).alias("near_total"),
     )
+
+
+@query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS top_order,
+           NTH_VALUE(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED
+             PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/navigation window functions: percent_rank, cume_dist,
+    first_value, nth_value — rounding out §2.5 beyond ranking and frames.
+    The unique orderkey tiebreak makes every output deterministic; nth_value
+    needs the full-partition frame (default frame stops at CURRENT ROW)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("top_order"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+    )
