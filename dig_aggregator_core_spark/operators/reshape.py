@@ -9,7 +9,7 @@ explode keeps ordinal position so the operation is invertible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -301,4 +301,36 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(split.alias("split")).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "sample_k_per_group",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 3
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling: exactly 3 docs per language,
+    chosen by ranking on a key hash — an order-free, engine-portable
+    stand-in for reservoir sampling (same guarantee: uniform-ish, fixed k,
+    reproducible). Spark prunes with WindowGroupLimit before the shuffle,
+    so each task forwards at most k rows per group — the eval-set builder
+    that stays cheap at corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars")
     )
