@@ -116,3 +116,37 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").cast("bigint").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "window_time_rolling",
+    oracle="""
+    SELECT event_id,
+           ROUND(CAST(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 4) AS rolling_24h
+    FROM events
+    """,
+)
+def window_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling time-window aggregate: per-user 24-hour trailing sum, a
+    RANGE frame over event-time (contrast window_range_frame's key-range
+    and window_sliding_rows' row-count frames). Ordering on epoch
+    microseconds makes the frame bound exact and engine-portable; ties
+    (same user, same µs) share a frame in both engines, so the output is
+    deterministic. One shuffle on user_id; at scale this is the feature
+    extractor for "activity in the last N hours" signals."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.sum("value").over(w).cast("double"), 4).alias(
+            "rolling_24h"
+        ),
+    )
