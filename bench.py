@@ -72,14 +72,21 @@ def main() -> None:
         .collect()
     )
 
+    # min of 2 runs per query: the first run pays per-query codegen and is
+    # exposed to transient host contention (this VM shows up to ~14% CPU
+    # steal under load — see BASELINE.md); the min is the stable,
+    # cross-round-comparable number
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
