@@ -252,3 +252,42 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("urgent"),
     )
+
+
+@query(
+    "fn_safe_arithmetic",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           CAST(l_extendedprice / NULLIF(l_quantity - 1.0, 0)
+                AS DOUBLE) AS unit_price_m1,
+           TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(l_linenumber AS VARCHAR) END
+                    AS BIGINT) AS parsed
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def fn_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: Spark 4 runs ANSI mode by default, so a
+    division by zero or bad cast FAILS the job instead of silently
+    NULLing (the pre-4.0 behavior). try_divide / try_cast are the
+    explicit opt-outs — NULL on error, job survives. The oracle expresses
+    the same contract portably (NULLIF guard, TRY_CAST); quantity-1 hits
+    zero for single-unit lines, so the NULL path is exercised."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        # unrounded on purpose: IEEE division of identical doubles is
+        # bit-identical cross-engine, while ROUND's tie-breaking is not
+        # (2-decimal prices / small ints hit exact .5 ties constantly)
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 1.0)
+        .cast("double")
+        .alias("unit_price_m1"),
+        F.when(
+            F.col("l_linenumber") % 3 == 0, F.lit("not-a-number")
+        )
+        .otherwise(F.col("l_linenumber").cast("string"))
+        .try_cast("bigint")
+        .alias("parsed"),
+    )
