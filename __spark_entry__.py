@@ -30,9 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    registry.load_all()
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries without prior-round correctness evidence run first
+    (the harness budget truncated round 1 at 50 of 130 entries)."""
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -222,12 +222,48 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GAP fill: HyperLogLog++ distinct sketch — the 100 TB path for
     cardinality estimation (mergeable, fixed memory). No SQL oracle: HLL
-    estimates are engine-specific; the companion `distinct_agg` pins the
-    exact semantics."""
+    estimates are engine-specific; `approx_count_distinct_bounded` pins a
+    hard error bound and `distinct_agg` pins the exact semantics."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_returnflag").alias("returnflag"))
         .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+    )
+
+
+@query(
+    "approx_count_distinct_bounded",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_count_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion to `approx_count_distinct`: computes the HLL
+    estimate AND the exact distinct count per group, and asserts the sketch
+    lands within 5x its configured 1% relative standard deviation. The
+    estimate itself is engine-specific so it is folded into a boolean the
+    oracle can pin as TRUE — if the sketch ever drifts out of bound the
+    value-hash mismatches, giving the sketch hard correctness evidence."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("_approx"),
+        )
+        .select(
+            "returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_orders"))
+                <= F.greatest(
+                    F.col("exact_orders") * F.lit(0.05), F.lit(5.0)
+                )
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -251,17 +287,24 @@ def count_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_set_groups",
     oracle="""
     SELECT n_regionkey AS regionkey,
-           list_sort(list(DISTINCT n_name)) AS nations
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def collect_set_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: group-into-set — the output-map build (Stage.scala:183) as
-    groupBy + collect_set (sorted for deterministic comparison)."""
+    groupBy + collect_set. The set is sorted and joined to one scalar string
+    per group so the result row is hashable by any downstream comparator
+    (array cells are not); set semantics are still fully pinned because the
+    sorted-joined string is a bijection of the set for these values."""
     return (
         load(spark, sf_dir, "nation")
         .groupBy(F.col("n_regionkey").alias("regionkey"))
-        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias(
+                "nations"
+            )
+        )
     )
 
 
