@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
+    "ann_lsh_buckets",
+    "ann_ivf_probe",
     "text_quality_score",
     "tumbling_window",
     "q6_forecast_revenue",

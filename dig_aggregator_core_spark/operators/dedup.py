@@ -16,12 +16,19 @@ mutation pairs are the ground truth the op must find.
 Scale design (100 TB):
 - exact: shuffle on a 16-byte digest, never on the text itself.
 - minhash-lsh: per-doc signature is a narrow shuffle; the band join explodes
-  only docs sharing a band key (output-linear, not O(n^2)).
-- ngram-jaccard: blocked on (lang) so the quadratic term is per-block;
-  at real scale the block key would be (lang, length-band, lsh-bucket).
+  only docs sharing a band key (output-linear, not O(n^2)); the shingled
+  corpus feeding the signature AND both verify branches is persisted once.
+- ngram-jaccard: blocked on (lang, length-band). The band is LOSSLESS for
+  the 0.5 threshold (J >= t implies a size ratio >= t, so floor(log2 size)
+  differs by at most 1; each doc probes its own and the next band), which
+  is why the oracle needs no blocking — identical results prove it. The
+  lossy-but-linear blocking beyond that IS dedup_minhash_lsh.
 - simhash: candidate pairs only via 16-bit block-key equality (two hash-join
   passes), verified with bit_count — no full cross join anywhere.
-- embedding: blocked on label (stand-in for an IVF coarse quantizer).
+- embedding: blocked on (label, sign-LSH bucket) — label stands in for an
+  IVF coarse quantizer; the 4-sign-bit bucket (shared with
+  similarity.ann_lsh_buckets) confines the quadratic term. Sign bucketing
+  is deterministic so the oracle mirrors it exactly.
 """
 
 from __future__ import annotations
@@ -31,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
+from .similarity import _BUCKET_SPARK, _BUCKET_SQL
 
 MUT_OFFSET = 1_000_000
 
@@ -61,14 +69,15 @@ shingled AS (
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The hashing stages downstream are CPU-bound narrow maps; a small input
     # (one parquet file -> 1-2 scan partitions) would serialize them onto two
-    # cores. Spread the corpus across the cluster first — at real scale the
-    # many input files make this a no-op-sized shuffle of raw text.
+    # cores. Spread the corpus across the cluster ONLY when the scan itself
+    # is under-partitioned — at real scale the many input splits already
+    # provide the parallelism and repartitioning raw text would be a full
+    # shuffle for nothing.
     par = spark.sparkContext.defaultParallelism
-    base = (
-        load(spark, sf_dir, "documents")
-        .repartition(par, "doc_id")
-        .select("doc_id", F.split("text", " ").alias("toks"), "lang")
-    )
+    docs = load(spark, sf_dir, "documents")
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"), "lang")
     mut = base.select(
         (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
         F.expr("slice(toks, 1, greatest(3, (size(toks) * 4) div 5))").alias(
@@ -79,18 +88,33 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(mut)
 
 
+# keyed by (SparkSession, sf_dir); entries die with the session, and the
+# persisted partitions themselves are evicted LRU by the block manager
+_SH_CACHE: dict = {}
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, sh_set): distinct word-3-gram shingles per corpus doc."""
-    return _corpus(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.expr(
-            "CASE WHEN size(toks) >= 3 THEN "
-            "  array_distinct(transform(sequence(0, size(toks) - 3),"
-            "    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
-            "ELSE array(concat_ws(' ', toks)) END"
-        ).alias("sh_set"),
-    )
+    """(doc_id, lang, sh_set): distinct word-3-gram shingles per corpus doc.
+
+    Persisted and memoized per (session, sf_dir): the shingle subtree feeds
+    the jaccard block join, the minhash signature branch, AND both verify
+    branches — without the persist Spark recomputes scan->split->shingle for
+    each consumer (it was the slowest headline query's dominant cost)."""
+    key = (spark, sf_dir)
+    sh = _SH_CACHE.get(key)
+    if sh is None:
+        sh = _corpus(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN "
+                "  array_distinct(transform(sequence(0, size(toks) - 3),"
+                "    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+                "ELSE array(concat_ws(' ', toks)) END"
+            ).alias("sh_set"),
+        ).persist()
+        _SH_CACHE[key] = sh
+    return sh
 
 
 # ---------------------------------------------------------------- exact
@@ -137,12 +161,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup within language blocks: 3-gram shingle
-    sets, |A∩B| / |A∪B| >= 0.5. The quadratic pair space is confined to each
-    lang block (at scale: lang x length-band x LSH bucket)."""
-    sh = _shingled(spark, sf_dir)
-    a = sh.alias("a")
-    b = sh.alias("b")
+    """Exact n-gram Jaccard near-dup blocked on (lang, length-band): 3-gram
+    shingle sets, |A∩B| / |A∪B| >= 0.5.
+
+    The length band is floor(log2(|shingles|)) and each doc probes its own
+    band and the next one up. This is LOSSLESS for the threshold: J >= 0.5
+    forces min(|A|,|B|)/max(|A|,|B|) >= 0.5 (J <= min/max always), so the
+    two floors differ by at most 1 and every qualifying pair shares a probe
+    key. The oracle therefore stays the unblocked quadratic reference — a
+    hash-match PROVES the blocking dropped nothing. The quadratic term is
+    now per (lang, band) block instead of per lang (a ~20 TB block at
+    corpus scale); pairs sharing two probe keys are deduped by distinct()."""
+    sh = _shingled(spark, sf_dir).withColumn(
+        "lband", F.floor(F.log2(F.size("sh_set")))
+    )
+    probed = sh.select(
+        "doc_id",
+        "lang",
+        "sh_set",
+        F.explode(
+            F.array(F.col("lband"), F.col("lband") + F.lit(1))
+        ).alias("bkey"),
+    )
+    a = probed.alias("a")
+    b = probed.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh_set"), F.col("b.sh_set")))
     union = (
         F.size(F.col("a.sh_set")) + F.size(F.col("b.sh_set")) - inter
@@ -152,6 +194,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(jac >= 0.5)
@@ -160,6 +203,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.round(jac, 6).alias("jaccard"),
         )
+        .distinct()
     )
 
 
@@ -405,7 +449,7 @@ ecorpus AS (
   FROM ebase
 ),
 enorm AS (
-  SELECT vec_id, v, label,
+  SELECT vec_id, v, label, {bucket} AS bucket,
          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
   FROM ecorpus
@@ -422,18 +466,23 @@ _EMB_COS_SQL = """
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH {_EMB_CORPUS_SQL}
+    WITH {_EMB_CORPUS_SQL.format(bucket=_BUCKET_SQL)}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND({_EMB_COS_SQL}, 6) AS cosine
     FROM enorm a JOIN enorm b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+      ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_EMB_COS_SQL} >= 0.999
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: cosine >= 0.999 within label blocks (the label
-    stands in for an IVF coarse-quantizer cell; at scale the blocker is a
-    learned centroid assignment, same join shape).
+    """Embedding near-dup: cosine >= 0.999 blocked on (label, sign-LSH
+    bucket). The label stands in for an IVF coarse-quantizer cell; the
+    4-sign-bit bucket (the same deterministic axis-aligned hyperplane hash
+    as similarity.ann_lsh_buckets) splits each cell a further 16 ways, so
+    the quadratic verify term is per (label, bucket) micro-block — the
+    shape that survives a 100x corpus. Sign bucketing is deterministic and
+    engine-portable, so the oracle applies the identical block key and the
+    hash-match pins both the blocking and the scoring.
 
     Dot products fold sequentially over the vector so Spark and the oracle
     produce bit-identical doubles."""
@@ -447,12 +496,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(v, x -> x * 1.01 + 0.001)").alias("v"),
         "label",
     )
-    corpus = emb.unionByName(mut).withColumn(
-        "nrm",
-        F.expr(
-            "sqrt(aggregate(transform(v, x -> x * x),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
-        ),
+    corpus = (
+        emb.unionByName(mut)
+        .withColumn(
+            "nrm",
+            F.expr(
+                "sqrt(aggregate(transform(v, x -> x * x),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+            ),
+        )
+        .withColumn("bucket", F.expr(_BUCKET_SPARK))
     )
     a = corpus.alias("a")
     b = corpus.alias("b")
@@ -464,6 +517,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= 0.999)

@@ -206,10 +206,13 @@ def mapinarrow_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-native batch UDF surface: mapInArrow hands each partition as
     pyarrow RecordBatches — zero pandas conversion, the leanest Python hot
     path Spark offers (below it only JVM expressions remain). The kernel
-    accumulates x² dimension-by-dimension (same sequential fold order as
-    the oracle's list_reduce, so doubles match bit-for-bit). The shape to
-    copy for real vector workloads: fixed-size-list columns in, numpy
-    views over Arrow buffers, no per-row Python."""
+    never touches individual rows from Python: the list column's flat
+    float64 value buffer becomes ONE numpy view, squared vectorized, and
+    summed per row with a single `np.add.reduceat` over the list offsets
+    (reduceat accumulates each segment left-to-right — the same element
+    order as the oracle's sequential list_reduce fold). The shape to copy
+    for real vector workloads: list columns in, numpy views over Arrow
+    buffers, segment reduces — no per-row or per-dimension Python."""
     import pyarrow as pa
     import numpy as np
 
@@ -217,17 +220,22 @@ def mapinarrow_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             vec_ids = batch.column("vec_id")
             emb = batch.column("embedding")
-            lists = emb.to_pylist()
-            dims = np.array([len(v) for v in lists], dtype=np.int32)
-            n = len(lists)
-            acc = np.zeros(n, dtype=np.float64)
-            width = int(dims.max()) if n else 0
-            for d in range(width):
-                col = np.array(
-                    [v[d] if d < len(v) else 0.0 for v in lists],
-                    dtype=np.float64,
-                )
-                acc = acc + col * col  # sequential across dims, like the fold
+            # absolute offsets index into the underlying flat values buffer
+            offsets = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            values = emb.values.to_numpy(zero_copy_only=False)
+            starts, ends = offsets[:-1], offsets[1:]
+            dims = (ends - starts).astype(np.int32)
+            # a sliced ListArray's flat buffer can extend past the last
+            # offset; truncate so the final reduceat segment stops there
+            sq = values[: offsets[-1]] * values[: offsets[-1]] if len(
+                offsets
+            ) else values * values
+            acc = np.zeros(len(dims), dtype=np.float64)
+            nonempty = dims > 0
+            if nonempty.any():
+                # consecutive nonempty starts bound exactly one segment each
+                # (empty segments contribute no values between them)
+                acc[nonempty] = np.add.reduceat(sq, starts[nonempty])
             yield pa.RecordBatch.from_arrays(
                 [
                     vec_ids,
