@@ -562,60 +562,111 @@ reach AS (
     FROM reach GROUP BY u
     """,
 )
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star contraction (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star contraction: edges oriented large->small; every node
+    connects its smaller-or-equal neighbors (and itself) to the minimum."""
+    o = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    m = (
+        o.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return (
+        o.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_MINHASH_SQL}, {_PAIRS_SQL}
+    SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """,
+)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster extraction: connected components over the verified
     MinHash-LSH near-dup pair graph, labeling every clustered doc with the
     minimum doc_id of its component (the canonical "keep one per cluster"
     step after pairwise dedup).
 
-    Genuinely iterative — min-label propagation to a fixpoint, with
-    `localCheckpoint` truncating lineage each round so plan depth stays
-    constant. Dup graphs have tiny diameters (pairs/triangles), so this
-    converges in 2-3 rounds; at 100 TB scale the same loop with the
-    large-star/small-star contraction (Kiveris et al.) bounds rounds at
-    O(log n). The oracle pins the exact same labeling via a recursive CTE
-    (min reachable id), so even this non-single-query operator is
-    hash-checked, not just smoke-tested."""
+    Implemented with the alternating large-star/small-star contraction
+    (Kiveris et al. 2014), which converges in O(log n) rounds regardless of
+    component diameter — plain min-label propagation is O(diameter) rounds
+    with a full edge join per round, which a 100 TB dup graph with chained
+    near-dup paths cannot afford. Each round is two groupBy+join stages;
+    `localCheckpoint` truncates lineage so plan depth stays constant.
+    Convergence = identical edge multiset (count + order-insensitive
+    xxhash64 checksum). At the fixpoint the graph is a star forest: every
+    non-root points at its component's minimum id. The oracle pins the
+    exact same labeling via a recursive CTE (min reachable id), so even
+    this non-single-query operator is hash-checked, not just smoke-tested."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .distinct()
         .localCheckpoint()
     )
-    lab = (
-        edges.select("u").distinct().select(
-            F.col("u").alias("node"), F.col("u").alias("label")
-        )
-    ).localCheckpoint()
+    nodes = (
+        edges.select("u")
+        .union(edges.select("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        # order-insensitive multiset signature; bit_xor never overflows
+        # (edges are distinct so xor-cancellation needs a hash collision)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _sig(edges)
     while True:
-        prop = (
-            edges.join(lab, edges.v == lab.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_lab = (
-            lab.alias("o")
-            .join(prop.alias("p"), F.col("o.node") == F.col("p.u"), "left")
-            .select(
-                F.col("o.node").alias("node"),
-                F.least(
-                    F.col("o.label"),
-                    F.coalesce(F.col("p.nmin"), F.col("o.label")),
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_lab.alias("n")
-            .join(lab.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        lab = new_lab
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _sig(edges)
+        if new_sig == sig:
             break
-    return lab.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").cast("bigint").alias("component"),
+        sig = new_sig
+    # star forest: non-roots carry (node, root); roots label themselves
+    roots = edges.groupBy("u").agg(F.min("v").alias("root"))
+    return (
+        nodes.join(roots, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce(F.col("root"), F.col("u"))
+            .cast("bigint")
+            .alias("component"),
+        )
     )

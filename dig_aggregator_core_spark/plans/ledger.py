@@ -65,8 +65,20 @@ class _VersionedTable:
     current state is the highest N. Writes create N+1."""
 
     def __init__(self, spark: SparkSession, path: str, schema: T.StructType):
+        # version discovery/GC walks the local filesystem (os.listdir /
+        # shutil) while reads/writes go through Spark — a remote path would
+        # list nothing and then collide on v=0. Fail loudly instead.
+        if re.match(r"^[a-z][a-z0-9+.-]*://", path) and not path.startswith(
+            "file://"
+        ):
+            raise ValueError(
+                f"ledger path must be on the local filesystem, got {path!r}; "
+                "for object-store ledgers use a transactional table format "
+                "(e.g. Delta MERGE INTO) instead of the versioned-directory "
+                "ledger"
+            )
         self.spark = spark
-        self.path = path
+        self.path = path[len("file://"):] if path.startswith("file://") else path
         self.schema = schema
 
     def _versions(self) -> list[int]:
@@ -162,10 +174,22 @@ class RunsLedger:
     ) -> None:
         """Upsert one row per input (reference Runs.scala:77-103): same key
         -> version and timestamp replaced."""
+        self.insert_many(stage, {output: list(inputs)}, now)
+
+    def insert_many(
+        self,
+        stage: str,
+        outputs_map: dict[str, list[Input]],
+        now: Optional[datetime] = None,
+    ) -> None:
+        """Batched upsert covering every output of a run in ONE versioned
+        write — a run with k outputs would otherwise pay k full-table
+        rewrites (each a Spark job) for pure metadata."""
         ts = now or utc_now()
         rows = [
             (self.project, self.method, stage, i.key, i.version, output, ts)
-            for i in inputs
+            for output in sorted(outputs_map)
+            for i in sorted(outputs_map[output], key=lambda x: x.key)
         ]
         if not rows:
             return
@@ -213,30 +237,55 @@ class RunStatusLedger:
         return self.table.read().collect()
 
     def insert(self, stage: str, output: str, now: Optional[datetime] = None) -> None:
+        self.insert_many(stage, [output], now)
+
+    def insert_many(
+        self, stage: str, outputs: list[str], now: Optional[datetime] = None
+    ) -> None:
+        """Batched insert: one upsert (one versioned write) for all outputs
+        of a run; re-inserted keys still reset started/ended to NULL
+        (RunStatus.scala:79-83)."""
         ts = now or utc_now()
-        new = self.spark.createDataFrame(
-            [(self.project, self.method, stage, output, None, None, ts)],
-            RUNSTATUS_SCHEMA,
-        )
+        rows = [
+            (self.project, self.method, stage, o, None, None, ts)
+            for o in sorted(outputs)
+        ]
+        if not rows:
+            return
+        new = self.spark.createDataFrame(rows, RUNSTATUS_SCHEMA)
         self.table.upsert(new, self.KEY)
 
-    def _set(self, stage: str, output: str, col: str, ts: datetime) -> None:
+    def _set_many(
+        self, stage: str, outputs: list[str], col: str, ts: datetime
+    ) -> None:
+        if not outputs:
+            return
         cur = self.table.read()
         k = (
             (F.col("project") == self.project)
             & (F.col("method") == self.method)
             & (F.col("stage") == stage)
-            & (F.col("output") == output)
+            & (F.col("output").isin(list(outputs)))
         )
         self.table._write(
             cur.withColumn(col, F.when(k, F.lit(ts)).otherwise(F.col(col)))
         )
 
     def start(self, stage: str, output: str, now: Optional[datetime] = None) -> None:
-        self._set(stage, output, "started", now or utc_now())
+        self._set_many(stage, [output], "started", now or utc_now())
+
+    def start_many(
+        self, stage: str, outputs: list[str], now: Optional[datetime] = None
+    ) -> None:
+        self._set_many(stage, list(outputs), "started", now or utc_now())
 
     def end(self, stage: str, output: str, now: Optional[datetime] = None) -> None:
-        self._set(stage, output, "ended", now or utc_now())
+        self._set_many(stage, [output], "ended", now or utc_now())
+
+    def end_many(
+        self, stage: str, outputs: list[str], now: Optional[datetime] = None
+    ) -> None:
+        self._set_many(stage, list(outputs), "ended", now or utc_now())
 
     def of(self, stage: str) -> DataFrame:
         return self.table.read().filter(

@@ -57,6 +57,19 @@ class Method:
         for stage in self.filter_stages(opts):
             stage.run(opts)
 
+    @staticmethod
+    def _confirm_reprocess() -> bool:
+        """Default --reprocess gate: stdin [y/N] prompt, mirroring the
+        reference's confirmReprocess (Method.scala:78-96) so reprocessing
+        everything is never a silent default."""
+        try:
+            answer = input(
+                "really reprocess all inputs as if never processed? [y/N]: "
+            )
+        except EOFError:
+            return False
+        return answer.strip().lower() in ("y", "yes")
+
     def main(
         self,
         args: list[str],
@@ -64,8 +77,9 @@ class Method:
         confirm: Optional[Callable[[], bool]] = None,
     ) -> None:
         """The CLI entry (Method.scala:104-143): parse opts, migrate the
-        ledgers, gate --reprocess+--yes behind confirmation, then run or
-        just show work."""
+        ledgers, gate --reprocess+--yes behind confirmation (a real stdin
+        prompt by default; `confirm` injection is a test override), then
+        run or just show work."""
         t0 = time.monotonic()
         opts = Opts.parse(args)
         self.init_stages(context)
@@ -74,7 +88,8 @@ class Method:
 
         proceed = True
         if opts.yes and opts.reprocess:
-            proceed = confirm() if confirm is not None else True
+            gate = confirm if confirm is not None else self._confirm_reprocess
+            proceed = gate()
         if proceed:
             if opts.dry_run:
                 logger.warning("dry run; no outputs will be built")

@@ -190,10 +190,9 @@ class Stage:
         jobs = {o: self.make(o) for o in output_map}
         for o in output_map:
             self.prepare_job(o)
-        for o in output_map:
-            self.context.runstatus.insert(self.name, o)
-        for o in output_map:
-            self.context.runstatus.start(self.name, o)
+        # one versioned write each for the whole run, not one per output
+        self.context.runstatus.insert_many(self.name, sorted(output_map))
+        self.context.runstatus.start_many(self.name, sorted(output_map))
 
         def run_job(o: str) -> None:
             jobs[o](
@@ -216,17 +215,19 @@ class Stage:
             self.success(o)
 
     def insert_runs(self, output_map: OutputMap) -> None:
-        """Commit provenance, deterministically ordered (Stage.scala:270)."""
+        """Commit provenance, deterministically ordered (Stage.scala:270) —
+        ONE batched runs upsert + ONE runstatus end write for the run."""
         for output in sorted(output_map):
-            inputs = sorted(output_map[output], key=lambda i: i.key)
             logger.info(
                 "updating output %s for %s (%d inputs)",
                 output,
                 self.name,
-                len(inputs),
+                len(output_map[output]),
             )
-            self.context.runs.insert(self.name, output, inputs)
-            self.context.runstatus.end(self.name, output)
+        self.context.runs.insert_many(
+            self.name, {o: list(s) for o, s in output_map.items()}
+        )
+        self.context.runstatus.end_many(self.name, sorted(output_map))
 
     def show_work(self, opts: Opts) -> bool:
         output_map = self.get_work(opts)
@@ -242,10 +243,8 @@ class Stage:
             return
         if opts.insert_runs:
             # commit without running (Stage.scala:304-308)
-            for o in output_map:
-                self.context.runstatus.insert(self.name, o)
-            for o in output_map:
-                self.context.runstatus.start(self.name, o)
+            self.context.runstatus.insert_many(self.name, sorted(output_map))
+            self.context.runstatus.start_many(self.name, sorted(output_map))
             self.insert_runs(output_map)
             for o in output_map:
                 self.success(o)

@@ -47,9 +47,13 @@ def match_source(df: DataFrame, source: Source) -> DataFrame:
 def extract_captures(df: DataFrame, source: Source, names: list[str]) -> DataFrame:
     """Add capture columns from the source's globs (Input.scala:58-62 as
     regexp_extract): prefix captures first, then basename captures."""
+    import re
+
     p_rx = source.prefix_glob.regex(partial=True)
     b_rx = source.basename_glob.regex(partial=True)
-    n_prefix = p_rx.count("(")
+    # actual group count, not "(" occurrences: "(" / ")" are valid glob
+    # literals (Glob.scala validChar) and appear re.escape'd in the regex
+    n_prefix = re.compile(p_rx).groups
     cols = list(df.columns)
     out = df
     for idx, name in enumerate(names, start=1):
