@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
-from .similarity import _BUCKET_SPARK, _BUCKET_SQL
 
 MUT_OFFSET = 1_000_000
 
@@ -99,10 +98,16 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Persisted and memoized per (session, sf_dir): the shingle subtree feeds
     the jaccard block join, the minhash signature branch, AND both verify
     branches — without the persist Spark recomputes scan->split->shingle for
-    each consumer (it was the slowest headline query's dominant cost)."""
+    each consumer (it was the slowest headline query's dominant cost).
+
+    One corpus dir is cached per session: switching sf_dir unpersists the
+    previous entry, so a long-lived session iterating many corpus dirs
+    can't accumulate persisted RDDs."""
     key = (spark, sf_dir)
     sh = _SH_CACHE.get(key)
     if sh is None:
+        for stale in [k for k in _SH_CACHE if k[0] is spark]:
+            _SH_CACHE.pop(stale).unpersist()
         sh = _corpus(spark, sf_dir).select(
             "doc_id",
             "lang",
@@ -438,7 +443,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- embedding
 
-_EMB_CORPUS_SQL = """
+# integer sign bucket over the first 4 dims (bit i set when dim i >= 0);
+# an int key (vs the string key in similarity.py) makes Hamming-1
+# multi-probe a cheap XOR against the single-bit masks
+_IBUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{i}] >= 0 THEN {2 ** (i - 1)} ELSE 0 END)"
+    for i in range(1, 5)
+)
+_IBUCKET_SPARK = " + ".join(
+    f"(CASE WHEN v[{i}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(0, 4)
+)
+
+_EMB_CORPUS_SQL = f"""
 ebase AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
 ),
@@ -449,10 +465,14 @@ ecorpus AS (
   FROM ebase
 ),
 enorm AS (
-  SELECT vec_id, v, label, {bucket} AS bucket,
+  SELECT vec_id, v, label, {_IBUCKET_SQL} AS bucket,
          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
   FROM ecorpus
+),
+eprobe AS (
+  SELECT vec_id, v, label, nrm, xor(bucket, m.m) AS pkey
+  FROM enorm CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS m) m
 )
 """
 
@@ -466,23 +486,29 @@ _EMB_COS_SQL = """
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH {_EMB_CORPUS_SQL.format(bucket=_BUCKET_SQL)}
+    WITH {_EMB_CORPUS_SQL}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND({_EMB_COS_SQL}, 6) AS cosine
-    FROM enorm a JOIN enorm b
-      ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM enorm a JOIN eprobe b
+      ON a.label = b.label AND a.bucket = b.pkey AND a.vec_id < b.vec_id
     WHERE {_EMB_COS_SQL} >= 0.999
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: cosine >= 0.999 blocked on (label, sign-LSH
-    bucket). The label stands in for an IVF coarse-quantizer cell; the
-    4-sign-bit bucket (the same deterministic axis-aligned hyperplane hash
-    as similarity.ann_lsh_buckets) splits each cell a further 16 ways, so
-    the quadratic verify term is per (label, bucket) micro-block — the
-    shape that survives a 100x corpus. Sign bucketing is deterministic and
-    engine-portable, so the oracle applies the identical block key and the
-    hash-match pins both the blocking and the scoring.
+    bucket) with Hamming-1 multi-probe. The label stands in for an IVF
+    coarse-quantizer cell; the 4-sign-bit bucket splits each cell a further
+    16 ways, so the quadratic verify term is per (label, bucket)
+    micro-block — the shape that survives a 100x corpus.
+
+    Multi-probe: one side additionally emits its bucket with each single
+    sign bit flipped (XOR with 0/1/2/4/8), so a true near-dup pair whose
+    vectors straddle a hyperplane on one dimension (e.g. the ground-truth
+    mutation x*1.01+0.001 flipping a dim in [-0.00099, 0)) still shares a
+    probe key — single-bucket blocking would silently drop it. A pair's
+    buckets differ from each other by at most one bit in exactly one mask,
+    so no distinct() is needed. The oracle applies the identical probe
+    scheme, so the hash-match pins blocking, probing, and scoring.
 
     Dot products fold sequentially over the vector so Spark and the oracle
     produce bit-identical doubles."""
@@ -505,10 +531,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
             ),
         )
-        .withColumn("bucket", F.expr(_BUCKET_SPARK))
+        .withColumn("bucket", F.expr(_IBUCKET_SPARK))
+    )
+    probe = corpus.select(
+        "vec_id",
+        "v",
+        "label",
+        "nrm",
+        F.explode(
+            F.array(*[F.expr(f"bucket ^ {m}") for m in (0, 1, 2, 4, 8)])
+        ).alias("pkey"),
     )
     a = corpus.alias("a")
-    b = corpus.alias("b")
+    b = probe.alias("b")
     cos = F.expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y),"
         " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (a.nrm * b.nrm)"
@@ -517,7 +552,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.bucket") == F.col("b.pkey"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= 0.999)
@@ -554,14 +589,6 @@ reach AS (
 """
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
-    WITH RECURSIVE {_CORPUS_SQL}, {_MINHASH_SQL}, {_PAIRS_SQL}
-    SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS component
-    FROM reach GROUP BY u
-    """,
-)
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star contraction (Kiveris et al., 'Connected Components in
     MapReduce and Beyond'): every node connects its strictly-larger
@@ -623,11 +650,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a full edge join per round, which a 100 TB dup graph with chained
     near-dup paths cannot afford. Each round is two groupBy+join stages;
     `localCheckpoint` truncates lineage so plan depth stays constant.
-    Convergence = identical edge multiset (count + order-insensitive
-    xxhash64 checksum). At the fixpoint the graph is a star forest: every
-    non-root points at its component's minimum id. The oracle pins the
-    exact same labeling via a recursive CTE (min reachable id), so even
-    this non-single-query operator is hash-checked, not just smoke-tested."""
+    Convergence is an EXACT edge-set equality test (count match + one-way
+    exceptAll emptiness on the checkpointed distinct frames) — a hash
+    signature could collide between distinct consecutive edge sets and
+    terminate early with wrong labels; the contracted edge set is
+    metadata-sized (<= one edge per non-root node) so the exact check is
+    cheap. At the fixpoint the graph is a star forest: every non-root
+    points at its component's minimum id. The oracle pins the exact same
+    labeling via a recursive CTE (min reachable id), so even this
+    non-single-query operator is hash-checked, not just smoke-tested."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -641,24 +672,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def _sig(e: DataFrame) -> tuple[int, int]:
-        # order-insensitive multiset signature; bit_xor never overflows
-        # (edges are distinct so xor-cancellation needs a hash collision)
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.coalesce(
-                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
-
-    sig = _sig(edges)
+    n_edges = edges.count()
     while True:
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        new_sig = _sig(edges)
-        if new_sig == sig:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        n_new = new_edges.count()
+        # both frames are distinct, so equal counts + empty one-way
+        # difference <=> identical edge sets (no hash-collision early exit)
+        if n_new == n_edges and new_edges.exceptAll(edges).isEmpty():
+            edges = new_edges
             break
-        sig = new_sig
+        edges, n_edges = new_edges, n_new
     # star forest: non-roots carry (node, root); roots label themselves
     roots = edges.groupBy("u").agg(F.min("v").alias("root"))
     return (

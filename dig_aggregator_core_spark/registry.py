@@ -29,6 +29,15 @@ def query(name: str, oracle: Optional[str] = None):
     """Register a named query and (optionally) its DuckDB oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        # a duplicate registration silently shadows the earlier one (and a
+        # stray decorator on a helper once registered a wrong-arity callable
+        # under a public name) — fail loudly instead. Re-registering the
+        # SAME function is fine: module reload / idempotent load_all().
+        prior = QUERIES.get(name)
+        if prior is not None and prior.__qualname__ != fn.__qualname__:
+            raise ValueError(
+                f"query {name!r} already registered by {prior.__qualname__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -61,62 +70,65 @@ def load_all() -> None:
     from .streaming import windows as stream_windows  # noqa: F401
 
 
-# Queries with a green row in CORRECTNESS_r01.json (all three checks passed,
-# or the rows-only check for the no-oracle sketch). The per-round harness
-# walks `queries()` in dict order under a bounded budget (round 1 stopped
-# after 50 entries), so names WITHOUT prior evidence are surfaced first and
-# the already-verified set re-runs only after everything has a row.
+# Queries with a green row in CORRECTNESS_r01.json or CORRECTNESS_r02.json
+# (all three checks passed, or the rows-only check for the no-oracle sketch).
+# The per-round harness walks `queries()` in dict order under a bounded
+# budget (~50 entries/round), so names WITHOUT prior evidence are surfaced
+# first and the already-verified set re-runs only after everything has a row.
+# The three dedup queries rewritten after their round-1 evidence
+# (ngram_jaccard / embedding_cosine / connected_components) are deliberately
+# EXCLUDED so the harness re-verifies the current implementations.
 _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
     {
-        "q1_pricing_summary", "distinct_agg", "rollup_agg", "cube_agg",
-        "grouping_sets", "stats_agg", "percentile_agg",
-        "approx_count_distinct", "count_per_group", "empty_relation",
-        "incremental_agg_merge", "q3_shipping_priority", "q5_local_supplier",
-        "exists_subquery", "not_exists_subquery", "in_subquery",
-        "scalar_subquery_avg", "q10_returned_items", "q7_volume_shipping",
-        "q12_priority_by_band", "q14_promo_share", "q19_disjunctive_pred",
-        "q2_min_cost_supplier", "q4_priority_check", "q6_forecast_revenue",
-        "q8_market_share", "q9_product_profit", "q11_important_stock",
-        "q13_customer_distribution", "q15_top_supplier", "q16_supplier_count",
-        "q17_small_qty_revenue", "q18_large_volume", "q21_waiting_supplier",
-        "q22_global_sales", "dedup_exact", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-        "dedup_connected_components", "flagship_frequency",
-        "agg_max_per_group", "agg_avg_two_key", "weighted_avg",
-        "filter_null_nan", "project_rename_literal", "mm_binary_meta",
-        "mm_decode_features",
+        "agg_avg_two_key", "agg_max_per_group", "ann_ivf_probe",
+        "ann_lsh_buckets", "ann_topk_bruteforce", "approx_count_distinct",
+        "approx_count_distinct_bounded", "asof_join", "collect_set_groups",
+        "count_per_group", "cube_agg", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "delta_antijoin", "distinct_agg", "empty_relation",
+        "exists_subquery", "explode_positional", "filter_null_nan",
+        "flagship_frequency", "fn_array", "fn_conditional", "fn_datetime",
+        "fn_json", "fn_map", "fn_math", "fn_safe_arithmetic", "fn_string",
+        "greatest_per_group", "grouping_sets", "having_clause",
+        "in_subquery", "incremental_agg_merge", "join_anti",
+        "join_bucketed_colocated", "join_hint_shuffle_hash",
+        "join_inner_dim", "join_left_outer", "join_null_safe",
+        "join_salted_skew", "join_semi", "lateral_topn_per_group",
+        "ledger_upsert", "mapinarrow_vector_norm", "mm_binary_meta",
+        "mm_decode_features", "mm_frame_sample", "not_exists_subquery",
+        "nulls_ordering", "percentile_agg", "pipeline_corpus_curation",
+        "pivot_status_by_priority", "project_rename_literal",
+        "q10_returned_items", "q11_important_stock", "q12_priority_by_band",
+        "q13_customer_distribution", "q14_promo_share", "q15_top_supplier",
+        "q16_supplier_count", "q17_small_qty_revenue", "q18_large_volume",
+        "q19_disjunctive_pred", "q1_pricing_summary",
+        "q21_waiting_supplier", "q22_global_sales", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_priority_check", "q5_local_supplier",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "range_join_bands", "rollup_agg",
+        "rules_routing", "sample_hash_systematic", "sample_k_per_group",
+        "sample_stratified_hash", "sample_train_val_test",
+        "scalar_subquery_avg", "scan_json_partitioned_glob", "setop_except",
+        "setop_except_all", "setop_intersect", "setop_intersect_all",
+        "setop_union_distinct", "sink_partition_pruning", "stats_agg",
+        "topk_orders", "udaf_pandas_geomean", "union_missing_columns",
+        "unpivot_melt", "weighted_avg",
     }
-)
-
-# Among the not-yet-verified names, the reference-parity signature operators
-# the judge called out go first; streaming queries (AvailableNow micro-batch
-# startup cost each) go last so one slow query can't starve the rest.
-_FRONT: tuple[str, ...] = (
-    "delta_antijoin",
-    "greatest_per_group",
-    "collect_set_groups",
-    "rules_routing",
-    "ledger_upsert",
-    "join_inner_dim",
-    "join_left_outer",
-    "setop_union_distinct",
-    "setop_except",
-    "fn_array",
-    "fn_json",
-    "approx_count_distinct_bounded",
 )
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """All registered queries, unverified-first (see _VERIFIED_PRIOR_ROUNDS)."""
+    """All registered queries, unverified-first (see _VERIFIED_PRIOR_ROUNDS).
+
+    Within each tier, registration order is kept. Streaming queries
+    (AvailableNow micro-batch startup cost each) sort after the other
+    unverified names so one slow query can't starve the batch set.
+    """
     load_all()
     names = list(QUERIES)
 
-    def rank(n: str) -> tuple[int, int, int]:
-        if n in _FRONT:
-            return (0, _FRONT.index(n), 0)
+    def rank(n: str) -> tuple[int, int]:
         verified = n in _VERIFIED_PRIOR_ROUNDS
         streaming = n.startswith("stream_") or n.endswith("_window")
-        return (1 + verified * 2 + streaming, 0, names.index(n))
+        return (verified * 2 + streaming, names.index(n))
 
     return {n: QUERIES[n] for n in sorted(names, key=rank)}
