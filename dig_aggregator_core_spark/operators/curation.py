@@ -1,0 +1,318 @@
+"""Corpus-curation operators — the filter/mix/shard steps between raw text
+and training-data assembly (operators/training.py): repetition metrics
+(Gopher-style filters), benchmark decontamination via n-gram overlap, text
+normalization, per-source mixture sampling, and deterministic epoch
+sharding.
+
+Everything here is built-in column expressions (JVM/codegen) — zero Python
+in any hot path — and every op is deterministic, so the DuckDB oracle
+hash-checks exact values.
+
+Scale notes (100 TB):
+- repetition metrics: the only shuffle keys on (doc_id, bigram), which is
+  near-unique → partial aggregation absorbs almost everything map-side.
+- decontamination: the benchmark shingle set is tiny by construction (a
+  held-out eval set, not the corpus) → broadcast inner join; the corpus
+  side streams through map-side with no shuffle of the text itself.
+- normalization / sampling / sharding: narrow per-row maps + a final
+  aggregation on a tiny key (source / shard id).
+- sampling and sharding derive decisions from md5(stable key), never from
+  partition layout or rand() — reproducible across engines, runs, and
+  repartitionings (the auditability property a training pipeline needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+DECONTAM_NGRAM = 5  # shingle width for benchmark-overlap decontamination
+EPOCH_SHARDS = 8  # deterministic shard count for epoch assignment
+
+# first 8 md5 hex chars as a bigint in [0, 2^32) — the shared Spark/DuckDB
+# uniform hash used for sampling decisions (same trick as
+# relational.sample_hash_systematic)
+_H32_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+def _h32_spark(col: str = "doc_id"):
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+@query(
+    "text_repetition_metrics",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]))
+               AS bigram
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, n_uniq, bigram,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM b GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id,
+           ROUND(1.0 - n_uniq / n_tokens, 6) AS dup_token_frac,
+           ROUND(MAX(cnt) / SUM(cnt), 6) AS top_bigram_frac,
+           CAST(MAX(cnt) AS BIGINT) AS top_bigram_count
+    FROM c GROUP BY doc_id, n_tokens, n_uniq
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher-rules family of
+    quality filters: Rae et al. 2021, arXiv:2112.11446 §A1.1): duplicate
+    token fraction and most-frequent-bigram fraction per document.
+
+    The duplicate-token fraction is a per-row array expression (no
+    shuffle). The top-bigram fraction explodes bigrams and aggregates on
+    (doc_id, bigram) — near-unique keys, so the partial (map-side)
+    aggregation absorbs almost all rows before the exchange; the second
+    aggregate collapses back to one row per doc. Docs with <2 tokens have
+    no bigram and are excluded on both sides."""
+    toks = F.split(F.col("text"), " ")
+    t = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.size("toks").cast("double").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("double").alias("n_uniq"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, CAST(i AS INT)), ' ',"
+                    " element_at(toks, CAST(i + 1 AS INT))))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    c = t.groupBy("doc_id", "n_tokens", "n_uniq", "bigram").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    return c.groupBy("doc_id", "n_tokens", "n_uniq").agg(
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_frac"),
+        F.max("cnt").cast("bigint").alias("top_bigram_count"),
+    ).select(
+        "doc_id",
+        F.round(1.0 - F.col("n_uniq") / F.col("n_tokens"), 6).alias(
+            "dup_token_frac"
+        ),
+        "top_bigram_frac",
+        "top_bigram_count",
+    )
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - {DECONTAM_NGRAM - 2}),
+               i -> list_aggregate(list_slice(t, CAST(i AS INT),
+                 CAST(i + {DECONTAM_NGRAM - 1} AS INT)), 'string_agg', ' '))))
+               AS shingle
+      FROM toks WHERE len(t) >= {DECONTAM_NGRAM}
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {DECONTAM_NGRAM}-gram with a held-out benchmark set (here the
+    deterministic pseudo-benchmark doc_id % 97 == 0), reporting the number
+    of distinct shared n-grams per contaminated doc — the standard
+    eval-leakage scrub (e.g. GPT-3 appendix C / PaLM §8) expressed
+    relationally.
+
+    Scale shape: the benchmark side is tiny by construction (an eval set),
+    so its distinct shingle set broadcasts; the corpus side explodes
+    shingles and probes the broadcast hash map map-side — the corpus text
+    is never shuffled. The per-doc count aggregation keys on doc_id
+    (near-unique → map-side partial absorbs it)."""
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= DECONTAM_NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {DECONTAM_NGRAM - 1}),"
+                        f" i -> array_join(slice(t, CAST(i AS INT),"
+                        f" {DECONTAM_NGRAM}), ' '))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+@query(
+    "text_normalize_clean",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS cleaned,
+             CAST(length(text) AS BIGINT) AS len_raw
+      FROM documents
+    )
+    SELECT doc_id, len_raw,
+           CAST(length(cleaned) AS BIGINT) AS len_clean,
+           md5(cleaned) AS clean_digest
+    FROM n
+    """,
+)
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text normalization (lowercase, strip non-alnum,
+    collapse whitespace, trim) — the canonicalization pass before exact
+    dedup — reporting pre/post lengths and the md5 digest of the cleaned
+    text. Pure per-row regexp/string expressions: narrow map, no shuffle,
+    trivially linear at any corpus size. The digest (not the cleaned text)
+    is what downstream exact-dedup shuffles — 16 bytes per doc."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("len_raw"),
+        F.length(cleaned).cast("bigint").alias("len_clean"),
+        F.md5(cleaned).alias("clean_digest"),
+    )
+
+
+@query(
+    "mixture_weighted_sample",
+    oracle=f"""
+    WITH idx AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    d AS (
+      SELECT doc.doc_id, doc.source,
+             0.2 + 0.15 * (idx.src_idx % 4) AS rate,
+             {_H32_SQL} / 4294967296.0 AS u
+      FROM documents doc JOIN idx ON doc.source = idx.source
+    )
+    SELECT source, ROUND(MAX(rate), 6) AS rate,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM d GROUP BY source
+    """,
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: sample each source at its own rate (domain reweighting
+    a la DoReMi/Pile mixture weights — here a deterministic rate table
+    0.2 + 0.15*(src_idx%4)). A document is kept when its md5-uniform value
+    is below the source's rate, so the subset is reproducible across
+    engines, runs, and partitionings, and nested: raising a rate only adds
+    documents.
+
+    The rate table derives from the DISTINCT source list (metadata-sized,
+    one tiny global window) and broadcast-joins back; the keep decision is
+    a per-row map; the report aggregates on the tiny source key."""
+    docs = load(spark, sf_dir, "documents")
+    idx = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "src_idx", F.row_number().over(Window.orderBy("source")) - 1
+        )
+        .withColumn("rate", 0.2 + 0.15 * (F.col("src_idx") % 4))
+    )
+    d = docs.join(F.broadcast(idx), "source").withColumn(
+        "u", _h32_spark() / F.lit(4294967296.0)
+    )
+    return d.groupBy("source").agg(
+        F.round(F.max("rate"), 6).alias("rate"),
+        F.count("*").alias("n_total"),
+        F.sum((F.col("u") < F.col("rate")).cast("bigint")).alias("n_kept"),
+    )
+
+
+@query(
+    "epoch_shard_assignment",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_H32_SQL} AS h32,
+             md5(CAST(doc_id AS VARCHAR)) AS hfull
+      FROM documents
+    )
+    SELECT CAST(h32 % {EPOCH_SHARDS} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           arg_min(doc_id, hfull) AS first_doc,
+           arg_max(doc_id, hfull) AS last_doc
+    FROM h GROUP BY 1
+    """,
+)
+def epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: assign every document to one of
+    {EPOCH_SHARDS} shards by md5 hash and order within a shard by the full
+    md5 hex — the shuffle-by-hash pattern that gives a reproducible global
+    training order without ever sorting the corpus globally (each shard
+    sorts independently; shard files are then read round-robin).
+
+    The shard assignment is a per-row map; the summary (per-shard count,
+    source spread, first/last doc in hash order via min_by/max_by)
+    aggregates on the {EPOCH_SHARDS}-value shard key with map-side
+    partials. No global window anywhere."""
+    h = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        _h32_spark().alias("h32"),
+        F.md5(F.col("doc_id").cast("string")).alias("hfull"),
+    )
+    return h.groupBy(
+        (F.col("h32") % EPOCH_SHARDS).cast("bigint").alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min_by("doc_id", "hfull").alias("first_doc"),
+        F.max_by("doc_id", "hfull").alias("last_doc"),
+    )

@@ -202,10 +202,42 @@ def langid_batches(
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "predicted_lang": preds})
 
 
-@query("text_langid")  # Python scorer: rows-only check (not SQL-expressible)
+def _langid_score_sql(lang: str) -> str:
+    """DuckDB expression mirroring the Python scorer's overlapping-bigram
+    count for one language profile (1-based substring positions 1..len-1
+    == Python's text[i:i+2] for i in range(len-1))."""
+    return " + ".join(
+        "len(list_filter(range(1, length(text)),"
+        f" i -> substring(text, CAST(i AS INT), 2) = '{bg}'))"
+        for bg in _LANG_PROFILES[lang]
+    )
+
+
+_LANGID_ORACLE = (
+    "WITH s AS (\n"
+    "  SELECT doc_id, unnest([\n"
+    + ",\n".join(
+        f"    struct_pack(lang := '{lang}', score := {_langid_score_sql(lang)})"
+        for lang in sorted(_LANG_PROFILES)
+    )
+    + "\n  ], recursive := true) FROM documents\n"
+    ")\n"
+    "SELECT doc_id, lang AS predicted_lang FROM (\n"
+    "  SELECT doc_id, lang, ROW_NUMBER() OVER (\n"
+    "    PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM s)\n"
+    "WHERE rn = 1"
+)
+
+
+@query("text_langid", oracle=_LANGID_ORACLE)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID via mapInPandas (Arrow batches, ~10-100x over row UDFs).
-    Returns (doc_id, predicted_lang)."""
+    Returns (doc_id, predicted_lang).
+
+    The scorer is deterministic (fixed profiles, strict-> argmax over
+    sorted languages == lexicographic tie-break), so the oracle replays it
+    in SQL — overlapping-bigram counts per profile, ROW_NUMBER argmax —
+    giving the Python path a hard hash check, not just a rows-only one."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(
         langid_batches, schema="doc_id long, predicted_lang string"

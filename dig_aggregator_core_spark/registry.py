@@ -52,6 +52,7 @@ def load_all() -> None:
         aggregates,
         analytic,
         analytic2,
+        curation,
         dedup,
         frequency,
         multimodal,
@@ -64,6 +65,7 @@ def load_all() -> None:
         similarity,
         textops,
         timeseries,
+        training,
         windows,
     )
     from .streaming import stateful as stream_stateful  # noqa: F401
