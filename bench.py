@@ -48,6 +48,14 @@ HEADLINE = [
     "timeseries_gapfill",
     "sample_stratified_hash",
     "pipeline_corpus_curation",
+    # r3 additions: stateful-streaming family row plus the training-data
+    # assembly/curation ops (per-query rows stay comparable across rounds;
+    # the total covers a strictly larger set from r3 on)
+    "stream_stateful_user_stats",
+    "pack_token_chunks",
+    "quantize_embeddings",
+    "decontam_ngram_overlap",
+    "text_repetition_metrics",
 ]
 
 

@@ -79,13 +79,35 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filters: Rae et al. 2021, arXiv:2112.11446 §A1.1): duplicate
     token fraction and most-frequent-bigram fraction per document.
 
-    The duplicate-token fraction is a per-row array expression (no
-    shuffle). The top-bigram fraction explodes bigrams and aggregates on
-    (doc_id, bigram) — near-unique keys, so the partial (map-side)
-    aggregation absorbs almost all rows before the exchange; the second
-    aggregate collapses back to one row per doc. Docs with <2 tokens have
-    no bigram and are excluded on both sides."""
+    Everything is a per-row array expression — the top-bigram count is the
+    longest run in the per-doc SORTED bigram array (array_sort + a
+    run-length fold), so the whole op is one whole-stage-codegen project
+    with ZERO shuffles. The explode + groupBy(doc_id, bigram) alternative
+    shuffles |corpus bigrams| rows twice; this shape shuffles nothing and
+    is embarrassingly parallel at any corpus size. (The oracle keeps the
+    relational unnest/GROUP BY formulation — same values, independent
+    derivation.) The per-doc bigram total is just n_tokens - 1. Docs with
+    <2 tokens have no bigram and are excluded on both sides."""
     toks = F.split(F.col("text"), " ")
+    # longest run of equal adjacent values in the sorted bigram array ==
+    # the count of the most frequent bigram
+    top_cnt = F.expr(
+        "aggregate("
+        " array_sort(transform(sequence(1, size(toks) - 1),"
+        "   i -> concat(element_at(toks, CAST(i AS INT)), ' ',"
+        "        element_at(toks, CAST(i + 1 AS INT))))),"
+        " named_struct('prev', CAST(NULL AS STRING),"
+        "              'run', CAST(0 AS BIGINT),"
+        "              'best', CAST(0 AS BIGINT)),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(acc.prev IS NOT NULL AND x = acc.prev,"
+        "             acc.run + 1, CAST(1 AS BIGINT)),"
+        "   'best', greatest(acc.best,"
+        "     IF(acc.prev IS NOT NULL AND x = acc.prev,"
+        "        acc.run + 1, CAST(1 AS BIGINT)))),"
+        " acc -> acc.best)"
+    )
     t = (
         load(spark, sf_dir, "documents")
         .select("doc_id", toks.alias("toks"))
@@ -94,28 +116,18 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("toks").cast("double").alias("n_tokens"),
             F.size(F.array_distinct("toks")).cast("double").alias("n_uniq"),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
-                    " i -> concat(element_at(toks, CAST(i AS INT)), ' ',"
-                    " element_at(toks, CAST(i + 1 AS INT))))"
-                )
-            ).alias("bigram"),
+            top_cnt.alias("top_cnt"),
         )
     )
-    c = t.groupBy("doc_id", "n_tokens", "n_uniq", "bigram").agg(
-        F.count("*").cast("double").alias("cnt")
-    )
-    return c.groupBy("doc_id", "n_tokens", "n_uniq").agg(
-        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_frac"),
-        F.max("cnt").cast("bigint").alias("top_bigram_count"),
-    ).select(
+    return t.select(
         "doc_id",
         F.round(1.0 - F.col("n_uniq") / F.col("n_tokens"), 6).alias(
             "dup_token_frac"
         ),
-        "top_bigram_frac",
-        "top_bigram_count",
+        F.round(
+            F.col("top_cnt") / (F.col("n_tokens") - 1.0), 6
+        ).alias("top_bigram_frac"),
+        F.col("top_cnt").cast("bigint").alias("top_bigram_count"),
     )
 
 

@@ -52,37 +52,60 @@ def _weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def calc_freq(
     variants: DataFrame, weights: DataFrame, ancestry: str
 ) -> DataFrame:
-    """One ancestry slice of the flagship pipeline (frequencyAnalysis.py:12-86)."""
+    """One ancestry slice of the flagship pipeline (frequencyAnalysis.py:12-86).
+
+    The reference (and this engine through round 2) runs one pipeline per
+    measure — two lineitem scans, two avg shuffles, two weighted shuffles,
+    and a final left-outer join. Both pipelines filter the same rows and
+    group on the same keys, so they fuse into ONE scan with conditional
+    aggregates: avg(CASE WHEN valid THEN x END) yields NULL for a group
+    with no valid rows — exactly "the group is absent from that measure's
+    pipeline" — and the weighted stage divides by sum(n) over only the
+    datasets where that measure is present. Halves the scans, halves the
+    shuffled bytes, and deletes the join; the left-outer semantics
+    (MAF is the base, EAF optional) survive as a final maf-not-null filter.
+    """
     df = variants.filter(F.col("ancestry") == F.lit(ancestry))
 
     # NULL + NaN predicate (frequencyAnalysis.py:20-21): SQL NULL and float
-    # NaN are distinct in both engines; drop both.
-    eaf_rows = df.filter(F.col("eaf").isNotNull() & ~F.isnan("eaf"))
-    maf_rows = df.filter(F.col("maf").isNotNull() & ~F.isnan("maf"))
+    # NaN are distinct in both engines; drop both. Rows valid for NEITHER
+    # measure contribute to neither pipeline — drop before the shuffle.
+    eaf_ok = F.col("eaf").isNotNull() & ~F.isnan("eaf")
+    maf_ok = F.col("maf").isNotNull() & ~F.isnan("maf")
+    df = df.filter(eaf_ok | maf_ok)
 
-    # per (variant, dataset) means across traits (frequencyAnalysis.py:38-51)
-    eaf_avg = eaf_rows.groupBy("var_id", "dataset").agg(F.avg("eaf").alias("eaf"))
-    maf_avg = maf_rows.groupBy("var_id", "dataset").agg(F.avg("maf").alias("maf"))
+    # per (variant, dataset) means across traits (frequencyAnalysis.py:38-51),
+    # both measures in one aggregate
+    avg = df.groupBy("var_id", "dataset").agg(
+        F.avg(F.when(eaf_ok, F.col("eaf"))).alias("eaf"),
+        F.avg(F.when(maf_ok, F.col("maf"))).alias("maf"),
+    )
 
     # weighted mean across datasets: the aggregateByKey rewrite
     # (frequencyAnalysis.py:54-75). `weights` is tiny -> broadcast hash join,
-    # no shuffle of the fact side beyond the groupBy exchange.
-    wb = F.broadcast(weights)
-    eaf_w = (
-        eaf_avg.join(wb, "dataset")
-        .groupBy("var_id")
-        .agg((F.sum(F.col("eaf") * F.col("n")) / F.sum("n")).alias("eaf"))
-    )
-    maf_w = (
-        maf_avg.join(wb, "dataset")
-        .groupBy("var_id")
-        .agg((F.sum(F.col("maf") * F.col("n")) / F.sum("n")).alias("maf"))
+    # no shuffle of the fact side beyond the groupBy exchange. Each measure's
+    # denominator counts only the datasets where that measure is present.
+    w = avg.join(F.broadcast(weights), "dataset")
+    out = w.groupBy("var_id").agg(
+        (
+            F.sum(F.col("eaf") * F.col("n"))
+            / F.sum(F.when(F.col("eaf").isNotNull(), F.col("n")))
+        ).alias("eaf"),
+        (
+            F.sum(F.col("maf") * F.col("n"))
+            / F.sum(F.when(F.col("maf").isNotNull(), F.col("n")))
+        ).alias("maf"),
     )
 
-    # MAF always present, EAF optional -> left outer (frequencyAnalysis.py:78)
-    return maf_w.join(eaf_w, "var_id", "left_outer").select(
+    # MAF always present, EAF optional (frequencyAnalysis.py:78): the
+    # left-outer join's base-side filter. A NULL var_id never matches the
+    # join condition in the two-pipeline form, so its EAF is NULL there too.
+    return out.filter(F.col("maf").isNotNull()).select(
         "var_id",
-        (F.round("eaf", 6) + 0.0).alias("eaf"),
+        (
+            F.round(F.when(F.col("var_id").isNotNull(), F.col("eaf")), 6)
+            + 0.0
+        ).alias("eaf"),
         F.round("maf", 6).alias("maf"),
         F.lit(ancestry).alias("ancestry"),
     )
