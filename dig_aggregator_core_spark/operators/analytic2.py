@@ -630,3 +630,65 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal").cast("double"), 4).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q20_promising_supplier",
+    oracle="""
+    WITH widget_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+    ),
+    shipped AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN widget_parts ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 100
+    )
+    SELECT s_name AS supplier, n_name AS nation
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped)
+    ORDER BY supplier
+    """,
+)
+def q20_promising_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (the last of the 22): suppliers with excess stock of
+    a named part family — a semi-join against a grouped-HAVING subquery
+    that is itself keyed by a semi-join (part name filter). The fixture
+    lacks partsupp, so lineitem's (suppkey, partkey, quantity) plays the
+    availqty role: "excess" = >100 units shipped in the window.
+
+    Scale shape: widget_parts broadcasts into the lineitem scan (map-side
+    semi-join), the HAVING aggregate shuffles on the near-unique
+    (suppkey, partkey) key with map-side partials, and the final IN is a
+    left-semi broadcast against the small qualified-supplier set."""
+    widget = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(
+            shipped,
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
+        .orderBy("supplier")
+    )

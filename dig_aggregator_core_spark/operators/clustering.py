@@ -1,0 +1,145 @@
+"""Iterative clustering over the embeddings table — distributed Lloyd's
+k-means, the trainer for the coarse quantizer the IVF ANN path
+(operators/similarity.py:ann_ivf_probe) consumes.
+
+The Spark shape is the canonical scalable one: centroids are
+metadata-sized (k x dim doubles) and live driver-side between iterations;
+each iteration broadcasts them, computes the per-row nearest-centroid
+assignment as a whole-stage-codegen fold (no Python), and reduces the
+per-dimension means with map-side partial aggregation. The corpus is
+never collected and never shuffled except the k*dim-key mean reduction.
+
+Cross-engine determinism: init is the k lowest-vec_id vectors; distances
+fold over dimensions in index order with identical double arithmetic on
+both engines; argmin ties break on cluster id; and every new centroid
+coordinate is rounded to 6 decimals so the next iteration starts from
+bit-identical values on both engines (the same device the dedup cosine
+ops use). The DuckDB oracle replays the identical schedule as a chained
+CTE per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+K = 4  # clusters
+ITERS = 3  # Lloyd iterations (the last one fused into the returned plan)
+DIM = 64  # embedding width of the fixture table
+
+_DIST_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    f" list_transform(range(1, {DIM + 1}),"
+    " j -> (x.v[CAST(j AS INT)] - c.v[CAST(j AS INT)])"
+    " * (x.v[CAST(j AS INT)] - c.v[CAST(j AS INT)]))),"
+    " (acc, y) -> acc + y)"
+)
+
+
+def _kmeans_oracle() -> str:
+    """Chained-CTE replay of the iteration schedule: c0 = init, then
+    ITERS rounds of (assign a{i} against c{i-1}, centroids c{i} from
+    a{i}); report counts from the last assignment and the first two
+    dimensions of the centroids it induces."""
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        f" AS BIGINT) AS cid, v FROM (SELECT vec_id, v FROM v"
+        f" ORDER BY vec_id LIMIT {K}))",
+    ]
+    for i in range(1, ITERS + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, v, cid FROM ("
+            f" SELECT x.vec_id, x.v, c.cid,"
+            f" ROW_NUMBER() OVER (PARTITION BY x.vec_id"
+            f" ORDER BY {_DIST_SQL}, c.cid) AS rn"
+            f" FROM v x CROSS JOIN c{i - 1} c) WHERE rn = 1)"
+        )
+        if i < ITERS:
+            ctes.append(
+                f"c{i} AS (SELECT cid, list(m ORDER BY pos) AS v FROM ("
+                f" SELECT cid, pos, ROUND(AVG(a.v[CAST(pos AS INT)]), 6)"
+                f" AS m FROM a{i} a CROSS JOIN"
+                f" (SELECT unnest(range(1, {DIM + 1})) AS pos) p"
+                f" GROUP BY cid, pos) GROUP BY cid)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n"
+        f"SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_points,"
+        f" ROUND(AVG(v[1]), 6) AS c_dim1, ROUND(AVG(v[2]), 6) AS c_dim2"
+        f" FROM a{ITERS} GROUP BY cid"
+    )
+
+
+def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    fold the squared distance dimension-by-dimension (codegen, index
+    order), argmin with cid tie-break via min_by over a (dist, cid)
+    struct. All k candidates for a vector are produced by the same task
+    (broadcast cross join), so the partial min_by collapses them
+    map-side — the exchange carries one row per vector, where a window
+    argmin would shuffle and sort all k*N candidates."""
+    dist = F.expr(
+        "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
+    )
+    return (
+        emb.crossJoin(F.broadcast(cdf))
+        .withColumn("dist", dist)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cid", "v"), F.struct("dist", "cid")
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.v").alias("v"), F.col("b.cid").alias("cid"))
+    )
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k={K}, {ITERS} Lloyd iterations) over the
+    embedding corpus: the iterative-algorithm family member beyond
+    dedup_connected_components, and the trainer for ann_ivf_probe's
+    centroid table.
+
+    The driver loop runs ITERS-1 explicit rounds — each collects only the
+    k x dim centroid matrix (metadata) and re-broadcasts it as literals —
+    and the returned plan fuses the last assign + re-estimate step, so
+    the harness hash-checks the full schedule end to end."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    init = emb.orderBy("vec_id").limit(K).collect()
+    cents = [(int(i), [float(x) for x in r["v"]]) for i, r in enumerate(init)]
+    for _ in range(ITERS - 1):
+        cdf = spark.createDataFrame(cents, "cid bigint, c array<double>")
+        assigned = _assign(emb, cdf)
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    cdf = spark.createDataFrame(cents, "cid bigint, c array<double>")
+    return (
+        _assign(emb, cdf)
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg(F.element_at("v", 1)), 6).alias("c_dim1"),
+            F.round(F.avg(F.element_at("v", 2)), 6).alias("c_dim2"),
+        )
+    )

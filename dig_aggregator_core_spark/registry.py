@@ -52,6 +52,7 @@ def load_all() -> None:
         aggregates,
         analytic,
         analytic2,
+        clustering,
         curation,
         dedup,
         frequency,
