@@ -196,6 +196,47 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_correlation",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      AND NOT isnan(l_extendedprice)
+    GROUP BY l_returnflag
+    """,
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates — Pearson correlation,
+    sample/population covariance, and OLS slope per group. All four are
+    algebraic aggregates (sums of x, y, x*y, x^2 moments), so Spark
+    computes them with map-side partials in one pass — the same shape as
+    sum/avg, no second scan and no sort."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & ~F.isnan("l_extendedprice")
+    )
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_s"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_p"
+        ),
+        F.round(
+            F.regr_slope("l_extendedprice", "l_quantity"), 4
+        ).alias("slope"),
+    )
+
+
+@query(
     "percentile_agg",
     oracle="""
     SELECT o_orderpriority AS orderpriority,

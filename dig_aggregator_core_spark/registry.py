@@ -67,6 +67,7 @@ def load_all() -> None:
         textops,
         timeseries,
         training,
+        warehouse,
         windows,
     )
     from .streaming import stateful as stream_stateful  # noqa: F401
@@ -78,9 +79,10 @@ def load_all() -> None:
 # The per-round harness walks `queries()` in dict order under a bounded
 # budget (~50 entries/round), so names WITHOUT prior evidence are surfaced
 # first and the already-verified set re-runs only after everything has a row.
-# The three dedup queries rewritten after their round-1 evidence
-# (ngram_jaccard / embedding_cosine / connected_components) are deliberately
-# EXCLUDED so the harness re-verifies the current implementations.
+# Queries rewritten after their latest evidence round are deliberately
+# EXCLUDED so the harness re-verifies the current implementations:
+# r2 rewrote ngram_jaccard / embedding_cosine / connected_components;
+# r3 rewrote flagship_frequency (single-scan fusion).
 _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
     {
         "agg_avg_two_key", "agg_max_per_group", "ann_ivf_probe",
@@ -89,7 +91,7 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "count_per_group", "cube_agg", "dedup_exact", "dedup_minhash_lsh",
         "dedup_simhash", "delta_antijoin", "distinct_agg", "empty_relation",
         "exists_subquery", "explode_positional", "filter_null_nan",
-        "flagship_frequency", "fn_array", "fn_conditional", "fn_datetime",
+        "fn_array", "fn_conditional", "fn_datetime",
         "fn_json", "fn_map", "fn_math", "fn_safe_arithmetic", "fn_string",
         "greatest_per_group", "grouping_sets", "having_clause",
         "in_subquery", "incremental_agg_merge", "join_anti",

@@ -1,0 +1,112 @@
+"""Plan-regression tests: assert the STRUCTURAL properties that make the
+headline operators scale — filters pushed into the parquet scan, small
+sides broadcast, shuffle-free ops actually shuffle-free, single-scan
+fusions actually single-scan. Value correctness is the oracle suite's
+job; these tests pin the physical shape so a future edit can't silently
+trade a broadcast for a sort-merge join or re-introduce a second scan.
+
+The assertions run against the pre-AQE formatted plan (AdaptiveSparkPlan
+isFinalPlan=false) — the statically-chosen strategy, which is what would
+ship to a real cluster's planner at scale.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from dig_aggregator_core_spark import registry
+
+registry.load_all()
+
+
+def n_shuffles(plan: str) -> int:
+    """Count shuffle Exchange nodes via the formatted detail headers
+    ("(n) Exchange") — substring counting would double-count the tree
+    rendering and match BroadcastExchange."""
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+
+
+def plan_of(name: str, spark, sf_dir: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    plan = plan_of("q1_pricing_summary", spark, sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert n_shuffles(plan) == 1
+
+
+def test_q6_full_pushdown(spark, sf_dir):
+    plan = plan_of("q6_forecast_revenue", spark, sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range reaches the scan
+    assert "SortMergeJoin" not in plan
+
+
+def test_delta_antijoin_broadcasts_ledger(spark, sf_dir):
+    plan = plan_of("delta_antijoin", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_inner_dim_broadcasts(spark, sf_dir):
+    plan = plan_of("join_inner_dim", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_single_scan_fusion(spark, sf_dir):
+    plan = plan_of("flagship_frequency", spark, sf_dir)
+    # r3 fused the two measure pipelines: ONE lineitem scan, ONE supplier
+    # scan, weights broadcast, no join between measures. Three exchanges
+    # total: two fact-side aggregations plus the metadata-sized weights
+    # aggregation feeding the broadcast.
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("supplier.parquet") == 1
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_shuffles(plan) == 3
+
+
+def test_repetition_metrics_shuffle_free(spark, sf_dir):
+    plan = plan_of("text_repetition_metrics", spark, sf_dir)
+    assert "Exchange" not in plan
+    assert "array_sort" in plan  # the per-row run-length fold survives
+
+
+@pytest.mark.parametrize(
+    "name", ["quantize_embeddings", "text_normalize_clean"]
+)
+def test_narrow_maps_shuffle_free(name, spark, sf_dir):
+    assert "Exchange" not in plan_of(name, spark, sf_dir)
+
+
+def test_decontam_broadcasts_benchmark(spark, sf_dir):
+    plan = plan_of("decontam_ngram_overlap", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffled
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_token_chunks_single_exchange_no_global_sort(spark, sf_dir):
+    plan = plan_of("pack_token_chunks", spark, sf_dir)
+    # one per-source exchange; the window sort is per-partition
+    # (global=false in Sort args), never a global ordering
+    assert n_shuffles(plan) == 1
+
+
+def test_k_per_group_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of("sample_k_per_group", spark, sf_dir)
+    assert "WindowGroupLimit" in plan  # rank<=k pruned before the sort
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of("topk_orders", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
