@@ -690,5 +690,4 @@ def q20_promising_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
-        .orderBy("supplier")
     )
