@@ -198,3 +198,209 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(v, x -> CAST(round((x * 127.0) / maxabs) AS INT))"
         ).alias("qvec"),
     )
+
+
+@query(
+    "pack_chunk_texts",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, text,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) // {CHUNK_TOKENS} AS BIGINT) AS chunk_id
+      FROM d
+    )
+    SELECT source, chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(length(string_agg(text, ' <eos> ' ORDER BY doc_id))
+             AS BIGINT) AS packed_len,
+           md5(string_agg(text, ' <eos> ' ORDER BY doc_id)) AS packed_digest
+    FROM c GROUP BY source, chunk_id
+    """,
+)
+def pack_chunk_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Example assembly — the materialization step after pack_token_chunks'
+    planning pass: concatenate each chunk's documents in doc_id order with
+    an ' <eos> ' separator, producing the actual fixed-budget training
+    examples. The harness row carries the packed text's length and md5
+    digest rather than the text itself, so the hash check pins the exact
+    assembled bytes without shipping them through the compare.
+
+    Same scale shape as the planner: one per-source exchange, per-source
+    window, then an aggregation on (source, chunk_id) that sorts only
+    within each micro-group (array_sort of the collected structs) — no
+    global sort. At 100 TB the collected per-chunk payload is bounded by
+    the token budget, so the aggregation state stays small per group."""
+    toks = F.split(F.col("text"), " ")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "chunk_id",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                / CHUNK_TOKENS
+            ).cast("bigint"),
+        )
+    )
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        " <eos> ",
+    )
+    return c.groupBy("source", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.length(packed).cast("bigint").alias("packed_len"),
+        F.md5(packed).alias("packed_digest"),
+    )
+
+
+FIM_MIN_TOKENS = 6  # need non-empty prefix/middle/suffix
+
+
+@query(
+    "fim_split",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) >= {FIM_MIN_TOKENS}
+    )
+    SELECT doc_id,
+           CAST(n // 3 AS BIGINT) AS n_prefix,
+           CAST((2 * n) // 3 - n // 3 AS BIGINT) AS n_middle,
+           CAST(n - (2 * n) // 3 AS BIGINT) AS n_suffix,
+           md5('<PRE> ' || array_to_string(tk[1:n // 3], ' ')
+               || ' <SUF> ' || array_to_string(tk[(2 * n) // 3 + 1:n], ' ')
+               || ' <MID> '
+               || array_to_string(tk[n // 3 + 1:(2 * n) // 3], ' '))
+             AS fim_digest
+    FROM t
+    """,
+)
+def fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle reordering (Bavarian et al. 2022,
+    arXiv:2207.14255): deterministically split each document's tokens into
+    prefix/middle/suffix thirds and emit the PSM-ordered training text
+    `<PRE> prefix <SUF> suffix <MID> middle`. The harness row carries the
+    span sizes and the md5 of the reordered text. Pure per-row array
+    slicing — zero shuffle, linear at any scale."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .filter(F.col("n") >= FIM_MIN_TOKENS)
+        .withColumn("p1", (F.col("n") / 3).cast("int"))
+        .withColumn("p2", (F.col("n") * 2 / 3).cast("int"))
+    )
+    join_slice = lambda start, length: F.array_join(  # noqa: E731
+        F.expr(f"slice(tk, {start}, {length})"), " "
+    )
+    fim = F.concat(
+        F.lit("<PRE> "),
+        join_slice("1", "p1"),
+        F.lit(" <SUF> "),
+        join_slice("p2 + 1", "n - p2"),
+        F.lit(" <MID> "),
+        join_slice("p1 + 1", "p2 - p1"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("p1").cast("bigint").alias("n_prefix"),
+        (F.col("p2") - F.col("p1")).cast("bigint").alias("n_middle"),
+        (F.col("n") - F.col("p2")).cast("bigint").alias("n_suffix"),
+        F.md5(fim).alias("fim_digest"),
+    )
+
+
+MASK_MOD = 5  # mask every token whose (doc_id, position) hash % MOD == 0
+
+
+@query(
+    "span_corruption_mask",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) >= 1
+    ),
+    m AS (
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1), i ->
+               CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                 || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % {MASK_MOD} = 0
+               THEN '<mask>' ELSE tk[CAST(i AS INT)] END) AS masked,
+             list_filter(range(1, n + 1), i ->
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                 || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % {MASK_MOD} = 0) AS mpos
+      FROM t
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(mpos) AS BIGINT) AS n_masked,
+           md5(array_to_string(masked, ' ')) AS masked_digest,
+           md5(COALESCE(array_to_string(list_transform(mpos,
+             i -> tk[CAST(i AS INT)]), ' '), '')) AS targets_digest
+    FROM m JOIN t USING (doc_id, n)
+    """,
+)
+def span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic masked-span corruption (the T5/BERT objective's data
+    prep): mask every token whose md5(doc_id:position) lands in 1/{MASK_MOD}
+    of hash space, emit the masked text digest and the extracted-target
+    digest. Hash-derived masking (not rand()) makes the corruption
+    reproducible across engines, runs, and partitionings — the same
+    auditability rule as the sampling ops. Pure per-row transforms, zero
+    shuffle."""
+    mask_hit = (
+        "conv(substring(md5(concat(CAST(doc_id AS STRING), ':',"
+        " CAST(i AS STRING))), 1, 8), 16, 10) % " + str(MASK_MOD) + " = 0"
+    )
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .filter(F.col("n") >= 1)
+        .withColumn(
+            "masked",
+            F.expr(
+                f"transform(sequence(1, n), i -> CASE WHEN {mask_hit}"
+                " THEN '<mask>' ELSE element_at(tk, CAST(i AS INT)) END)"
+            ),
+        )
+        .withColumn(
+            "mpos",
+            F.expr(f"filter(sequence(1, n), i -> {mask_hit})"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.size("mpos").cast("bigint").alias("n_masked"),
+        F.md5(F.array_join("masked", " ")).alias("masked_digest"),
+        F.md5(
+            F.array_join(
+                F.expr("transform(mpos, i -> element_at(tk, CAST(i AS INT)))"),
+                " ",
+            )
+        ).alias("targets_digest"),
+    )
