@@ -407,3 +407,46 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ptotal").cast("double"), 4).alias("total"),
         )
     )
+
+
+HIST_LO, HIST_W, HIST_N = 0.0, 25_000.0, 24  # fixed price buckets
+
+
+@query(
+    "histogram_fixed_buckets",
+    oracle=f"""
+    SELECT o_orderpriority AS orderpriority,
+           CAST(LEAST(GREATEST(FLOOR((o_totalprice - {HIST_LO})
+             / {HIST_W}), 0), {HIST_N - 1}) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS bucket_total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group — the BI workhorse behind every
+    price/latency distribution chart. The bucket index is a pure
+    expression (floor of the scaled value, clamped to the edge buckets),
+    so the whole op is one partial-aggregated groupBy on
+    (group, bucket) — same scaling behavior as any count/sum aggregate,
+    and the output is bounded by |groups| x {HIST_N} regardless of input
+    size."""
+    bucket = (
+        F.least(
+            F.greatest(
+                F.floor((F.col("o_totalprice") - HIST_LO) / HIST_W),
+                F.lit(0),
+            ),
+            F.lit(HIST_N - 1),
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"), bucket)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
+        )
+    )

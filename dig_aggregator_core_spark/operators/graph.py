@@ -1,0 +1,128 @@
+"""Graph analytics over relational data — PageRank on the event-type
+transition graph, the second iterative-algorithm family member beside
+dedup_connected_components (label contraction) and
+clustering.kmeans_embeddings (centroid refinement).
+
+Scale shape: the expensive part at 100 TB is EDGE EXTRACTION — a lag
+window per user (one shuffle on user_id, mid-cardinality keys) followed
+by an aggregation to the weighted edge relation. The power iteration
+itself then runs over the aggregated graph, which for a categorical node
+domain is metadata-sized; for a large node domain the same joins become
+shuffle joins on src/dst and nothing else changes. Ranks are rounded
+each iteration on both engines so the schedule is bit-deterministic
+(the [[kmeans]] rounding device).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+DAMPING = 0.85
+PR_ITERS = 5
+_RND = 12  # per-iteration rank rounding (both engines)
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        # consecutive events per user define src -> dst transitions
+        """ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )""",
+        """edges AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM ev WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )""",
+        """outw AS (
+      SELECT src, SUM(w) AS total FROM edges GROUP BY src
+    )""",
+        """nodes AS (
+      SELECT DISTINCT event_type AS node FROM events
+    )""",
+        """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)""",
+        f"""r0 AS (
+      SELECT node, ROUND(1.0 / n, {_RND}) AS rank FROM nodes, nn
+    )""",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             ROUND((1.0 - {DAMPING}) / nn.n + {DAMPING} * COALESCE(c.m, 0),
+                   {_RND}) AS rank
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank * e.w / o.total) AS m
+        FROM edges e JOIN r{i - 1} r ON e.src = r.node
+                     JOIN outw o ON e.src = o.src
+        GROUP BY e.dst
+      ) c ON n.node = c.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS event_type, ROUND(rank, 8) AS pagerank"
+        f" FROM r{PR_ITERS}"
+    )
+
+
+@query("pagerank_transitions", oracle=_pagerank_oracle())
+def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph: edges = consecutive
+    events per user (lag window), weights = transition counts, then
+    {PR_ITERS} damped power iterations. Dangling mass is left unallocated
+    (identically on both engines). Each iteration's ranks round to
+    {_RND} decimals so Spark and the oracle walk bit-identical schedules.
+
+    The per-user lag window is the corpus-scale stage (one shuffle on
+    user_id); iterations run over the aggregated edge relation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    edges = (
+        ev.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("total"))
+    nodes = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("node")
+    ).distinct()
+    # categorical node domain: materialize the tiny graph driver-side for
+    # the iteration loop (same metadata-sized rule as kmeans centroids);
+    # the heavy lag/aggregation above already ran distributed
+    n = nodes.count()
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / n, _RND).alias("rank")
+    )
+    contrib_base = edges.join(outw, "src")
+    for _ in range(PR_ITERS):
+        contrib = (
+            contrib_base.join(ranks, F.col("src") == F.col("node"))
+            .groupBy(F.col("dst"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("total")).alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left_outer")
+            .select(
+                "node",
+                F.round(
+                    (1.0 - DAMPING) / n
+                    + DAMPING * F.coalesce(F.col("m"), F.lit(0.0)),
+                    _RND,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.round("rank", 8).alias("pagerank"),
+    )

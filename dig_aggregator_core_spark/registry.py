@@ -56,6 +56,7 @@ def load_all() -> None:
         curation,
         dedup,
         frequency,
+        graph,
         multimodal,
         pipeline,
         relational,
@@ -121,12 +122,24 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 )
 
 
+# Unverified names deliberately ranked LAST within the unverified tier
+# (after streaming): the harness budget is ~50 rows and round 3's queue
+# exceeds it, so something must wait for round 4. These are the two
+# round-3 extras farthest beyond the reference surface — verified this
+# session at sf0.001 (pytest) and sf0.01 (driver-style drive) — deferred
+# so no streaming semantic loses its first-ever CORRECTNESS row.
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {"histogram_fixed_buckets", "pagerank_transitions"}
+)
+
+
 def ordered_queries() -> dict[str, QueryFn]:
     """All registered queries, unverified-first (see _VERIFIED_PRIOR_ROUNDS).
 
     Within each tier, registration order is kept. Streaming queries
     (AvailableNow micro-batch startup cost each) sort after the other
-    unverified names so one slow query can't starve the batch set.
+    unverified names so one slow query can't starve the batch set;
+    _DEFER_TO_NEXT_ROUND sorts last among unverified.
     """
     load_all()
     names = list(QUERIES)
@@ -134,6 +147,7 @@ def ordered_queries() -> dict[str, QueryFn]:
     def rank(n: str) -> tuple[int, int]:
         verified = n in _VERIFIED_PRIOR_ROUNDS
         streaming = n.startswith("stream_") or n.endswith("_window")
-        return (verified * 2 + streaming, names.index(n))
+        deferred = n in _DEFER_TO_NEXT_ROUND
+        return (verified * 4 + deferred * 2 + streaming, names.index(n))
 
     return {n: QUERIES[n] for n in sorted(names, key=rank)}
