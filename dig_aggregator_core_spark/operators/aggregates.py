@@ -450,3 +450,47 @@ def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
         )
     )
+
+
+@query(
+    "percentile_approx_bounded",
+    oracle="""
+    SELECT o_orderpriority AS orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_approx_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-error companion for the t-digest percentile sketch (the
+    same device as `approx_count_distinct_bounded`): computes the exact
+    p50 AND `percentile_approx` (accuracy 10000) per group and folds the
+    sketch into a boolean the oracle pins as TRUE. The bound is
+    RANK-based, not value-based — the sketch's p50 must lie within the
+    exact [p40, p60] — because the sketch returns an actual data point
+    and value gaps near the median are unbounded on sparse data, while
+    the rank error of a t-digest is what its accuracy knob actually
+    bounds. At 100 TB the approx form is the one to run (mergeable
+    sketch, no full sort); this row is its standing evidence."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(
+            F.round(
+                F.expr("percentile(o_totalprice, 0.5)"), 4
+            ).alias("exact_p50"),
+            F.expr("percentile(o_totalprice, 0.40)").alias("_lo"),
+            F.expr("percentile(o_totalprice, 0.60)").alias("_hi"),
+            F.expr(
+                "percentile_approx(o_totalprice, 0.5, 10000)"
+            ).alias("_approx"),
+        )
+        .select(
+            "orderpriority",
+            "exact_p50",
+            (
+                (F.col("_approx") >= F.col("_lo"))
+                & (F.col("_approx") <= F.col("_hi"))
+            ).alias("within_bound"),
+        )
+    )

@@ -129,7 +129,11 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # session at sf0.001 (pytest) and sf0.01 (driver-style drive) — deferred
 # so no streaming semantic loses its first-ever CORRECTNESS row.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {"histogram_fixed_buckets", "pagerank_transitions"}
+    {
+        "histogram_fixed_buckets",
+        "pagerank_transitions",
+        "percentile_approx_bounded",
+    }
 )
 
 

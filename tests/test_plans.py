@@ -110,3 +110,15 @@ def test_k_per_group_uses_window_group_limit(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = plan_of("topk_orders", spark, sf_dir)
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_registry_ordering_is_a_permutation(spark, sf_dir):
+    # ordered_queries must cover every registered query exactly once —
+    # a dropped or duplicated name silently shrinks harness coverage
+    ordered = list(registry.ordered_queries())
+    assert sorted(ordered) == sorted(registry.QUERIES)
+    assert len(set(ordered)) == len(ordered)
+    # verified/deferred sets must only name real queries (catch typos
+    # when refreshing them each round)
+    assert registry._VERIFIED_PRIOR_ROUNDS <= set(registry.QUERIES)
+    assert registry._DEFER_TO_NEXT_ROUND <= set(registry.QUERIES)
