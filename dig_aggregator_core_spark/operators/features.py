@@ -1,0 +1,138 @@
+"""Feature-preprocessing operators — per-group normalization and robust
+statistics, the numeric-column siblings of the text-quality filters in
+operators/curation.py: z-score outlier detection and winsorized
+(percentile-clamped) robust means per group.
+
+Reference analog: the frequency stage's per-group statistics
+(frequencyAnalysis.py:31-35) generalized to the standardization /
+outlier-trimming steps every training-data pipeline applies to numeric
+feature columns before model consumption.
+
+Scale notes (100 TB):
+- Both ops aggregate on `event_type` (a low-cardinality categorical key):
+  partial aggregation collapses each map partition to one row per group
+  before the shuffle, so the shuffle moves O(groups × partitions) rows
+  regardless of input size.
+- z-score uses a two-pass shape (aggregate stats, broadcast them back via
+  an equi-join) rather than a window over the raw rows — a window with an
+  unbounded frame over a 100 TB partition would sort and buffer the full
+  partition per group; the aggregate+broadcast-join form shuffles only
+  the group stats.
+- winsorize uses exact `percentile` here (oracle-checkable); at 100 TB
+  swap to `approx_percentile` — same plan shape, sketch-mergeable, and
+  the clamp bounds stop being exact but the aggregation stays one pass.
+- Everything is built-in column expressions: zero Python, full
+  whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+Z_THRESHOLD = 2.5  # |z| above this is an outlier row
+WINSOR_LO, WINSOR_HI = 0.05, 0.95  # clamp percentiles
+
+
+@query(
+    "feature_zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 6) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 6) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sigma > 0
+      AND abs(e.value - s.mu) > {Z_THRESHOLD} * s.sigma
+    """,
+)
+def feature_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization, returning the outlier rows
+    (|z| > Z_THRESHOLD).
+
+    Two-pass: aggregate (mu, sigma) per event_type, then join the tiny
+    stats relation back (broadcast) and filter. The filter is written on
+    the raw values (`abs(v - mu) > k*sigma`), not the rounded z, so both
+    engines make the same keep/drop decision bit-for-bit.
+    """
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > Z_THRESHOLD * F.col("sigma"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+    )
+
+
+@query(
+    "feature_winsorized_stats",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, {WINSOR_LO}) AS lo,
+             quantile_cont(value, {WINSOR_HI}) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(MAX(b.lo), 6) AS p_lo,
+           ROUND(MAX(b.hi), 6) AS p_hi,
+           ROUND(AVG(CASE WHEN e.value < b.lo THEN b.lo
+                          WHEN e.value > b.hi THEN b.hi
+                          ELSE e.value END), 6) AS winsor_mean,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def feature_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clamp values to the [p05, p95] band,
+    then average — the robust-mean preprocessing step that tames heavy
+    tails before feature scaling.
+
+    Exact `percentile` keeps the op oracle-checkable; the 100 TB variant
+    substitutes `approx_percentile` (same two-aggregate plan, mergeable
+    sketch). Clamp comparisons run on unrounded doubles so both engines
+    clamp the same rows (interpolated bounds are bit-identical when the
+    rank lands on a data point, strictly between points otherwise).
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "cv",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value")),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.round(F.max("lo"), 6).alias("p_lo"),
+        F.round(F.max("hi"), 6).alias("p_hi"),
+        F.round(F.avg("cv"), 6).alias("winsor_mean"),
+        F.sum(
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast(
+                "bigint"
+            )
+        ).alias("n_clamped"),
+    )

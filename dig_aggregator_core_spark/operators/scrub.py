@@ -1,0 +1,148 @@
+"""Scrubbing operators — PII redaction and URL/domain blocklist filtering,
+the safety/compliance pass every web-scale training corpus runs before
+assembly (operators/training.py) and after quality filtering
+(operators/curation.py).
+
+The synthetic `documents` fixture contains no organic PII or URLs, so each
+op first DERIVES a deterministic contact/url column from (doc_id, text) —
+same expression on both engines — and then runs the real scrub machinery
+(regex redaction chains, domain extraction, broadcast anti-join against a
+blocklist) over it. The derivation is fixture plumbing; the scrub logic is
+the operator.
+
+Scale notes (100 TB):
+- Redaction is a pure per-row `regexp_replace` chain — map-only, zero
+  shuffle, whole-stage codegen; count columns ride the same projection.
+- The domain blocklist is small by construction (a curated denylist) →
+  broadcast LEFT ANTI join; the corpus never shuffles. A billion-domain
+  denylist would switch to a bucketed sort-merge anti-join on domain —
+  the operator's join key is already the normalized domain, so only the
+  join strategy changes.
+- Both ops keep the text column out of every shuffle: aggregations group
+  on (source) after projecting the text away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# simple, engine-portable patterns (identical semantics in Java regex /
+# RE2): lowercase emails and the +1-555-XXXX synthetic phone shape
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+\.com"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+# derived contact line appended to each document (both engines, same expr)
+_CONTACT_SPARK = (
+    "concat(text, ' Contact user', CAST(doc_id AS STRING), '@corp',"
+    " CAST(doc_id % 7 AS STRING), '.com or call +1-555-',"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), '.')"
+)
+_CONTACT_DUCK = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@corp'"
+    " || CAST(doc_id % 7 AS VARCHAR) || '.com or call +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'"
+)
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id, source, {_CONTACT_DUCK} AS body FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PHONE_RE}')) AS INT)
+             AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(body, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM enriched
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails and phone numbers, reporting per-document match
+    counts and an md5 of the redacted body (the hash stands in for the
+    scrubbed text so the compare never ships full documents).
+
+    Map-only regex chain — the 100 TB plan is one projection, no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    body = F.expr(_CONTACT_SPARK)
+    redacted = F.regexp_replace(
+        F.regexp_replace(body, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count(body, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(body, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# curated denylist — tiny by construction, broadcast side of the anti-join
+_BLOCKED_DOMAINS = tuple(f"www.site{i}.com" for i in (0, 7, 14, 21, 28, 35))
+
+
+@query(
+    "url_domain_blocklist",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id, source, n_chars,
+             'https://www.site' || CAST(doc_id % 40 AS VARCHAR)
+               || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    tagged AS (
+      SELECT source, n_chars,
+             regexp_extract(url, 'https://([^/]+)/', 1) AS domain
+      FROM pages
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM tagged
+    WHERE domain NOT IN {_BLOCKED_DOMAINS!r}
+    GROUP BY source
+    """,
+)
+def url_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop documents whose source domain is on a blocklist, then report
+    surviving volume per corpus source.
+
+    The domain is normalized out of the URL with one regex; the denylist
+    joins as a broadcast LEFT ANTI (no corpus shuffle); the final rollup
+    groups on the tiny `source` key.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "source",
+        "n_chars",
+        F.regexp_extract(
+            F.concat(
+                F.lit("https://www.site"),
+                (F.col("doc_id") % 40).cast("string"),
+                F.lit(".com/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+            r"https://([^/]+)/",
+            1,
+        ).alias("domain"),
+    )
+    blocked = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    return (
+        pages.join(F.broadcast(blocked), "domain", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )

@@ -55,6 +55,7 @@ def load_all() -> None:
         clustering,
         curation,
         dedup,
+        features,
         frequency,
         graph,
         multimodal,
@@ -64,6 +65,7 @@ def load_all() -> None:
         scalarfn,
         scale,
         scans,
+        scrub,
         similarity,
         textops,
         timeseries,
@@ -133,6 +135,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "histogram_fixed_buckets",
         "pagerank_transitions",
         "percentile_approx_bounded",
+        "feature_zscore_outliers",
+        "feature_winsorized_stats",
+        "pii_redact",
+        "url_domain_blocklist",
     }
 )
 
