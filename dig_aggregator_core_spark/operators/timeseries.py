@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, ntz_epoch_us
+
+
+_epoch_us = ntz_epoch_us  # naive-ts epoch micros, tz-proof (see tables.py)
 
 
 @query(
@@ -106,7 +109,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     is session_window (streaming/windows.py)."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
-    us = F.unix_micros(F.col("ts"))
+    us = _epoch_us("ts")
     gap = us - F.lag(us).over(w)
     flagged = ev.withColumn(
         "new_session",
@@ -138,7 +141,7 @@ def window_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic. One shuffle on user_id; at scale this is the feature
     extractor for "activity in the last N hours" signals."""
     ev = load(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    us = _epoch_us("ts")
     w = (
         Window.partitionBy("user_id")
         .orderBy(us)

@@ -25,13 +25,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import query
+from ..tables import ntz_as_utc_instant
 
 _sink_counter = itertools.count()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet (nanos ts handled as in
-    tables.load)."""
+    tables.load).
+
+    Watermarks require a TIMESTAMP event-time column, so a naive
+    (TIMESTAMP_NTZ) ts is embedded as a UTC instant — tz-proof, and the
+    queries here either emit no ts-derived columns or invert the embedding
+    with tables.instant_as_ntz before emitting.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -39,8 +46,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", ntz_as_utc_instant("ts"))
     return stream
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import instant_as_ntz, load, ntz_as_utc_instant
 
 _TUMBLING_ORACLE = """
 SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
@@ -142,10 +142,20 @@ def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+        ts_type = "timestamp"
+    # watermarks reject TIMESTAMP_NTZ — embed the naive value as a UTC
+    # instant (tz-proof) and invert it on the emitted window bound so the
+    # result still compares against the naive batch oracle.
+    if ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", ntz_as_utc_instant("ts"))
+        window_start = instant_as_ntz("w.start").alias("window_start")
+    else:
+        window_start = F.col("w.start").alias("window_start")
     agg = (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -154,7 +164,7 @@ def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            window_start,
             "event_type",
             "n_events",
             "total_value",
