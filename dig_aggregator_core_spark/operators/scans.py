@@ -231,3 +231,110 @@ def join_cross_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
     nation = load(spark, sf_dir, "nation").select(F.col("n_name").alias("nation"))
     return region.crossJoin(F.broadcast(nation))
+
+
+@query(
+    "sink_compacted_write",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 4) AS total_qty,
+           TRUE AS files_ok
+    FROM lineitem
+    """,
+)
+def sink_compacted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction sink: rewrite a table into range-partitioned
+    parquet with a bounded per-file record count, then prove the layout
+    from the read-back side (`input_file_name` distinct count inside the
+    expected band) alongside content equality.
+
+    The small-files problem is THE operational failure mode of long-lived
+    100 TB ingest: thousands of tiny appended files destroy scan
+    throughput (per-file open cost) and executor memory (footer caching).
+    The fix shape is exactly this — `repartitionByRange` on the sort key
+    (clusters + keeps min/max parquet stats tight for data skipping) plus
+    `maxRecordsPerFile` as the hard upper bound so one skewed range can't
+    produce a monster file. 4 range buckets x ~2 files each here; at real
+    scale the bucket count is sized so each file lands near the HDFS/S3
+    sweet spot (~128-512 MB), and the same two knobs are the whole story.
+    """
+    path = _scratch("lineitem_compacted")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    n_rows = li.count()  # metadata-cheap at any scale (parquet row counts)
+    per_file = max(1, -(-n_rows // 8))  # ceil: ~8 files total target
+    (
+        li.repartitionByRange(4, "l_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", per_file)
+        .parquet(path)
+    )
+    # non-deterministic exprs can't sit inside an aggregate — project the
+    # file name as a plain column first
+    back = spark.read.parquet(path).withColumn(
+        "fname", F.expr("input_file_name()")
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        # range partitioner boundaries come from sampling, so the exact
+        # file count may wobble by a file or two around 8 — the band
+        # still catches both failure modes (1 giant file / per-row files)
+        F.count_distinct("fname").between(4, 12).alias("files_ok"),
+    )
+
+
+def _morton16(x: str, y: str) -> str:
+    """SQL for a 16-bit Morton (z-order) code interleaving two 8-bit
+    bucket ids — identical text works in Spark SQL and DuckDB, so the
+    oracle shares it verbatim."""
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_EXPR = _morton16("(l_orderkey % 256)", "(l_partkey % 256)")
+
+_ZORDER_ORACLE = f"""
+SELECT CAST({_Z_EXPR} AS BIGINT) AS zkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(l_orderkey % 256) AS BIGINT) AS min_x,
+       CAST(MAX(l_partkey % 256) AS BIGINT) AS max_y
+FROM lineitem
+WHERE (l_orderkey % 256) < 16 AND (l_partkey % 256) < 16
+GROUP BY 1
+"""
+
+
+@query("layout_zorder_key", oracle=_ZORDER_ORACLE)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two bucket
+    ids so points close in BOTH dimensions get close key values. Sorting
+    or range-partitioning the table by this key keeps parquet min/max
+    stats tight in both columns at once, so a 2-D box predicate prunes
+    row groups on either column — single-column sort only ever prunes one.
+    The query groups a 16x16 query box by zkey: every group's rows share
+    one interleaved key, which the shared-SQL oracle pins bit-for-bit.
+
+    Pure integer bit arithmetic (shift/and/or) — whole-stage codegen, no
+    UDF; compose with sink_compacted_write's repartitionByRange(zkey) for
+    the full write path. 8 bits/dim is the sweet spot for 256-file
+    layouts; widen to 16 bits/dim for finer clustering the same way.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("x", F.expr("l_orderkey % 256"))
+        .withColumn("y", F.expr("l_partkey % 256"))
+        .filter((F.col("x") < 16) & (F.col("y") < 16))
+        .groupBy(
+            F.expr(_morton16("x", "y")).cast("bigint").alias("zkey")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+    )

@@ -378,3 +378,65 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("dist"),
         )
     )
+
+
+_PPLX_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lower(substr(text, 1, 512)) AS s FROM documents
+  WHERE length(text) >= 2
+),
+bg AS (
+  SELECT doc_id, substr(s, CAST(i AS INT), 2) AS b
+  FROM t, LATERAL unnest(range(1, length(s))) AS u(i)
+),
+model AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS c FROM bg GROUP BY b),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM model)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-ln(c / n)), 4) AS nll
+FROM bg JOIN model USING (b) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@query("text_perplexity_proxy", oracle=_PPLX_ORACLE)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score WITHOUT a language model: train a
+    char-bigram unigram-of-bigrams model on the corpus itself (one
+    aggregation), then score each document by the mean negative
+    log-likelihood of its bigrams under that model. Gibberish / binary
+    junk / wrong-language text scores high nll exactly as under a real
+    LM-based quality filter, so this is the standing stand-in the
+    pipeline ships before a model is available (and the columns it emits
+    are the ones an LM scorer would later overwrite).
+
+    Shapes: bigrams explode per doc (bounded at 512 chars so a 1 GB
+    outlier document can't skew a partition); the model is a groupBy the
+    size of the CHARSET^2 vocabulary (tiny), broadcast back onto the
+    exploded bigrams; one final groupBy(doc_id) reduces to a score. At
+    100 TB: two shuffles of 2-byte tokens + a broadcast — no Python, no
+    model file, fully incremental (the model agg merges across corpus
+    shards).
+    """
+    t = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 2)
+        .select("doc_id", F.lower(F.substring("text", 1, 512)).alias("s"))
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")
+        ).alias("b"),
+    )
+    model = bg.groupBy("b").agg(F.count("*").cast("double").alias("c"))
+    tot = model.agg(F.sum("c").alias("n"))
+    return (
+        bg.join(F.broadcast(model), "b")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("nll"),
+        )
+    )

@@ -127,3 +127,146 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("custkey", F.explode(versions).alias("r")).select(
         "custkey", "r.acctbal", "r.valid_from", "r.valid_to", "r.is_current"
     )
+
+
+_DIFF_ORACLE = f"""
+WITH base AS (
+  SELECT c_custkey AS custkey, ROUND(c_acctbal, 4) AS bal FROM customer
+),
+new_snap AS (
+  SELECT custkey, ROUND(bal * 1.05, 4) AS bal FROM base
+  WHERE custkey % 7 = 0 AND custkey % 11 <> 0
+  UNION ALL
+  SELECT custkey, bal FROM base
+  WHERE custkey % 7 <> 0 AND custkey % 11 <> 0
+  UNION ALL
+  SELECT custkey + {NEW_KEY_OFFSET}, bal FROM base WHERE custkey % 13 = 0
+),
+j AS (
+  SELECT COALESCE(b.custkey, n.custkey) AS custkey, b.bal AS old_bal,
+         n.bal AS new_bal, b.custkey IS NOT NULL AS in_base,
+         n.custkey IS NOT NULL AS in_new
+  FROM base b FULL OUTER JOIN new_snap n ON b.custkey = n.custkey
+)
+SELECT custkey,
+       CASE WHEN NOT in_base THEN 'insert'
+            WHEN NOT in_new THEN 'delete'
+            ELSE 'update' END AS change_type,
+       old_bal, new_bal
+FROM j
+WHERE NOT in_base OR NOT in_new OR old_bal <> new_bal
+"""
+
+
+@query("snapshot_diff", oracle=_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC extraction: given two versions of a table,
+    emit the change stream (insert / delete / update rows with old and
+    new values), the building block for incremental downstream refresh
+    when the source can't produce a changelog itself. The reference's
+    incremental model diffs catalog timestamps to find *stale objects*
+    (Stage.scala:249-266); this is the same delta algebra applied at row
+    granularity.
+
+    The fixture derives the new snapshot from customer: custkey%11 rows
+    deleted, surviving custkey%7 rows get bal*1.05, custkey%13 rows also
+    insert under a shifted key. Unchanged rows are filtered out AFTER the
+    join, so the diff is one full-outer sort-merge join on the key — both
+    sides shuffle once, no window, no driver state; at 100 TB the two
+    snapshots co-partition on the key and unchanged rows never leave the
+    joined partition.
+    """
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal"), 4).alias("bal"),
+    )
+    survivors = base.filter(F.col("custkey") % 11 != 0)
+    new_snap = (
+        survivors.filter(F.col("custkey") % 7 == 0)
+        .select("custkey", F.round(F.col("bal") * 1.05, 4).alias("bal"))
+        .unionByName(survivors.filter(F.col("custkey") % 7 != 0))
+        .unionByName(
+            base.filter(F.col("custkey") % 13 == 0).select(
+                (F.col("custkey") + NEW_KEY_OFFSET).alias("custkey"), "bal"
+            )
+        )
+    )
+    j = (
+        base.select("custkey", F.col("bal").alias("old_bal"))
+        .withColumn("in_base", F.lit(True))
+        .join(
+            new_snap.select("custkey", F.col("bal").alias("new_bal"))
+            .withColumn("in_new", F.lit(True)),
+            "custkey",
+            "full_outer",
+        )
+        .select(
+            "custkey",
+            "old_bal",
+            "new_bal",
+            F.coalesce("in_base", F.lit(False)).alias("in_base"),
+            F.coalesce("in_new", F.lit(False)).alias("in_new"),
+        )
+    )
+    return j.filter(
+        ~F.col("in_base") | ~F.col("in_new") | (F.col("old_bal") != F.col("new_bal"))
+    ).select(
+        "custkey",
+        F.when(~F.col("in_base"), F.lit("insert"))
+        .when(~F.col("in_new"), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        "old_bal",
+        "new_bal",
+    )
+
+
+_PROFILE_COLS = ("o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN(TRY_CAST({c} AS DOUBLE)) AS DOUBLE) AS min_num,
+           CAST(MAX(TRY_CAST({c} AS DOUBLE)) AS DOUBLE) AS max_num
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@query("table_profile", oracle=_PROFILE_ORACLE)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE TABLE / data-quality-report shape):
+    one output row per profiled column with row count, null count,
+    distinct count, and numeric min/max (null for non-castable strings).
+
+    All columns profile in ONE scan: the per-column aggregates compute in
+    a single agg (Catalyst plans multiple COUNT(DISTINCT)s via a single
+    Expand — still one pass over the data), and the wide result row is
+    unpivoted driver-free with stack(). At 100 TB swap COUNT(DISTINCT)
+    for approx_count_distinct and the same plan holds with no Expand
+    blowup; exact is kept here because the oracle must match bit-for-bit.
+    """
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.expr(f"try_cast({c} AS DOUBLE)")).alias(f"{c}__min"),
+            F.max(F.expr(f"try_cast({c} AS DOUBLE)")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n_rows, n_null, n_distinct, min_num, max_num)"
+        )
+    )

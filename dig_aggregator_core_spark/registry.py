@@ -139,6 +139,12 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "feature_winsorized_stats",
         "pii_redact",
         "url_domain_blocklist",
+        # added mid-round-3 after the queue was frozen at 50:
+        "snapshot_diff",
+        "table_profile",
+        "sink_compacted_write",
+        "layout_zorder_key",
+        "text_perplexity_proxy",
     }
 )
 
