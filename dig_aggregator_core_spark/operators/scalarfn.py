@@ -291,3 +291,39 @@ def fn_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("bigint")
         .alias("parsed"),
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data via the VARIANT type (Spark 4): `parse_json`
+    once into a binary-encoded variant, then typed `variant_get` path
+    extraction — schema-on-read without a fixed struct schema, the
+    modern replacement for repeated `get_json_object` string re-parsing.
+
+    At scale this is the difference between parsing the JSON text N
+    times (once per extracted path) and once total: the variant encodes
+    to a compact binary tree, and every `variant_get` is a pointer walk.
+    Catalyst also prunes unused variant paths during parquet
+    read/shuffle (variant shredding). The oracle is DuckDB's own JSON
+    path extraction over the same column.
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json("props")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("variant_get(v, '$.k', 'bigint')")).alias("sum_k"),
+        F.max(F.expr("variant_get(v, '$.k', 'bigint')")).alias("max_k"),
+    )

@@ -251,3 +251,49 @@ def mapinarrow_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(
         norm_batches, schema="vec_id bigint, l2_norm double, dim int"
     )
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id, string_split(text, '. ') AS parts FROM documents
+      WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx,
+           parts[CAST(i AS INT)] AS sentence,
+           CAST(length(parts[CAST(i AS INT)]) AS INT) AS n_chars
+    FROM sp, LATERAL unnest(range(1, len(parts) + 1)) AS u(i)
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5+ `@udtf`): one input
+    row expands to N output rows through a lateral join — the API for
+    Python logic whose output cardinality varies per row (sentence/
+    passage splitting, chunking for context windows), where a scalar UDF
+    can't change row count and explode() alone can't run Python.
+
+    The splitter itself is deliberately trivial (the native-expression
+    twin is text ops' split/explode); what this registers is the UDTF
+    machinery: per-partition Python workers streaming Arrow batches
+    through a generator, composed LATERAL with the scan — no collect, no
+    shuffle, embarrassingly parallel. Real sentence segmenters (spaCy,
+    pysbd) drop into eval() unchanged.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, part in enumerate(text.split(". ")):
+                yield i, part, len(part)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    docs.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        "SELECT d.doc_id, t.sent_idx, t.sentence, t.n_chars "
+        "FROM udtf_docs_in d, LATERAL sentence_split(d.text) t"
+    )

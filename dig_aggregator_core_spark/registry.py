@@ -145,6 +145,8 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "sink_compacted_write",
         "layout_zorder_key",
         "text_perplexity_proxy",
+        "fn_variant_json",
+        "udtf_sentence_split",
     }
 )
 
