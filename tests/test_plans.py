@@ -122,3 +122,38 @@ def test_registry_ordering_is_a_permutation(spark, sf_dir):
     # when refreshing them each round)
     assert registry._VERIFIED_PRIOR_ROUNDS <= set(registry.QUERIES)
     assert registry._DEFER_TO_NEXT_ROUND <= set(registry.QUERIES)
+
+
+def n_scans(plan: str) -> int:
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    plan = plan_of("table_profile", spark, sf_dir)
+    # all columns profile in ONE pass: one scan + Expand for the
+    # multi-COUNT(DISTINCT), never one scan per column
+    assert n_scans(plan) == 1
+    assert "Expand" in plan
+
+
+def test_snapshot_diff_copartitioned_full_outer(spark, sf_dir):
+    plan = plan_of("snapshot_diff", spark, sf_dir)
+    assert "FullOuter" in plan and "SortMergeJoin" in plan
+    # both sides shuffle once on the key; no extra exchange after the join
+    assert n_shuffles(plan) == 2
+
+
+def test_perplexity_model_broadcasts(spark, sf_dir):
+    plan = plan_of("text_perplexity_proxy", spark, sf_dir)
+    # the bigram model is vocabulary-sized — it must broadcast back onto
+    # the exploded corpus, never sort-merge it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["layout_zorder_key", "fn_variant_json"])
+def test_new_fns_stay_jvm_side(name, spark, sf_dir):
+    plan = plan_of(name, spark, sf_dir)
+    # pure column expressions: one aggregation shuffle, no Python workers
+    assert n_shuffles(plan) == 1
+    assert "Python" not in plan
