@@ -693,3 +693,126 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("component"),
         )
     )
+
+
+_SUBSTR_W, _SUBSTR_S = 64, 32  # span window / stride (chars)
+
+_SUBSTR_ORACLE = f"""
+WITH spans AS (
+  SELECT doc_id, md5(substr(text, CAST(i AS INT), {_SUBSTR_W})) AS span_md5
+  FROM documents,
+       LATERAL unnest(range(1, length(text) - {_SUBSTR_W} + 2, {_SUBSTR_S}))
+         AS u(i)
+  WHERE length(text) >= {_SUBSTR_W}
+)
+SELECT span_md5,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM spans
+GROUP BY span_md5
+HAVING COUNT(DISTINCT doc_id) > 1
+"""
+
+
+@query("dedup_exact_substring", oracle=_SUBSTR_ORACLE)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level EXACT duplicate detection — the memorization-removal
+    shape: fixed windows (w=64 chars, stride 32) hashed per document,
+    grouped across the corpus; any span occurring in 2+ distinct
+    documents is a verbatim cross-document repeat (boilerplate, license
+    headers, templated text) that doc-level near-dup ops structurally
+    miss. This is the groupBy-able core of suffix-array training-data
+    dedup: strided fixed windows trade the suffix array's
+    arbitrary-boundary guarantee for a pure shuffle-on-digest plan, and
+    any duplicated run >= w+s chars still lands some shared window.
+
+    Scale: the only shuffle carries (digest, doc_id) pairs — ~2x the
+    text volume at s=w/2, independent of document size; the group agg is
+    partial-merged map-side. The fixture groups by md5 so DuckDB mirrors
+    it exactly; at 100 TB swap in xxhash64 (8-byte keys) — the plan is
+    unchanged.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= _SUBSTR_W
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_SUBSTR_W} + 1, "
+                f"{_SUBSTR_S}), i -> md5(substring(text, i, {_SUBSTR_W})))"
+            )
+        ).alias("span_md5"),
+    )
+    return (
+        spans.groupBy("span_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_LEDGER_ORACLE = """
+WITH committed AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS digest FROM documents
+  WHERE CAST(substr(source, 4) AS INT) < 10
+),
+batch AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS digest FROM documents
+  WHERE CAST(substr(source, 4) AS INT) >= 10
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN c.digest IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(MIN(CASE WHEN c.digest IS NULL THEN doc_id END) AS BIGINT)
+         AS first_new_doc
+FROM batch b LEFT JOIN committed c ON b.digest = c.digest
+GROUP BY b.source
+"""
+
+
+@query("dedup_incremental_ledger", oracle=_LEDGER_ORACLE)
+def dedup_incremental_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a committed-digest ledger — the dedup
+    twin of the reference's delta algebra (Stage.scala:249-266 drops
+    already-processed inputs by anti-joining the run ledger; here a new
+    document batch anti-joins the digest ledger of everything already
+    committed). This is how dedup stays O(batch) per ingest instead of
+    O(corpus) re-clustering: only never-seen digests proceed.
+
+    The fixture splits documents on source id (src0-9 committed,
+    src10-19 incoming). The ledger side reduces to DISTINCT digests
+    before the join, so the join key set is one 16-byte row per unique
+    committed document; at 100 TB the ledger is a bucketed table on
+    digest and each ingest batch shuffles only itself. LEFT join + NULL
+    test (not LEFT ANTI) because the report wants both kept and dropped
+    counts per source in one pass.
+    """
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "digest", F.md5(F.lower(F.trim("text")))
+    ).withColumn(
+        "src_num", F.expr("CAST(substring(source, 4) AS INT)")
+    )
+    committed = (
+        docs.filter(F.col("src_num") < 10).select("digest").distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    batch = docs.filter(F.col("src_num") >= 10)
+    return (
+        batch.join(committed, "digest", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_batch"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.min(F.when(F.col("seen").isNull(), F.col("doc_id"))).alias(
+                "first_new_doc"
+            ),
+        )
+    )

@@ -147,6 +147,8 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "text_perplexity_proxy",
         "fn_variant_json",
         "udtf_sentence_split",
+        "dedup_exact_substring",
+        "dedup_incremental_ledger",
     }
 )
 
