@@ -149,6 +149,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "udtf_sentence_split",
         "dedup_exact_substring",
         "dedup_incremental_ledger",
+        "stream_session_availablenow",
     }
 )
 

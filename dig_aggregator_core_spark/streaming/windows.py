@@ -81,9 +81,7 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "session_window",
-    oracle="""
+_SESSION_ORACLE = """
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
@@ -101,8 +99,10 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(ts) + INTERVAL 2 HOUR AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM numbered GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@query("session_window", oracle=_SESSION_ORACLE)
 def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 2-hour inactivity gap per user. Spark's native
     session_window; the oracle is the equivalent gaps-and-islands SQL
@@ -186,4 +186,62 @@ def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert batch.schema is not None  # loader exercised for schema parity
+    return spark.table(sink)
+
+
+@query("stream_session_availablenow", oracle=_SESSION_ORACLE)
+def stream_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a REAL Structured Streaming query: the state
+    store merges adjacent per-user sessions as micro-batches arrive, the
+    exact capability batch gaps-and-islands can't do incrementally (a
+    late event can fuse two existing sessions — the session-window state
+    format handles the merge; a batch rewrite would recompute the user's
+    whole history). Same 2-hour gap and the same gaps-and-islands oracle
+    as the batch twin, so run-to-idle (AvailableNow) parity is pinned.
+
+    Scale: session state partitions by user_id across the state store;
+    the watermark bounds how long an open session can wait for a closing
+    event. Complete output mode here because the fixture replays a
+    finite file; continuous deployments use append + watermark eviction.
+    """
+    sink = f"stream_session_sink_{next(_stream_counter)}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        ts_type = "timestamp"
+    if ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", ntz_as_utc_instant("ts"))
+        s_start = instant_as_ntz("w.start").alias("session_start")
+        s_end = instant_as_ntz("w.end").alias("session_end")
+    else:
+        s_start = F.col("w.start").alias("session_start")
+        s_end = F.col("w.end").alias("session_end")
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy("user_id", F.session_window("ts", "2 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", s_start, s_end, "n_events")
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     return spark.table(sink)
