@@ -56,6 +56,12 @@ HEADLINE = [
     "quantize_embeddings",
     "decontam_ngram_overlap",
     "text_repetition_metrics",
+    # late-r3 additions: span-level dedup, corpus-LM quality scoring, and
+    # the warehouse CDC/profiling pair
+    "dedup_exact_substring",
+    "text_perplexity_proxy",
+    "snapshot_diff",
+    "table_profile",
 ]
 
 

@@ -418,9 +418,15 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     model file, fully incremental (the model agg merges across corpus
     shards).
     """
+    docs = load(spark, sf_dir, "documents")
+    # bigram generation + scoring are CPU-bound narrow maps over an
+    # explode; a 1-2-partition scan would serialize them (dedup._corpus
+    # has the same guard). At scale the input splits already parallelize.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     t = (
-        load(spark, sf_dir, "documents")
-        .filter(F.length("text") >= 2)
+        docs.filter(F.length("text") >= 2)
         .select("doc_id", F.lower(F.substring("text", 1, 512)).alias("s"))
     )
     bg = t.select(

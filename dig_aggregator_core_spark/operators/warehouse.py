@@ -249,7 +249,11 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for approx_count_distinct and the same plan holds with no Expand
     blowup; exact is kept here because the oracle must match bit-for-bit.
     """
-    o = load(spark, sf_dir, "orders")
+    # measured: repartitioning the narrow projection before the Expand
+    # costs more than the parallelism it buys (the partial aggs collapse
+    # to vocabulary-sized state immediately) — unlike the explode ops,
+    # profile stays scan-partitioned.
+    o = load(spark, sf_dir, "orders").select(*_PROFILE_COLS)
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
