@@ -150,6 +150,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "dedup_exact_substring",
         "dedup_incremental_ledger",
         "stream_session_availablenow",
+        "stream_sliding_availablenow",
     }
 )
 

@@ -52,9 +52,7 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sliding_window",
-    oracle="""
+_SLIDING_ORACLE = """
     WITH starts AS (
       SELECT event_id, value,
              unnest([time_bucket(INTERVAL 12 HOUR, ts),
@@ -65,8 +63,10 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(value), 6) AS total_value
     FROM starts GROUP BY window_start
-    """,
-)
+    """
+
+
+@query("sliding_window", oracle=_SLIDING_ORACLE)
 def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows: 1-day length, 12-hour slide — every event lands in
     exactly two windows (the oracle materializes both bucket starts)."""
@@ -123,17 +123,15 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _stream_counter = itertools.count()
 
 
-@query("stream_tumbling_availablenow", oracle=_TUMBLING_ORACLE)
-def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The tumbling-window agg executed as a REAL Structured Streaming query:
-    file source -> event-time window agg -> memory sink, with
-    Trigger.AvailableNow (run-to-idle, the reference's batch-incremental
-    semantics — SURVEY.md §2.9). The result must equal the batch oracle.
+def _events_stream_ntz(spark: SparkSession, sf_dir: str):
+    """File-source stream over events.parquet plus the event-time embed.
+
+    Returns (stream, to_ntz) where to_ntz(col, alias) converts an emitted
+    TIMESTAMP window bound back to the oracle's naive domain (identity
+    when the source ts already is TIMESTAMP). Watermarks reject
+    TIMESTAMP_NTZ, so a naive ts is embedded as a UTC instant — tz-proof
+    both ways (tables.ntz_as_utc_instant / instant_as_ntz).
     """
-    # file streaming source needs an explicit schema; reuse the batch loader
-    # (which also handles the nanos-timestamp conversion) to derive it.
-    batch = load(spark, sf_dir, "events")
-    sink = f"stream_tumbling_sink_{next(_stream_counter)}"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source requires a directory; select just events.parquet
@@ -148,30 +146,21 @@ def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
         ts_type = "timestamp"
-    # watermarks reject TIMESTAMP_NTZ — embed the naive value as a UTC
-    # instant (tz-proof) and invert it on the emitted window bound so the
-    # result still compares against the naive batch oracle.
     if ts_type == "timestamp_ntz":
         stream = stream.withColumn("ts", ntz_as_utc_instant("ts"))
-        window_start = instant_as_ntz("w.start").alias("window_start")
+        to_ntz = lambda col, alias: instant_as_ntz(col).alias(alias)  # noqa: E731
     else:
-        window_start = F.col("w.start").alias("window_start")
-    agg = (
-        stream.withWatermark("ts", "1 day")
-        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-        )
-        .select(
-            window_start,
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
-    # first micro-batch pins state partitioning into the checkpoint — size
-    # it to state volume (tiny here), not the 200-partition default
+        to_ntz = lambda col, alias: F.col(col).alias(alias)  # noqa: E731
+    return stream, to_ntz
+
+
+def _run_complete(agg) -> DataFrame:
+    """Run a windowed streaming agg to idle (AvailableNow) into a memory
+    sink and return the sink table. The first micro-batch pins state
+    partitioning into the checkpoint — size it to state volume (tiny
+    here), not the 200-partition default."""
+    spark = agg.sparkSession
+    sink = f"stream_window_sink_{next(_stream_counter)}"
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
@@ -185,8 +174,52 @@ def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    assert batch.schema is not None  # loader exercised for schema parity
     return spark.table(sink)
+
+
+@query("stream_tumbling_availablenow", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window agg executed as a REAL Structured Streaming query:
+    file source -> event-time window agg -> memory sink, with
+    Trigger.AvailableNow (run-to-idle, the reference's batch-incremental
+    semantics — SURVEY.md §2.9). The result must equal the batch oracle.
+    """
+    stream, to_ntz = _events_stream_ntz(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            to_ntz("w.start", "window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_complete(agg)
+
+
+@query("stream_sliding_availablenow", oracle=_SLIDING_ORACLE)
+def stream_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window agg (1-day windows, 12-hour slide) as a real
+    streaming query: every event updates TWO window states, and the state
+    store carries both until their watermark closes — the overlap
+    bookkeeping a batch rewrite re-derives from scratch per run. Same
+    oracle as the batch twin (run-to-idle parity)."""
+    stream, to_ntz = _events_stream_ntz(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(to_ntz("w.start", "window_start"), "n_events", "total_value")
+    )
+    return _run_complete(agg)
 
 
 @query("stream_session_availablenow", oracle=_SESSION_ORACLE)
@@ -204,44 +237,16 @@ def stream_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     event. Complete output mode here because the fixture replays a
     finite file; continuous deployments use append + watermark eviction.
     """
-    sink = f"stream_session_sink_{next(_stream_counter)}"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-        ts_type = "timestamp"
-    if ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", ntz_as_utc_instant("ts"))
-        s_start = instant_as_ntz("w.start").alias("session_start")
-        s_end = instant_as_ntz("w.end").alias("session_end")
-    else:
-        s_start = F.col("w.start").alias("session_start")
-        s_end = F.col("w.end").alias("session_end")
+    stream, to_ntz = _events_stream_ntz(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 day")
         .groupBy("user_id", F.session_window("ts", "2 hours").alias("w"))
         .agg(F.count("*").alias("n_events"))
-        .select("user_id", s_start, s_end, "n_events")
-    )
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
+        .select(
+            "user_id",
+            to_ntz("w.start", "session_start"),
+            to_ntz("w.end", "session_end"),
+            "n_events",
         )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
-    return spark.table(sink)
+    )
+    return _run_complete(agg)
