@@ -19,6 +19,7 @@ round-trip faithful.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -337,4 +338,63 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("x").cast("bigint").alias("min_x"),
             F.max("y").cast("bigint").alias("max_y"),
         )
+    )
+
+
+_BINARYFILE_ORACLE = """
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+       CAST(size AS BIGINT) AS n_bytes,
+       md5(decode(content)) AS content_md5
+FROM read_blob('{scratch}/*.bin')
+"""
+
+
+@query(
+    "scan_binaryfile_ingest",
+    oracle=_BINARYFILE_ORACLE.format(scratch=_scratch("binary_assets")),
+)
+def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-asset ingest via the `binaryFile` source: each file becomes one
+    row (path, modificationTime, length, content) — the entry point for
+    multimodal corpora (images/audio/video land as whole-file blobs and
+    flow into the mapInPandas decode ops, operators/multimodal.py). The
+    scan never parses content JVM-side: column pruning means a
+    metadata-only query (paths + sizes) reads no bytes at all, and
+    `pathGlobFilter` prunes by extension before any read.
+
+    The fixture derives deterministic .bin files from the documents
+    table, scans them back, and emits per-file name/size/md5. Oracle
+    (see oracle_for): DuckDB's read_blob over the same files — a true
+    second engine reading the same raw bytes.
+
+    Scale: one row per file caps at `maxPartitionBytes` per task;
+    binaryFile is for whole-file assets (the 100 TB video case shards
+    fine — files are the natural unit); for many tiny files, compact
+    into parquet binary columns first (mm_binary_meta).
+    """
+    path = _scratch("binary_assets")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    # re-entrant: clear stale assets from a previous (different-SF) run —
+    # the scan reads the whole directory, so leftovers would change rows
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    # write one .bin per doc driver-side: fixture-scale setup only (the
+    # SCAN under test is the distributed part); real corpora already
+    # exist as files.
+    for r in docs.collect():
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(bytes(r["payload"]))
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return scanned.select(
+        F.regexp_extract(F.col("path"), "([^/]+)$", 1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
     )

@@ -151,6 +151,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "dedup_incremental_ledger",
         "stream_session_availablenow",
         "stream_sliding_availablenow",
+        "scan_binaryfile_ingest",
     }
 )
 
