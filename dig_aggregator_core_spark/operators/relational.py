@@ -501,3 +501,75 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+_CAMPAIGNS = (
+    ("launch", "1995-03-10", "1995-11-02"),
+    ("steady", "1996-01-01", "1998-06-15"),
+    ("overlap_promo", "1997-09-01", "1999-02-28"),
+    ("winddown", "1999-02-28", "2001-05-05"),
+    ("flash", "2000-12-24", "2001-01-07"),
+)
+
+_CAMPAIGN_VALUES = ", ".join(
+    f"('{c}', DATE '{lo}', DATE '{hi}')" for c, lo, hi in _CAMPAIGNS
+)
+
+_INTERVAL_ORACLE = f"""
+WITH campaigns(camp, lo, hi) AS (VALUES {_CAMPAIGN_VALUES})
+SELECT camp, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM orders JOIN campaigns
+  ON o_orderdate >= lo AND o_orderdate < hi
+GROUP BY camp
+"""
+
+
+@query("join_interval_bucketed", oracle=_INTERVAL_ORACLE)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key (facts matched to
+    arbitrary, overlapping validity windows — campaign attribution, IP
+    ranges, versioned calendars), via the bucketing rewrite: each
+    interval explodes to the coarse time buckets it covers, facts compute
+    their bucket, and the join becomes bucket-EQUALITY plus a residual
+    range filter. Catalyst gets a hash join where the naive formulation
+    is a nested loop — this is the scale path when the interval side is
+    too big to broadcast (range_join_bands covers the broadcastable
+    case). Cost scales with intervals x buckets-spanned, not facts x
+    intervals; bucket width tunes that trade (months here).
+
+    Overlapping intervals are handled naturally: a fact matches once per
+    covering interval. The oracle pins semantics with the plain theta
+    join DuckDB can afford at fixture scale.
+    """
+    camps = spark.createDataFrame(
+        [(c, lo, hi) for c, lo, hi in _CAMPAIGNS],
+        "camp string, lo_s string, hi_s string",
+    ).select(
+        "camp",
+        F.to_date("lo_s").alias("lo"),
+        F.to_date("hi_s").alias("hi"),
+    )
+    # explode each interval to its covered month buckets; hi is exclusive
+    # but trunc(hi) is still a candidate bucket when hi isn't month-aligned
+    bucketed = camps.select(
+        "camp",
+        "lo",
+        "hi",
+        F.explode(
+            F.expr("sequence(trunc(lo, 'MM'), trunc(hi, 'MM'), interval 1 month)")
+        ).alias("m"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("od"), "o_totalprice"
+    )
+    return (
+        orders.withColumn("m", F.trunc("od", "MM"))
+        .join(bucketed, "m")
+        .filter((F.col("od") >= F.col("lo")) & (F.col("od") < F.col("hi")))
+        .groupBy("camp")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )

@@ -152,6 +152,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "stream_session_availablenow",
         "stream_sliding_availablenow",
         "scan_binaryfile_ingest",
+        "join_interval_bucketed",
     }
 )
 
