@@ -9,7 +9,7 @@ low-to-mid cardinality keys so the exchange is small relative to the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -493,4 +493,91 @@ def percentile_approx_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("_approx") <= F.col("_hi"))
             ).alias("within_bound"),
         )
+    )
+
+
+_SKEW_ORACLE = """
+WITH per_key AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total, CAST(MAX(n) AS BIGINT) AS max_n FROM per_key)
+SELECT key, n, ROUND(n / total, 6) AS share
+FROM per_key, tot
+WHERE n = max_n OR n >= 30
+ORDER BY n DESC, key
+LIMIT 20
+"""
+
+
+@query("skew_diagnose_keys", oracle=_SKEW_ORACLE)
+def skew_diagnose_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic: per-key cardinality profile of a join/agg
+    key, emitting the heaviest keys with their share of total rows — the
+    measurement that decides WHERE salting (join_salted_skew) or AQE
+    skew-splitting is needed before a 100 TB shuffle, instead of
+    discovering the straggler task in the Spark UI afterwards.
+
+    One groupBy on the key (the exact shuffle being diagnosed, but
+    reduced map-side to one row per key), a scalar total, and a top-k:
+    TakeOrderedAndProject, no global sort. The threshold predicate (max
+    key always included) keeps the report non-empty on uniform data.
+    """
+    per_key = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per_key.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.max("n").alias("max_n"),
+    )
+    return (
+        per_key.join(F.broadcast(tot))
+        .filter((F.col("n") == F.col("max_n")) | (F.col("n") >= 30))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(20)
+    )
+
+
+_MODE_ORACLE = """
+WITH counted AS (
+  SELECT l_returnflag AS flag, l_shipmode_proxy AS mode_val, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, l_shipmode_proxy) AS rk
+  FROM (
+    SELECT l_returnflag, l_linestatus AS l_shipmode_proxy,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+  )
+)
+SELECT flag, mode_val, n FROM counted WHERE rk = 1
+"""
+
+
+@query("agg_mode_per_group", oracle=_MODE_ORACLE)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent value, deterministic
+    smallest-value tie-break) via count-then-rank: two map-side-combined
+    aggregations and a WindowGroupLimit-prunable rank — the
+    distributed-safe form of MODE() that never materializes a per-group
+    value list (collect_list would OOM on a skewed 100 TB group)."""
+    counted = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("mode_val"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("flag").orderBy(F.desc("n"), "mode_val")
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("flag", "mode_val", "n")
     )

@@ -153,6 +153,8 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "stream_sliding_availablenow",
         "scan_binaryfile_ingest",
         "join_interval_bucketed",
+        "skew_diagnose_keys",
+        "agg_mode_per_group",
     }
 )
 
