@@ -581,3 +581,48 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("flag", "mode_val", "n")
     )
+
+
+@query(
+    "hll_sketch_union_bounded",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_shards,
+           TRUE AS within_bound
+    FROM lineitem
+    """,
+)
+def hll_sketch_union_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch workflow via Datasketches HLL (Spark 3.5+): each
+    shard (returnflag here) builds its OWN binary sketch with
+    `hll_sketch_agg`, and the global cardinality comes from
+    `hll_union_agg` over the per-shard sketches — never re-touching the
+    rows. This is the 100 TB cross-shard distinct story: per-partition /
+    per-day sketches persist as small binary columns (a few KB each), and
+    any rollup (day→month, shard→global) is a union of sketches, not a
+    rescan. `approx_count_distinct` folds the same idea into one pass;
+    this op pins the explicit persist-then-merge algebra.
+
+    Correctness evidence follows the `_bounded` companion pattern: the
+    unioned estimate is asserted within 5x the sketch's relative error of
+    the exact distinct count and folded into a boolean the SQL oracle
+    pins TRUE, alongside exact values — engine-specific estimates never
+    reach the hash comparison.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    shard_sketches = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey", F.lit(14)).alias("sk")
+    )
+    merged = shard_sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+        F.count("*").alias("n_shards"),
+    )
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    return exact.join(merged).select(
+        "exact_orders",
+        "n_shards",
+        (
+            F.abs(F.col("_est") - F.col("exact_orders"))
+            <= F.greatest(F.col("exact_orders") * F.lit(0.05), F.lit(5.0))
+        ).alias("within_bound"),
+    )
