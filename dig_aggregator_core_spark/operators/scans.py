@@ -398,3 +398,74 @@ def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+_PYDS_ROWS, _PYDS_PARTS = 2000, 8
+
+_PYDS_ORACLE = f"""
+SELECT CAST(rid % {_PYDS_PARTS} AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM((rid * 7919 % 1000) / 1000.0), 6) AS total_score
+FROM (SELECT CAST(range AS BIGINT) AS rid FROM range({_PYDS_ROWS}))
+GROUP BY 1
+"""
+
+
+@query("scan_python_datasource", oracle=_PYDS_ORACLE)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python DataSource API (Spark 4): a
+    user-defined source declares its schema, plans its own input
+    partitions, and streams rows per partition on executors — the modern
+    way to wire an in-house system (feature store, crawl frontier,
+    internal queue) into Spark without a JVM connector. The deterministic
+    generator here stands in for the external system; `partitions()` IS
+    the connector's shard enumeration (8 splits → 8 parallel tasks), and
+    the oracle recomputes the generator's closed form.
+
+    Scale: reads parallelize across the planned partitions exactly like
+    any V2 connector; per-partition `read()` is a Python generator
+    batched through Arrow. Pushdown stays Spark-side (filter after scan)
+    unless the source implements it — which is the right default for a
+    first integration.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("rows", "1000"))
+            self.parts = int(options.get("parts", "4"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            shard = partition.value
+            for rid in range(shard, self.n, self.parts):
+                yield rid, shard, (rid * 7919 % 1000) / 1000.0
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synth_shards"
+
+        def schema(self):
+            return "rid bigint, shard int, score double"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    spark.dataSource.register(SynthSource)
+    df = (
+        spark.read.format("synth_shards")
+        .option("rows", str(_PYDS_ROWS))
+        .option("parts", str(_PYDS_PARTS))
+        .load()
+    )
+    return df.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("score"), 6).alias("total_score"),
+    )
