@@ -153,3 +153,52 @@ def window_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_24h"
         ),
     )
+
+
+_EWMA_ORACLE = """
+WITH seq AS (
+  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(vals) AS INT) AS n_events,
+       ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+FROM seq
+"""
+
+
+@query("timeseries_ewma", oracle=_EWMA_ORACLE)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per entity (alpha = 0.3,
+    seeded with the first observation) — the classic smoothed-activity
+    feature. Computed as an exact sequential fold over the entity's
+    time-ordered history (collect + array_sort + aggregate), because the
+    closed-form window rewrite (sum of value/(1-a)^i) overflows double
+    for histories past ~1k events; the fold is numerically stable at any
+    length, and both engines run the identical recurrence (DuckDB
+    list_reduce), so the oracle is exact.
+
+    Scale: one shuffle on the entity key; per-entity history must fit a
+    row (true for bounded per-user event counts — the fixture's shape).
+    For unbounded streams the same recurrence runs incrementally in
+    applyInPandasWithState (stream_stateful_user_stats shows the
+    machinery) with O(1) state per key; ties on ts are broken by value
+    on both engines so the fold order is fully deterministic.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").cast("double").alias("v")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "v"))).alias("pairs")
+    )
+    return per_user.select(
+        "user_id",
+        F.size("pairs").alias("n_events"),
+        F.round(
+            F.expr(
+                "aggregate(slice(pairs, 2, size(pairs) - 1), "
+                "element_at(pairs, 1).v, "
+                "(acc, p) -> 0.3D * p.v + 0.7D * acc)"
+            ),
+            6,
+        ).alias("ewma"),
+    )

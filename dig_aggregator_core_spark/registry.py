@@ -157,6 +157,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "agg_mode_per_group",
         "hll_sketch_union_bounded",
         "scan_python_datasource",
+        "timeseries_ewma",
         # rewritten after r1 evidence (verify-join reorder) — re-verify in r4:
         "dedup_minhash_lsh",
     }
