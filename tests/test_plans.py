@@ -157,3 +157,32 @@ def test_new_fns_stay_jvm_side(name, spark, sf_dir):
     # pure column expressions: one aggregation shuffle, no Python workers
     assert n_shuffles(plan) == 1
     assert "Python" not in plan
+
+
+def test_minhash_verify_broadcasts_candidates(spark, sf_dir):
+    plan = plan_of("dedup_minhash_lsh", spark, sf_dir)
+    # the verify stage must probe the heavy shingle relation with the
+    # broadcast candidate set — a SortMergeJoin here means the shingle
+    # arrays shuffle twice again (the measured 1.98s->1.55s regression)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    plan = plan_of("timeseries_ewma", spark, sf_dir)
+    # collect + fold is one exchange on the entity key, nothing more
+    assert n_shuffles(plan) == 1
+    assert "Python" not in plan
+
+
+def test_interval_bucketed_is_hash_join(spark, sf_dir):
+    plan = plan_of("join_interval_bucketed", spark, sf_dir)
+    # the whole point of the bucket rewrite: an equi hash join, not the
+    # nested loop the raw interval predicate would produce
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_diagnostic_topk_pruned(spark, sf_dir):
+    plan = plan_of("skew_diagnose_keys", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan  # LIMIT k without a global sort
