@@ -136,3 +136,71 @@ def feature_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_clamped"),
     )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3.5 * 1.4826 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MAX(ABS(e.value - m.med) / (1.4826 * d.mad)), 4)
+         AS max_robust_z
+FROM events e JOIN med m USING (event_type) JOIN dev d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@query("feature_mad_outliers", oracle=_MAD_ORACLE)
+def feature_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via MAD (median absolute deviation):
+    robust-z = |x - median| / (1.4826 * MAD), flagged above 3.5 — the
+    standard robust alternative to z-score when the column itself
+    contains the outliers that corrupt mean/stddev (z-score masks its
+    own targets; the median pair does not).
+
+    Three aggregation passes on the same low-cardinality group key
+    (median -> MAD -> flags), each collapsing map-side to one row per
+    group, stats broadcast-joined back between passes — never a window
+    over raw rows. Exact `median` keeps the oracle bit-checkable; at
+    100 TB swap `approx_percentile(0.5)` into both stat passes for one
+    sketch-mergeable pass each, same plan shape.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("median(value)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    dev = with_med.groupBy("event_type").agg(
+        F.expr("median(abs(value - med))").alias("mad")
+    )
+    scale = 1.4826
+    return (
+        with_med.join(F.broadcast(dev), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3.5 * scale * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(
+                F.max(
+                    F.abs(F.col("value") - F.col("med"))
+                    / (scale * F.col("mad"))
+                ),
+                4,
+            ).alias("max_robust_z"),
+        )
+    )

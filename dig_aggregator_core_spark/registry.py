@@ -158,6 +158,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "hll_sketch_union_bounded",
         "scan_python_datasource",
         "timeseries_ewma",
+        "feature_mad_outliers",
         # rewritten after r1 evidence (verify-join reorder) — re-verify in r4:
         "dedup_minhash_lsh",
     }
