@@ -62,6 +62,11 @@ HEADLINE = [
     "text_perplexity_proxy",
     "snapshot_diff",
     "table_profile",
+    "fn_variant_json",
+    "join_interval_bucketed",
+    "hll_sketch_union_bounded",
+    "timeseries_ewma",
+    "feature_mad_outliers",
 ]
 
 
