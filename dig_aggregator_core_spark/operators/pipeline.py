@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, ntz_epoch_us
 
 
 @query(
@@ -92,4 +92,116 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_uniq") / F.col("n_tokens")), 6).alias(
             "avg_ttr"
         ),
+    )
+
+
+_FEATURES_ORACLE = """
+WITH stats AS (
+  SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, MEDIAN(ABS(e.value - s.med)) AS mad
+  FROM events e JOIN stats s USING (event_type) GROUP BY e.event_type
+),
+enriched AS (
+  SELECT e.user_id, e.ts, CAST(e.value AS DOUBLE) AS v,
+         CASE WHEN ABS(e.value - s.med) > 3.5 * 1.4826 * m.mad
+              THEN 1 ELSE 0 END AS is_outlier
+  FROM events e
+  JOIN stats s USING (event_type) JOIN mad m USING (event_type)
+),
+flagged AS (
+  SELECT user_id, v, is_outlier,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                       PARTITION BY user_id ORDER BY ts)
+                   <= 30 * 60 * 1000000
+              THEN 0 ELSE 1 END AS new_session,
+         ts
+  FROM enriched
+),
+per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(v), 4) AS total_value,
+         CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+         CAST(SUM(is_outlier) AS BIGINT) AS n_outliers,
+         list(v ORDER BY ts, v) AS vals
+  FROM flagged GROUP BY user_id
+)
+SELECT user_id, n_events, total_value, n_sessions, n_outliers,
+       ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+FROM per_user
+"""
+
+
+@query("pipeline_user_features", oracle=_FEATURES_ORACLE)
+def pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-entity feature-engineering pipeline — the event-side
+    sibling of ``pipeline_corpus_curation``: robust-outlier flagging
+    (median/MAD per event_type), sessionization (30-min gap), and the
+    EWMA smoothed-activity feature, emitted as one feature row per user
+    in ONE declarative plan.
+
+    The plan shape is the point: the tiny per-event_type stats aggregate
+    twice and broadcast back onto the event scan (map-side enrich); the
+    session lag-window and the final groupBy share the SAME user_id
+    partitioning, so the whole per-user stage is one shuffle. Catalyst
+    sees the entire chain — no materialization barriers between the
+    "operators" being composed. At 100 TB: stats are group-count-sized,
+    events shuffle exactly once.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", F.col("value").cast("double").alias("v")
+    )
+    stats = ev.groupBy("event_type").agg(F.expr("median(v)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("median(abs(v - med))").alias("mad"))
+    )
+    enriched = (
+        ev.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "user_id",
+            "ts",
+            "v",
+            F.when(
+                F.abs(F.col("v") - F.col("med"))
+                > 3.5 * 1.4826 * F.col("mad"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_outlier"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = ntz_epoch_us("ts")  # tz-proof naive-epoch micros (tables.py)
+    gap = us - F.lag(us).over(w)
+    flagged = enriched.withColumn(
+        "new_session",
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)),
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("v"), 4).alias("total_value"),
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.sum("is_outlier").cast("bigint").alias("n_outliers"),
+        F.array_sort(F.collect_list(F.struct("ts", "v"))).alias("pairs"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        "n_sessions",
+        "n_outliers",
+        F.round(
+            F.expr(
+                "aggregate(slice(pairs, 2, size(pairs) - 1), "
+                "element_at(pairs, 1).v, "
+                "(acc, p) -> 0.3D * p.v + 0.7D * acc)"
+            ),
+            6,
+        ).alias("ewma"),
     )

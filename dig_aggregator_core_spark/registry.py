@@ -159,6 +159,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "scan_python_datasource",
         "timeseries_ewma",
         "feature_mad_outliers",
+        "pipeline_user_features",
         # rewritten after r1 evidence (verify-join reorder) — re-verify in r4:
         "dedup_minhash_lsh",
     }

@@ -186,3 +186,15 @@ def test_interval_bucketed_is_hash_join(spark, sf_dir):
 def test_skew_diagnostic_topk_pruned(spark, sf_dir):
     plan = plan_of("skew_diagnose_keys", spark, sf_dir)
     assert "TakeOrderedAndProject" in plan  # LIMIT k without a global sort
+
+
+def test_user_features_pipeline_single_user_shuffle(spark, sf_dir):
+    plan = plan_of("pipeline_user_features", spark, sf_dir)
+    # the session lag-window and the final per-user agg must share one
+    # user_id exchange; the stat joins must broadcast (group-count-sized)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert (
+        len(re.findall(r"hashpartitioning\(user_id", plan)) > 0
+        and plan.count("Exchange hashpartitioning(user_id") <= 1
+    )
