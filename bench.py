@@ -67,6 +67,7 @@ HEADLINE = [
     "hll_sketch_union_bounded",
     "timeseries_ewma",
     "feature_mad_outliers",
+    "pipeline_user_features",
 ]
 
 
