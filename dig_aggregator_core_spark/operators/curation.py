@@ -328,3 +328,67 @@ def epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", "hfull").alias("first_doc"),
         F.max_by("doc_id", "hfull").alias("last_doc"),
     )
+
+
+_WSWOR_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         -ln(({_H32_SQL} + 1) / 4294967297.0) / n_chars AS es_key
+  FROM documents
+  WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY ROUND(es_key, 9), doc_id) AS rk
+  FROM keyed
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM ranked WHERE rk <= 10
+GROUP BY lang
+"""
+
+
+@query("sample_weighted_without_replacement", oracle=_WSWOR_ORACLE)
+def sample_weighted_without_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis): each
+    row draws key = -ln(u)/w (exponential with rate = weight) and the k
+    smallest keys per stratum are the sample — inclusion probability
+    proportional to weight, single pass, no sequential draws. The
+    textbook distributed form: keys are a per-row map, selection is a
+    per-stratum top-k (WindowGroupLimit prunes rank > k before any
+    sort-merge), and at 100 TB the same keys feed a global
+    TakeOrdered(k) with no stratification.
+
+    Determinism across engines: u derives from the md5 hash (the library
+    convention — reproducible, partitioning-invariant) and ranking
+    compares ROUND(key, 9) with a doc_id tie-break, so a last-ulp ln()
+    difference between libms can never flip the selected set. Weight =
+    n_chars: longer documents proportionally likelier — the
+    length-balanced corpus subset shape.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (_h32_spark() + 1) / F.lit(4294967297.0)
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (-F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.round("es_key", 9), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

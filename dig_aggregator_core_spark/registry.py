@@ -160,6 +160,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "timeseries_ewma",
         "feature_mad_outliers",
         "pipeline_user_features",
+        "sample_weighted_without_replacement",
         # rewritten after r1 evidence (verify-join reorder) — re-verify in r4:
         "dedup_minhash_lsh",
     }
