@@ -124,12 +124,14 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 )
 
 
-# Unverified names deliberately ranked LAST within the unverified tier
-# (after streaming): the harness budget is ~50 rows and round 3's queue
-# exceeds it, so something must wait for round 4. These are the two
-# round-3 extras farthest beyond the reference surface — verified this
-# session at sf0.001 (pytest) and sf0.01 (driver-style drive) — deferred
-# so no streaming semantic loses its first-ever CORRECTNESS row.
+# Unverified names deliberately ranked LAST within the unverified tier:
+# the harness budget is ~50 rows and round 3's queue was frozen early in
+# the round, so operators added (or rewritten — see dedup_minhash_lsh)
+# after the freeze wait for round 4 rather than displace a never-checked
+# name. Every entry here has local evidence from this round: green pytest
+# oracle comparison at sf0.001 AND a driver-mimic hash compare at sf0.01
+# under a vanilla session. Round 4: fold these back into the ordinary
+# unverified tier once CORRECTNESS_r03 lands.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
     {
         "histogram_fixed_buckets",
