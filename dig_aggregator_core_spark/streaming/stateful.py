@@ -393,3 +393,84 @@ def stream_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k_total"),
     )
     return _run_to_memory(out, "complete")
+
+
+_EWMA_STATE = "n bigint, ewma double"
+_EWMA_OUT = "user_id bigint, n_events int, ewma double"
+
+
+def _ewma_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Incremental per-user EWMA (alpha=0.3, first-observation seed): the
+    O(1)-state streaming form of operators/timeseries.timeseries_ewma's
+    batch fold. Rows within a micro-batch sort by (ts, value) before
+    folding; state carries (count, running ewma) across batches, so under
+    AvailableNow over a static source the final emission equals the batch
+    recurrence exactly."""
+    if state.exists:
+        n, ewma = state.get
+    else:
+        n, ewma = 0, 0.0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
+        for v in pdf["value"].astype(float):
+            ewma = v if n == 0 else 0.3 * v + 0.7 * ewma
+            n += 1
+    state.update((n, ewma))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma": [round(ewma, 6)]}
+    )
+
+
+@query(
+    "stream_ewma_stateful",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vals) AS INT) AS n_events,
+           ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+             AS ewma
+    FROM seq
+    """,
+)
+def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA recurrence running INCREMENTALLY in the state store — the
+    unbounded-stream form the batch operator's docstring promises: O(1)
+    state per user (count + running average), each micro-batch folds only
+    its own rows, and the emitted value after run-to-idle equals the
+    batch fold, pinned by the same DuckDB list_reduce oracle as
+    timeseries_ewma.
+
+    Scale: state is two scalars per key — a billion users is ~GBs of
+    state store, partitioned by user_id; contrast the batch form, which
+    needs each user's full history in one row. Event-time ordering is
+    guaranteed within a micro-batch by an explicit sort; out-of-order
+    arrivals ACROSS batches would need a watermark-bounded reorder
+    buffer (documented limit, irrelevant under AvailableNow replay of a
+    static source)."""
+    stream = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=_EWMA_OUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = _run_to_memory(out, "update")
+    # update mode re-emits a key on every batch that touches it; keep the
+    # final (max-n) emission per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        result.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "ewma")
+    )
