@@ -327,3 +327,42 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("variant_get(v, '$.k', 'bigint')")).alias("sum_k"),
         F.max(F.expr("variant_get(v, '$.k', 'bigint')")).alias("max_k"),
     )
+
+
+@query(
+    "fn_decimal_exact",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_exact,
+           CAST(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(22,8)) AS DOUBLE) AS avg_exact,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS max_exact
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def fn_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL arithmetic — the money path. Double aggregation is
+    order-dependent in the last ulps (every other oracle here rounds to
+    compensate); DECIMAL(18,4) sums are EXACT and associative, so this op
+    needs no rounding anywhere: any summation order, any partitioning,
+    any engine produces the identical digits. That exactness is why
+    financial columns aggregate as decimals at 100 TB even though the
+    unscaled-long arithmetic is slower than doubles per row.
+
+    Spark widens DECIMAL(18,4) sums to DECIMAL(28,4) against overflow;
+    the average is pinned to DECIMAL(22,8) on both engines so the
+    division scale matches exactly. Final outputs cast to DOUBLE only at
+    the boundary (one exact decimal -> nearest double conversion, same
+    result on any engine) because the comparison harness's pandas
+    round-trip represents DECIMAL columns engine-specifically; the
+    aggregation itself is exact — note the absence of ROUND() anywhere.
+    """
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.sum(dec).cast("double").alias("total_exact"),
+        F.avg(dec).cast("decimal(22,8)").cast("double").alias("avg_exact"),
+        F.max(dec).cast("double").alias("max_exact"),
+    )

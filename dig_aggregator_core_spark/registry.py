@@ -164,6 +164,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "pipeline_user_features",
         "sample_weighted_without_replacement",
         "stream_ewma_stateful",
+        "fn_decimal_exact",
         # rewritten after r1 evidence (verify-join reorder) — re-verify in r4:
         "dedup_minhash_lsh",
     }
