@@ -1,0 +1,127 @@
+"""Cross-micro-batch state accumulation: the stateful EWMA must carry its
+state store across batches, not just fold within one.
+
+The oracle-checked stream_ewma_stateful query replays the fixture in a
+single AvailableNow batch, which exercises the fold but not the
+state-carry. Here the events split into two files at the median
+timestamp, `maxFilesPerTrigger=1` forces one batch per file (file
+modification times pin the order), and the final emission must still
+equal the batch recurrence over the whole history — proving the state
+round-trips through the store between batches.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from dig_aggregator_core_spark.streaming.stateful import (
+    _EWMA_OUT,
+    _EWMA_STATE,
+    _ewma_fn,
+)
+from dig_aggregator_core_spark.tables import load
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def test_ewma_state_carries_across_batches(spark, sf_dir):
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", "multibatch"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # split at the row-count midpoint of the sorted ts domain so batch
+    # order == event-time order (ties land entirely in the first half)
+    bound = (
+        ev.select("ts")
+        .orderBy("ts")
+        .limit(ev.count() // 2)
+        .agg(F.max("ts").alias("b"))
+        .collect()[0]["b"]
+    )
+    first = ev.filter(F.col("ts") <= F.lit(bound))
+    second = ev.filter(F.col("ts") > F.lit(bound))
+    assert first.count() > 0 and second.count() > 0
+
+    for i, half in enumerate((first, second)):
+        tmp = os.path.join(base, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(data_dir, f"{chr(97 + i)}.parquet")
+        shutil.copy(os.path.join(tmp, part), dest)
+        # file source processes oldest-modified first under
+        # maxFilesPerTrigger=1 — pin the order explicitly
+        ts_file = time.time() - (10 - i)
+        os.utime(dest, (ts_file, ts_file))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=_EWMA_OUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = "multibatch_ewma_sink"
+    chk = os.path.join(base, "chk")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    assert len(progress) >= 2, "expected one micro-batch per file"
+
+    from pyspark.sql import Window
+
+    result = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    w_final = (
+        result.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"]) for r in w_final.collect()
+    }
+
+    # batch recurrence over the full history
+    expected_df = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", F.col("value").alias("v")))
+            ).alias("pairs")
+        )
+        .select(
+            "user_id",
+            F.size("pairs").alias("n_events"),
+            F.round(
+                F.expr(
+                    "aggregate(slice(pairs, 2, size(pairs) - 1), "
+                    "element_at(pairs, 1).v, "
+                    "(acc, p) -> 0.3D * p.v + 0.7D * acc)"
+                ),
+                6,
+            ).alias("ewma"),
+        )
+    )
+    expected = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in expected_df.collect()
+    }
+    assert got == expected
