@@ -259,19 +259,6 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_count_distinct")  # sketch result is engine-specific: rows-only check
-def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GAP fill: HyperLogLog++ distinct sketch — the 100 TB path for
-    cardinality estimation (mergeable, fixed memory). No SQL oracle: HLL
-    estimates are engine-specific; `approx_count_distinct_bounded` pins a
-    hard error bound and `distinct_agg` pins the exact semantics."""
-    return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_returnflag").alias("returnflag"))
-        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
-    )
-
-
 @query(
     "approx_count_distinct_bounded",
     oracle="""
@@ -282,12 +269,17 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def approx_count_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checked companion to `approx_count_distinct`: computes the HLL
+    """GAP fill: HyperLogLog++ distinct sketch — the 100 TB path for
+    cardinality estimation (mergeable, fixed memory). Computes the HLL
     estimate AND the exact distinct count per group, and asserts the sketch
     lands within 5x its configured 1% relative standard deviation. The
-    estimate itself is engine-specific so it is folded into a boolean the
-    oracle can pin as TRUE — if the sketch ever drifts out of bound the
-    value-hash mismatches, giving the sketch hard correctness evidence."""
+    estimate itself is engine-specific (no SQL oracle can pin it) so it is
+    folded into a boolean the oracle can pin as TRUE — if the sketch ever
+    drifts out of bound the value-hash mismatches, giving the sketch hard
+    correctness evidence. (An unbounded `approx_count_distinct` twin was
+    registered through r3 with a rows-only check; it was retired in r4 so
+    every registered query has a full value oracle — this bounded form IS
+    the sketch's evidence.)"""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_returnflag").alias("returnflag"))

@@ -335,8 +335,8 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus AS status,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
              AS total_exact,
-           CAST(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4)))
-                AS DECIMAL(22,8)) AS DOUBLE) AS avg_exact,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_exact,
            CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
              AS max_exact
     FROM orders GROUP BY o_orderstatus
@@ -351,18 +351,23 @@ def fn_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     financial columns aggregate as decimals at 100 TB even though the
     unscaled-long arithmetic is slower than doubles per row.
 
-    Spark widens DECIMAL(18,4) sums to DECIMAL(28,4) against overflow;
-    the average is pinned to DECIMAL(22,8) on both engines so the
-    division scale matches exactly. Final outputs cast to DOUBLE only at
-    the boundary (one exact decimal -> nearest double conversion, same
-    result on any engine) because the comparison harness's pandas
-    round-trip represents DECIMAL columns engine-specifically; the
-    aggregation itself is exact — note the absence of ROUND() anywhere.
+    Spark widens DECIMAL(18,4) sums to DECIMAL(28,4) against overflow.
+    The average is derived from that exact sum by ONE double division
+    (identical op on both engines, so identical to the last bit) rather
+    than each engine's native decimal AVG — Spark's AVG divides in exact
+    decimal (HALF_UP) while DuckDB's AVG over DECIMAL accumulates in
+    floating point, so the two AVGs can differ in the final digit as row
+    counts grow. Sums/max cast to DOUBLE only at the boundary (one exact
+    decimal -> nearest double conversion, same result on any engine)
+    because the comparison harness's pandas round-trip represents DECIMAL
+    columns engine-specifically; the sum aggregation itself is exact.
     """
     o = load(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(18,4)")
     return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.sum(dec).cast("double").alias("total_exact"),
-        F.avg(dec).cast("decimal(22,8)").cast("double").alias("avg_exact"),
+        F.round(
+            F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_exact"),
         F.max(dec).cast("double").alias("max_exact"),
     )

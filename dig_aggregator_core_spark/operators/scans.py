@@ -341,18 +341,20 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle recomputes each file's (name, byte-length, md5) straight from
+# the documents table: the fixture bytes ARE the UTF-8 text, so this stays
+# correct regardless of execution order, process tempdir, or a stale
+# scratch directory from a different-SF run (the old read_blob oracle only
+# worked if the Spark query had just written the files in this process).
 _BINARYFILE_ORACLE = """
-SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
-       CAST(size AS BIGINT) AS n_bytes,
-       md5(decode(content)) AS content_md5
-FROM read_blob('{scratch}/*.bin')
+SELECT 'doc_' || doc_id || '.bin' AS fname,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % 100 = 0
 """
 
 
-@query(
-    "scan_binaryfile_ingest",
-    oracle=_BINARYFILE_ORACLE.format(scratch=_scratch("binary_assets")),
-)
+@query("scan_binaryfile_ingest", oracle=_BINARYFILE_ORACLE)
 def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-asset ingest via the `binaryFile` source: each file becomes one
     row (path, modificationTime, length, content) — the entry point for
@@ -363,9 +365,10 @@ def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     `pathGlobFilter` prunes by extension before any read.
 
     The fixture derives deterministic .bin files from the documents
-    table, scans them back, and emits per-file name/size/md5. Oracle
-    (see oracle_for): DuckDB's read_blob over the same files — a true
-    second engine reading the same raw bytes.
+    table, scans them back, and emits per-file name/size/md5. The oracle
+    recomputes the same triple from the documents table (the file bytes
+    are exactly the UTF-8 text), so it is independent of the scratch
+    directory and of query/oracle execution order.
 
     Scale: one row per file caps at `maxPartitionBytes` per task;
     binaryFile is for whole-file assets (the 100 TB video case shards

@@ -158,12 +158,20 @@ def interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(v, x -> abs(x))),
                (acc, x) -> greatest(acc, x)), 1e-30) AS maxabs
       FROM e
+    ),
+    q AS (
+      SELECT vec_id, label,
+             ROUND(maxabs, 6) AS scale_maxabs,
+             list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS INT))
+               AS qvec
+      FROM m
     )
-    SELECT vec_id, label,
-           ROUND(maxabs, 6) AS scale_maxabs,
-           list_transform(v, x -> CAST(round((x * 127.0) / maxabs) AS INT))
-             AS qvec
-    FROM m
+    SELECT vec_id, label, scale_maxabs,
+           qvec[1] AS q_first,
+           CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT)
+             AS q_l1,
+           md5(array_to_string(qvec, ',')) AS qvec_digest
+    FROM q
     """,
 )
 def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +182,11 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fold and the (x * 127.0) / maxabs operation order are written
     identically on both engines so the doubles — and therefore every
-    rounded int8 — are bit-identical."""
+    rounded int8 — are bit-identical. The quantized vector is emitted as
+    an md5 digest of its comma-joined elements (plus first-element and
+    L1-norm scalar probes) rather than a raw array<int>: the harness's
+    pandas value-hash cannot factorize list cells (r3 err row), and every
+    other array-producing op here digests its payload the same way."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -190,13 +202,23 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1e-30),
         ),
     )
-    return m.select(
+    q = m.select(
         "vec_id",
         "label",
         F.round("maxabs", 6).alias("scale_maxabs"),
         F.expr(
             "transform(v, x -> CAST(round((x * 127.0) / maxabs) AS INT))"
         ).alias("qvec"),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        "scale_maxabs",
+        F.element_at("qvec", 1).alias("q_first"),
+        F.expr("aggregate(qvec, 0L, (acc, x) -> acc + abs(x))").alias("q_l1"),
+        F.md5(
+            F.expr("array_join(transform(qvec, x -> CAST(x AS STRING)), ',')")
+        ).alias("qvec_digest"),
     )
 
 

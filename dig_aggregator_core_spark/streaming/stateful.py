@@ -406,19 +406,22 @@ def _ewma_fn(
 ) -> Iterator[pd.DataFrame]:
     """Incremental per-user EWMA (alpha=0.3, first-observation seed): the
     O(1)-state streaming form of operators/timeseries.timeseries_ewma's
-    batch fold. Rows within a micro-batch sort by (ts, value) before
-    folding; state carries (count, running ewma) across batches, so under
-    AvailableNow over a static source the final emission equals the batch
-    recurrence exactly."""
+    batch fold. A key's micro-batch arrives as an ITERATOR of Arrow
+    chunks (split at arrow.maxRecordsPerBatch), so the rows are
+    concatenated and sorted by (ts, value) ONCE before folding —
+    per-chunk sorts would only be chunk-locally ordered and break the
+    batch-equivalence the oracle pins. State carries (count, running
+    ewma) across batches, so under AvailableNow over a static source the
+    final emission equals the batch recurrence exactly."""
     if state.exists:
         n, ewma = state.get
     else:
         n, ewma = 0, 0.0
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
-        for v in pdf["value"].astype(float):
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        batch = batch.sort_values(["ts", "value"], kind="mergesort")
+        for v in batch["value"].astype(float):
             ewma = v if n == 0 else 0.3 * v + 0.7 * ewma
             n += 1
     state.update((n, ewma))

@@ -16,7 +16,7 @@ import tempfile
 import pytest
 
 from dig_aggregator_core_spark import registry
-from dig_aggregator_core_spark.tables import TABLES
+from dig_aggregator_core_spark.tables import TABLES, load
 
 registry.load_all()
 
@@ -44,7 +44,11 @@ EMPTY_SAFE = [
 def empty_sf_dir(spark, sf_dir) -> str:
     out = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", "empty_sf")
     for t in TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        # tables.load, not a bare spark.read.parquet: it owns the ts-dtype
+        # branches (nanosAsLong for NANOS fixtures, NTZ passthrough), so
+        # this fixture can't silently depend on another test having set a
+        # legacy conf on the shared session first
+        df = load(spark, sf_dir, t)
         df.limit(0).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
         )

@@ -125,3 +125,43 @@ def test_ewma_state_carries_across_batches(spark, sf_dir):
         for r in expected_df.collect()
     }
     assert got == expected
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving _ewma_fn."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_ewma_fold_is_globally_ordered_across_arrow_chunks():
+    """applyInPandasWithState delivers one key's micro-batch as an
+    ITERATOR of Arrow chunks (split at arrow.maxRecordsPerBatch). The fold
+    must order by (ts, value) across ALL chunks, not per chunk — here the
+    later-timestamped rows arrive in the FIRST chunk, so a per-chunk sort
+    would fold them first and produce a different EWMA."""
+    import pandas as pd
+
+    late = pd.DataFrame({"ts": [30, 40], "value": [3.0, 4.0]})
+    early = pd.DataFrame({"ts": [10, 20], "value": [1.0, 2.0]})
+    state = _FakeState()
+    (out,) = list(_ewma_fn((7,), iter([late, early]), state))
+
+    ewma = 1.0  # fold in true ts order: 1, 2, 3, 4
+    for v in (2.0, 3.0, 4.0):
+        ewma = 0.3 * v + 0.7 * ewma
+    assert out["user_id"].tolist() == [7]
+    assert out["n_events"].tolist() == [4]
+    assert out["ewma"].tolist() == [round(ewma, 6)]
+    assert state.get == (4, ewma)
