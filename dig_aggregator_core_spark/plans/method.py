@@ -14,6 +14,7 @@ from typing import Callable, Optional
 from .context import Context
 from .opts import Opts
 from .stage import Stage
+from .util import time_block
 
 logger = logging.getLogger(__name__)
 
@@ -54,8 +55,11 @@ class Method:
         any(s.show_work(opts) for s in stages)  # short-circuits at first hit
 
     def _run(self, opts: Opts) -> None:
+        # per-stage wall-clock, logged even when a stage throws
+        # (reference Util.time wrapping stage runs, Method.scala:105)
         for stage in self.filter_stages(opts):
-            stage.run(opts)
+            with time_block(f"stage {stage.name}"):
+                stage.run(opts)
 
     @staticmethod
     def _confirm_reprocess() -> bool:

@@ -31,6 +31,7 @@ from .context import Context
 from .inputs import Input, Source
 from .opts import Opts
 from .outputs import ALL, NULL, Named
+from .util import time_block
 
 logger = logging.getLogger(__name__)
 
@@ -49,6 +50,28 @@ class JobContext:
     output: str
     prefix: str  # out/<method>/<stage> (or test/... under --test)
     dryrun: bool
+    # the runs ledger, so a JOB can commit provenance itself (the
+    # reference ships commitRun.py to the cluster for exactly this);
+    # None for contexts constructed outside a stage run
+    runs: object = None
+
+    def commit_runs(self, inputs: list[Input]) -> None:
+        """Job-side provenance commit (reference commitRun.py:24-71): a
+        job upserts (input, version) -> output rows for ITS OWN output
+        mid-run, instead of waiting for the driver-side batched
+        Stage.insert_runs at the end. Guarded by dryrun exactly like the
+        reference's JOB_DRYRUN env check (commitRun.py:76-77): under
+        --test the call is a no-op. Same upsert key as the driver path
+        (RunsLedger.insert), so a later insert_runs for the same output
+        is idempotent, not duplicating."""
+        if self.dryrun:
+            return
+        if self.runs is None:
+            raise RuntimeError(
+                "commit_runs needs a runs ledger; this JobContext was "
+                "built without one"
+            )
+        self.runs.insert(self.stage, self.output, list(inputs))
 
 
 # a job is a callable taking the JobContext; its effects are its own
@@ -195,16 +218,18 @@ class Stage:
         self.context.runstatus.start_many(self.name, sorted(output_map))
 
         def run_job(o: str) -> None:
-            jobs[o](
-                JobContext(
-                    spark=self.context.spark,
-                    method=self.context.method_name,
-                    stage=self.name,
-                    output=o,
-                    prefix=self._prefix(opts),
-                    dryrun=opts.test,
+            with time_block(f"output {o} of stage {self.name}"):
+                jobs[o](
+                    JobContext(
+                        spark=self.context.spark,
+                        method=self.context.method_name,
+                        stage=self.name,
+                        output=o,
+                        prefix=self._prefix(opts),
+                        dryrun=opts.test,
+                        runs=self.context.runs,
+                    )
                 )
-            )
 
         # bounded parallelism = the reference's maxParallel cluster cap;
         # concurrent jobs share the Spark scheduler (FAIR pools apply)
