@@ -68,6 +68,14 @@ HEADLINE = [
     "timeseries_ewma",
     "feature_mad_outliers",
     "pipeline_user_features",
+    # r4 additions: bloom runtime pruning, the no-Expand profile, MERGE
+    # semantics, and the ordered-window rewrites
+    "join_bloom_prefilter",
+    "table_profile_approx",
+    "merge_upsert_delete",
+    "window_running_distinct",
+    "timeseries_resample_ohlc",
+    "text_regex_tokenize",
 ]
 
 

@@ -618,3 +618,32 @@ def hll_sketch_union_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.col("exact_orders") * F.lit(0.05), F.lit(5.0))
         ).alias("within_bound"),
     )
+
+
+@query(
+    "approx_top_k_bounded",
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_top_k_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via the approx_top_k sketch (Spark 4) — the 100 TB
+    path for "most frequent items" when the item domain is too large to
+    GROUP BY exactly: fixed-memory per partition, mergeable partials, one
+    row of sketch state to the driver.
+
+    Evidence device (same as approx_count_distinct_bounded): when the
+    true item cardinality is at most k and well under the sketch's
+    maxItemsTracked, the sketch holds EVERY item's exact count — no
+    eviction can occur — so the exploded (item, count) rows must equal
+    the exact GROUP BY, which is what the oracle pins. o_orderpriority
+    has 5 values; k=8 and the default 10k capacity make exactness a
+    structural guarantee, not luck."""
+    sk = load(spark, sf_dir, "orders").agg(
+        F.expr("approx_top_k(o_orderpriority, 8)").alias("tk")
+    )
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("bigint").alias("n"),
+    )

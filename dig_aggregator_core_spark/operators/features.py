@@ -204,3 +204,58 @@ def feature_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_robust_z"),
         )
     )
+
+
+@query(
+    "feature_quantile_bucketize",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.50) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT CAST(CASE WHEN o_totalprice <= q1 THEN 0
+                     WHEN o_totalprice <= q2 THEN 1
+                     WHEN o_totalprice <= q3 THEN 2
+                     ELSE 3 END AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM orders, cuts
+    GROUP BY 1
+    """,
+)
+def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketizing (the QuantileDiscretizer / feature-binning
+    step): compute quartile cut points in one aggregate, then assign each
+    row its bucket with a pure CASE expression against the broadcast
+    1-row cut table. Exact percentile keeps the oracle bit-exact; the
+    100 TB swap is approx_percentile with the same downstream CASE (the
+    rank-error bound only moves rows whose value sits within epsilon of a
+    cut).
+
+    Plan: agg to one row -> broadcast nested-loop join (1 row, free) ->
+    map-side CASE -> final small agg. The fact table is scanned twice
+    (once for cuts, once for assignment) — at scale, cuts come from the
+    previous pipeline stage's profile instead, making this one pass."""
+    o = load(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    assigned = o.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bucket"),
+        "o_totalprice",
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )

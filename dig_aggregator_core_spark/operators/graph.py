@@ -126,3 +126,72 @@ def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("event_type"),
         F.round("rank", 8).alias("pagerank"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH cooc AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM cooc a JOIN cooc b
+        ON a.event_type = b.event_type AND a.h = b.h
+       AND a.user_id < b.user_id
+    ),
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM tris
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting — the classic two-join graph algorithm (the
+    clustering-coefficient numerator, and the canonical MapReduce graph
+    benchmark). The graph is derived deterministically from the fixture:
+    users co-occurring in the same (event_type, hour) share an undirected
+    edge; triangles are counted by orienting every edge low->high
+    (u < v) and joining edge(a,b) x edge(b,c) x edge(a,c) — the
+    orientation means each triangle matches exactly once, no /6
+    correction, and bounds each join's fan-out by the max out-degree.
+
+    Scale: both joins shuffle on a single node key; the low->high
+    orientation is the standard skew guard (a hub's edges split between
+    its in- and out- sides). Degree-based orientation (order by degree,
+    then id) is the further 100 TB refinement; same plan shape."""
+    ev = load(spark, sf_dir, "events")
+    cooc = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, b = cooc.alias("a"), cooc.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+    )
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    ).select("n_edges", "n_triangles")

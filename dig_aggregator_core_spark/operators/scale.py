@@ -297,3 +297,86 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.sent_idx, t.sentence, t.n_chars "
         "FROM udtf_docs_in d, LATERAL sentence_split(d.text) t"
     )
+
+
+_BLOOM_M = 1 << 13  # bitmap bits; 8192 bits = 128 longs of driver metadata
+_BLOOM_K = 3  # hash functions (seeds 0..k-1 into xxhash64)
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime row pruning, built from first principles as a
+    DataFrame composition (Spark's own bloom_filter_agg/might_contain pair
+    is internal-only, not SQL-callable): build a k-hash bitmap over the
+    dim-side join keys, prefilter the FACT side with a pure codegen bit
+    test, then run the exact semi join over the survivors. The bloom has
+    no false negatives, so prefilter + exact join == plain semi join —
+    which is exactly what the oracle pins.
+
+    Scale shape: the bitmap is _BLOOM_M bits (128 longs here) regardless
+    of dim cardinality — it is metadata, collected driver-side like the
+    k-means centroids and re-broadcast as an array literal inside the
+    filter expression. The bit test (xxhash64 -> element_at -> shiftright
+    -> mask) is whole-stage-codegen, so fact rows are dropped DURING the
+    scan, before the join exchange: at 100 TB with a 1% selective dim,
+    ~99% of fact bytes never enter the shuffle. This is the manual form
+    of the runtime filtering AQE does JVM-side, kept explicit so the
+    pruning applies even across stages AQE can't see through. False
+    positives only cost exactness of the *pruning* rate, never of the
+    result — the semi join after is authoritative."""
+    cust = load(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    # bitmap build: k hash positions per dim key, distinct -> <= M ints of
+    # metadata on the driver (the documented metadata-collect pattern)
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(_BLOOM_M)).alias(f"p{i}")
+        for i in range(_BLOOM_K)
+    ]
+    positions = (
+        dim.select(F.explode(F.array(*[c for c in pos_cols])).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (_BLOOM_M // 64)
+    for r in positions:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # signed-long representation for the SQL literal
+    words = [(w + 2**63) % 2**64 - 2**63 for w in words]
+
+    fact = load(spark, sf_dir, "orders")
+    mask = F.array(*[F.lit(w) for w in words])
+    tests = [
+        F.expr(
+            f"(shiftright(element_at(_bloom, "
+            f"CAST(pmod(xxhash64(o_custkey, {i}), {_BLOOM_M}) / 64 AS INT) + 1), "
+            f"CAST(pmod(pmod(xxhash64(o_custkey, {i}), {_BLOOM_M}), 64) AS INT)) "
+            f"& 1) = 1"
+        )
+        for i in range(_BLOOM_K)
+    ]
+    pred = tests[0]
+    for t in tests[1:]:
+        pred = pred & t
+    prefiltered = fact.withColumn("_bloom", mask).filter(pred).drop("_bloom")
+    exact = prefiltered.join(
+        dim.withColumnRenamed("k", "o_custkey"), "o_custkey", "semi"
+    )
+    return exact.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -446,3 +446,58 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("nll"),
         )
     )
+
+
+# GPT-2-style pre-tokenizer classes, written with the SAME literal in both
+# engines (Java regex and RE2 agree on these constructs): letter runs,
+# digit runs, and single non-space-non-alnum marks. Whitespace is the
+# explicit class [ \t\n\r] — not \s, whose definition differs between
+# engines in the vertical-tab corner.
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
+
+
+@query(
+    "text_regex_tokenize",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]')))
+             AS BIGINT) AS n_word,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]')))
+             AS BIGINT) AS n_number,
+           md5(array_to_string(toks[1:20], ' ')) AS head_digest
+    FROM t
+    """,
+)
+def text_regex_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization as a pure codegen expression: split each
+    document into letter runs / digit runs / single punctuation marks (the
+    class structure GPT-2's pre-tokenizer regex uses) and count each class
+    — the token-budget accounting step of a training-data pipeline, and a
+    finer-grained companion to text_token_count's whitespace split. The
+    first-20-token digest pins the actual token sequence, not just counts.
+
+    Scale: regexp_extract_all + array ops are per-row JVM expressions —
+    zero shuffle, linear scan; the real BPE merge table lookup would ride
+    the same shape as a mapInPandas over these pre-tokens."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)").alias("toks"),
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.expr("filter(toks, x -> x rlike '^[A-Za-z]')"))
+        .cast("bigint")
+        .alias("n_word"),
+        F.size(F.expr("filter(toks, x -> x rlike '^[0-9]')"))
+        .cast("bigint")
+        .alias("n_number"),
+        F.md5(F.expr("array_join(slice(toks, 1, 20), ' ')"))
+        .alias("head_digest"),
+    )

@@ -202,3 +202,66 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     )
+
+
+@query(
+    "timeseries_resample_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+             ts, value, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT user_id, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close
+    FROM r GROUP BY user_id, bucket
+    """,
+)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to fixed buckets with open/high/low/close — the
+    resampling step between raw ticks and fixed-interval features (and the
+    canonical financial bar). Open/close are first/last VALUE by event
+    time with event_id as the total-order tiebreaker, so the result is
+    partition-invariant even under timestamp ties.
+
+    Plan: the two row_number windows and the final groupBy all share the
+    (user_id, bucket) key, so Catalyst plans ONE exchange — the windows
+    and the aggregate run in the same partitioning. At 100 TB this is the
+    shape you want: per-series-per-bucket state only, no global sort; the
+    bucket string doubles as the natural write-partition column."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    b = ev.withColumn(
+        "bucket",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00"),
+    )
+    wa = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = b.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4)
+        .alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4)
+        .alias("close"),
+    )

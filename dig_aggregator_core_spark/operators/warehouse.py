@@ -274,3 +274,143 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_rows, n_null, n_distinct, min_num, max_num)"
         )
     )
+
+
+_PROFILE_APPROX_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           TRUE AS distinct_within_bound
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@query("table_profile_approx", oracle=_PROFILE_APPROX_ORACLE)
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of `table_profile`: distinct counts come from the
+    HLL sketch (approx_count_distinct) instead of exact COUNT(DISTINCT),
+    so the single-scan agg has NO Expand at all — each column contributes
+    one fixed-memory sketch, and the whole profile is one pass + one
+    1-row exchange regardless of column count or cardinality.
+
+    Evidence shape (same device as approx_count_distinct_bounded /
+    percentile_approx_bounded): the sketch estimate is engine-specific,
+    so it is compared against the exact distinct count computed alongside
+    and folded into a within-5%-or-5 boolean the oracle pins as TRUE.
+    The exact column exists only for the evidence; the production profile
+    drops it (docstring of table_profile names this exact swap)."""
+    o = load(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.approx_count_distinct(c, 0.01).alias(f"{c}__approx"),
+            F.countDistinct(c).alias(f"{c}__exact"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__approx, {c}__exact"
+        for c in _PROFILE_COLS
+    )
+    tall = wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n_rows, n_null, approx_d, exact_d)"
+        )
+    )
+    return tall.select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        (
+            F.abs(F.col("approx_d") - F.col("exact_d"))
+            <= F.greatest(F.col("exact_d") * F.lit(0.05), F.lit(5.0))
+        ).alias("distinct_within_bound"),
+    )
+
+
+MERGE_INSERT_OFFSET = 2_000_000  # synthetic insert keys in the change batch
+
+_MERGE_ORACLE = f"""
+WITH base AS (
+  SELECT c_custkey AS custkey, ROUND(c_acctbal, 4) AS bal FROM customer
+),
+changes AS (
+  SELECT custkey, CAST(NULL AS DOUBLE) AS new_bal, 'D' AS op
+  FROM base WHERE custkey % 7 = 0
+  UNION ALL
+  SELECT custkey, ROUND(bal * 1.1, 4), 'U'
+  FROM base WHERE custkey % 3 = 0 AND custkey % 7 <> 0
+  UNION ALL
+  SELECT custkey + {MERGE_INSERT_OFFSET}, bal, 'I'
+  FROM base WHERE custkey % 5 = 0
+),
+j AS (
+  SELECT COALESCE(b.custkey, c.custkey) AS custkey, b.bal, c.new_bal, c.op,
+         b.custkey IS NOT NULL AS in_base
+  FROM base b FULL OUTER JOIN changes c ON b.custkey = c.custkey
+)
+SELECT custkey,
+       CASE WHEN op = 'U' THEN new_bal
+            WHEN op = 'I' AND NOT in_base THEN new_bal
+            ELSE bal END AS acctbal,
+       COALESCE(op, 'K') AS last_action
+FROM j
+WHERE op IS NULL OR op <> 'D'
+"""
+
+
+@query("merge_upsert_delete", oracle=_MERGE_ORACLE)
+def merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO semantics as one relational pass: a change
+    batch carrying updates, deletes, and inserts applies to a snapshot via
+    a SINGLE full-outer join — WHEN MATCHED AND op='D' THEN DELETE, WHEN
+    MATCHED AND op='U' THEN UPDATE, WHEN NOT MATCHED THEN INSERT, with
+    untouched rows streaming through. This is the set-based form of the
+    ledger's upsert (plans/ledger.py upsert replaces whole keys; MERGE
+    additionally expresses conditional delete/update in one statement) —
+    the documented upgrade path PLANS.md names for the runs ledger once a
+    transactional table format is available; the join shape is what that
+    MERGE compiles to underneath.
+
+    Scale: one co-partitioned full-outer sort-merge join on the key — no
+    window over the snapshot, no driver state; a billion-row snapshot
+    merges in one shuffle of each side (AQE picks broadcast when the
+    change batch is small, which is the common CDC case)."""
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.round("c_acctbal", 4).alias("bal"),
+    )
+    changes = (
+        base.filter(F.col("custkey") % 7 == 0)
+        .select("custkey", F.lit(None).cast("double").alias("new_bal"),
+                F.lit("D").alias("op"))
+        .unionByName(
+            base.filter((F.col("custkey") % 3 == 0) & (F.col("custkey") % 7 != 0))
+            .select("custkey", F.round(F.col("bal") * 1.1, 4).alias("new_bal"),
+                    F.lit("U").alias("op"))
+        )
+        .unionByName(
+            base.filter(F.col("custkey") % 5 == 0)
+            .select((F.col("custkey") + MERGE_INSERT_OFFSET).alias("custkey"),
+                    F.col("bal").alias("new_bal"), F.lit("I").alias("op"))
+        )
+    )
+    j = base.withColumnRenamed("custkey", "b_key").join(
+        changes.withColumnRenamed("custkey", "c_key"),
+        F.col("b_key") == F.col("c_key"),
+        "full_outer",
+    )
+    merged = j.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce("b_key", "c_key").alias("custkey"),
+        F.when(F.col("op") == "U", F.col("new_bal"))
+        .when((F.col("op") == "I") & F.col("b_key").isNull(), F.col("new_bal"))
+        .otherwise(F.col("bal"))
+        .alias("acctbal"),
+        F.coalesce("op", F.lit("K")).alias("last_action"),
+    )
+    return merged

@@ -222,3 +222,54 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("top_order"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
     )
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS occ
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM f
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — which no engine
+    supports directly (DISTINCT is not frame-decomposable) — rewritten as
+    two decomposable windows: flag each row that is the FIRST occurrence
+    of its (user, event_type) by (ts, event_id), then running-sum the
+    flags per user. The rewrite is exact, not approximate, and every
+    step is whole-stage-codegen window machinery.
+
+    Scale: one exchange on (user_id, event_type) for the occurrence
+    ranking, one on user_id for the running sum — both keyed, no global
+    sort. State per task is a single counter; contrast the naive
+    collect_set-over-window, which carries the full distinct set in every
+    frame and explodes on high-cardinality types."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w_occ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "is_new", (F.row_number().over(w_occ) == 1).cast("bigint")
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_new").over(w_run).alias("distinct_types_so_far"),
+    )
