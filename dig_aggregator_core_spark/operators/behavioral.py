@@ -1,0 +1,205 @@
+"""Behavioral analytics over the events log: funnel conversion and cohort
+retention — the two queries every product/event warehouse runs daily, and
+the shapes a training-data pipeline reuses for user-journey features.
+
+Both are expressed so the expensive part is ONE shuffle on user_id:
+
+- the funnel folds each user's time-ordered history with a native array
+  ``aggregate`` (greedy stage matcher — no per-stage self-joins, which is
+  the naive SQL form and 3 scans + 3 shuffles);
+- retention reuses the user_id partitioning for both the cohort assignment
+  (min-date window) and the activity dedup, then reduces to the tiny
+  (cohort, offset) grid.
+
+Reference parity: the reference engine's test queries stop at grouped
+aggregation (frequencyAnalysis.py:30-52); these extend the same
+events-shaped input to ordered-sequence analytics, per SURVEY.md §2's
+training-data extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load, ntz_epoch_us
+
+# funnel stages, strictly ordered by event time within a user
+_STAGES = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'view' AS stage,
+         CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users,
+         ROUND(CAST((SELECT COUNT(*) FROM v) AS DOUBLE)
+               / (SELECT COUNT(*) FROM v), 6) AS conv_from_first
+  UNION ALL
+  SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT),
+         ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+               / (SELECT COUNT(*) FROM v), 6)
+  UNION ALL
+  SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT),
+         ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+               / (SELECT COUNT(*) FROM v), 6)
+)
+"""
+
+
+@query("funnel_conversion", oracle=_FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): a user converts a stage
+    only with an event STRICTLY after their previous stage's event. The
+    greedy first-match semantics (first view; first click after that view;
+    first purchase after that click) are the standard funnel definition —
+    and greedy-on-min-times is optimal here, so it equals the oracle's
+    per-stage conditional-min joins.
+
+    Plan: ONE shuffle (groupBy user_id) collects each user's sorted
+    (epoch_us, type) pairs, then a native ``aggregate`` fold matches
+    stages in a single pass — no per-stage self-join cascade (the naive
+    form re-shuffles events once per stage). The final stage counting is
+    a 3-row reduction. At 100 TB: per-user history must fit a row (same
+    bound as timeseries_ewma); histories beyond that stream through
+    applyInPandasWithState instead.
+
+    Ties: strict ``>`` between stages on epoch micros; within one
+    timestamp the (us, type) sort is deterministic, and a same-microsecond
+    later stage does NOT convert (a tie's gap is 0, not positive).
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*_STAGES))
+        .select(
+            "user_id",
+            ntz_epoch_us("ts").alias("us"),
+            "event_type",
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "event_type"))).alias(
+            "seq"
+        )
+    )
+    # greedy fold: acc = (t1, t2, t3) nullable stage times
+    folded = per_user.select(
+        F.expr(
+            """
+            aggregate(
+              seq,
+              named_struct('t1', CAST(NULL AS BIGINT),
+                           't2', CAST(NULL AS BIGINT),
+                           't3', CAST(NULL AS BIGINT)),
+              (acc, e) -> named_struct(
+                't1', CASE WHEN acc.t1 IS NULL AND e.event_type = 'view'
+                           THEN e.us ELSE acc.t1 END,
+                't2', CASE WHEN acc.t2 IS NULL AND e.event_type = 'click'
+                                AND acc.t1 IS NOT NULL AND e.us > acc.t1
+                           THEN e.us ELSE acc.t2 END,
+                't3', CASE WHEN acc.t3 IS NULL AND e.event_type = 'purchase'
+                                AND acc.t2 IS NOT NULL AND e.us > acc.t2
+                           THEN e.us ELSE acc.t3 END)
+            )
+            """
+        ).alias("st")
+    )
+    counts = folded.agg(
+        F.count("st.t1").alias("n1"),
+        F.count("st.t2").alias("n2"),
+        F.count("st.t3").alias("n3"),
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit("view").alias("stage"),
+                    F.col("n1").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit("click").alias("stage"),
+                    F.col("n2").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("n3").alias("n_users"),
+                ),
+            )
+        ).alias("s"),
+        F.col("n1"),
+    )
+    return stages.select(
+        F.col("s.stage_idx").alias("stage_idx"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(F.col("s.n_users").cast("double") / F.col("n1"), 6).alias(
+            "conv_from_first"
+        ),
+    )
+
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", oracle=_COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: users cohort by their first active day; each
+    cell counts distinct cohort members active N days later. The daily
+    roll-up behind every retention curve.
+
+    Plan: the cohort assignment is a min-over-user window, so it shares
+    ONE user_id exchange with the (user, day) activity dedup — no
+    firsts-table join shuffle (the oracle's join form is the semantic
+    spec; the window form is the efficient plan). The second, final
+    shuffle reduces to the tiny (cohort_day, day_offset) grid — days ×
+    days cells regardless of user count, so the output never scales with
+    data volume. At 100 TB partial aggregation does the heavy lifting
+    map-side.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    cohorted = (
+        ev.distinct()  # (user, day) activity — same user_id partitioning
+        .withColumn("cohort_day", F.min("day").over(w))
+    )
+    return (
+        cohorted.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

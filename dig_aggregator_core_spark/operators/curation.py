@@ -392,3 +392,72 @@ def sample_weighted_without_replacement(
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+_CHUNK_W, _CHUNK_S = 200, 150  # window / stride in chars (50-char overlap)
+
+_CHUNK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         1 + CAST(floor((greatest(length(text) - {_CHUNK_W}, 0)
+                         + {_CHUNK_S} - 1) / {_CHUNK_S}) AS INT) AS n_chunks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS chunk_idx,
+       CAST(length(substr(text, (i - 1) * {_CHUNK_S} + 1, {_CHUNK_W}))
+            AS INT) AS chunk_len,
+       md5(substr(text, (i - 1) * {_CHUNK_S} + 1, {_CHUNK_W})) AS chunk_md5
+FROM d, LATERAL unnest(generate_series(1, n_chunks)) AS t(i)
+"""
+
+
+@query("doc_chunk_overlap", oracle=_CHUNK_ORACLE)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking ({w}-char windows, {s}-char
+    stride) — the RAG/embedding-prep splitter: every char of a document is
+    covered, consecutive chunks share {o} chars of context, and chunk ids
+    are (doc_id, chunk_idx), stable across runs. The final chunk is
+    whatever remains (shorter than the window; never empty because chunk
+    count comes from ceil((len - w)/s) + 1).
+
+    Pure per-row generation: sequence + transform + posexplode, zero
+    shuffle, whole-stage codegen end to end; chunk payloads are emitted
+    as md5 digests (+ length) so the row stays narrow for the comparison
+    harness — a real pipeline would carry the substring itself and write
+    partitioned by a hash of doc_id."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (
+            1
+            + F.floor(
+                (
+                    F.greatest(F.length("text") - _CHUNK_W, F.lit(0))
+                    + _CHUNK_S
+                    - 1
+                )
+                / _CHUNK_S
+            )
+        ).cast("int").alias("n_chunks"),
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n_chunks),"
+                f" i -> substring(text, (i - 1) * {_CHUNK_S} + 1, {_CHUNK_W}))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.length("chunk").cast("int").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+doc_chunk_overlap.__doc__ = doc_chunk_overlap.__doc__.format(
+    w=_CHUNK_W, s=_CHUNK_S, o=_CHUNK_W - _CHUNK_S
+)

@@ -822,3 +822,150 @@ def dedup_incremental_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SJ_T = 0.5  # Jaccard threshold over 5-token shingle sets
+
+# memoized like _SH_CACHE: the ranked-set subtree (scan -> shingle-hash ->
+# df join -> per-doc sort) feeds BOTH the prefix index and the verify
+# branch; without the persist Spark recomputes it per consumer
+_SJ_CACHE: dict = {}
+
+
+def _sj_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, prefix): per-doc 5-token shingle set as xxhash64
+    bigints, globally ordered rarest-first (document frequency, then
+    hash), plus the length-(|s| - ceil(t|s|) + 1) prefix slice.
+
+    Shingles leave the scan as 64-bit hashes: every downstream shuffle
+    (df count, set assembly, prefix self-join, verify) carries bigints,
+    never text. Jaccard over hashed sets equals Jaccard over the string
+    sets absent an intra-pair xxhash64 collision (~2^-64 per candidate —
+    the standard production trade; the string-side oracle double-checks
+    it holds here)."""
+    key = (spark, sf_dir)
+    r = _SJ_CACHE.get(key)
+    if r is None:
+        for stale in [k for k in _SJ_CACHE if k[0] is spark]:
+            _SJ_CACHE.pop(stale).unpersist()
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
+                    " i -> xxhash64(array_join(slice(split(text, ' '),"
+                    " CAST(i AS INT), 5), ' ')))"
+                )
+            ).alias("sh"),
+        )
+        e = d.select("doc_id", F.explode("sh").alias("t"))
+        df_tbl = e.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+        r = (
+            e.join(df_tbl, "t")
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("df", "t"))).alias(
+                    "srt"
+                )
+            )
+            .select(
+                "doc_id",
+                F.expr("transform(srt, x -> x.t)").alias("sh"),
+                F.expr(
+                    f"slice(transform(srt, x -> x.t), 1,"
+                    f" size(srt) - CAST(ceil({_SJ_T}D * size(srt)) AS INT) + 1)"
+                ).alias("prefix"),
+            )
+            .persist()
+        )
+        _SJ_CACHE[key] = r
+    return r
+
+
+# exact, but via a different path than the operator (intersection-count
+# equi-join on raw STRING shingles vs prefix-filter over hashes): every
+# qualifying pair shares >= 1 shingle, so the shared-shingle join loses
+# nothing, and |A u B| = |A| + |B| - |A n B|
+_SIMJOIN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+4], ' ')
+                        FOR i IN generate_series(1, greatest(len(toks) - 4, 1))])
+           AS sh
+  FROM d
+), e AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS t FROM s
+), c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS DOUBLE) AS inter,
+         any_value(a.sz) AS sa, any_value(b.sz) AS sb
+  FROM e a JOIN e b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(inter / (sa + sb - inter), 6) AS jac
+FROM c WHERE inter / (sa + sb - inter) >= {_SJ_T}
+"""
+
+
+@query("simjoin_prefix_jaccard", oracle=_SIMJOIN_ORACLE)
+def simjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (AllPairs/PPJoin family):
+    all document pairs whose 5-token-shingle sets have Jaccard >= {t},
+    WITHOUT the all-pairs comparison the oracle runs. Orders each set by
+    global rarity (document frequency, then shingle text), keeps only the
+    first |s| - ceil(t*|s|) + 1 shingles as the indexed prefix, and joins
+    on prefix shingles. Lossless by the prefix-filter lemma: the
+    globally-smallest common shingle of a qualifying pair must sit inside
+    BOTH prefixes (if it sat past A's prefix, the >= ceil(t*|A|) rarer
+    A-shingles before it would all be non-shared, capping the overlap
+    below the threshold) — so identical output to the brute-force oracle
+    proves the filter exact. Candidates are then verified with exact
+    Jaccard, LSH-style propose/dispose (contrast dedup_minhash_lsh, which
+    is probabilistic, and dedup_ngram_jaccard, whose length-band blocking
+    keys on size, not content).
+
+    Plan: three narrow shuffles — shingle-key df count, doc-key set
+    assembly (the sorted set is built ONCE and reused for both prefix
+    and verify), prefix-shingle self-join — each carrying ids + digests,
+    never text. At 100 TB the self-join's skew cap is the rarity
+    ordering itself: prefixes hold each set's RAREST shingles, so bucket
+    sizes concentrate near 1 and the quadratic term is output-linear;
+    ubiquitous shingles land outside every prefix and are never join
+    keys (the df computation that guarantees this is the one full
+    corpus-key shuffle, and it carries (doc_id, shingle-digest) only).
+    """
+    ranked = _sj_ranked(spark, sf_dir)
+    # the widest shuffle (prefix-shingle self-join) carries (t, doc_id)
+    # ONLY; full sets re-join per verified candidate by doc key below
+    pref = ranked.select("doc_id", F.explode("prefix").alias("t"))
+    pairs = (
+        pref.alias("a")
+        .join(pref.alias("b"), "t")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = ranked.select("doc_id", "sh")
+    cand = pairs.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return cand.filter(jac >= _SJ_T).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jac")
+    )
+
+
+simjoin_prefix_jaccard.__doc__ = simjoin_prefix_jaccard.__doc__.format(
+    t=_SJ_T
+)

@@ -426,3 +426,58 @@ def span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("targets_digest"),
     )
+
+
+_BPE_TOPK = 50
+
+_BPE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+  FROM documents
+), pairs AS (
+  SELECT unnest([substr(tok, i, 2)
+                 FOR i IN generate_series(1, len(tok) - 1)]) AS pair
+  FROM toks WHERE len(tok) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOPK}
+"""
+
+
+@query("bpe_pair_stats", oracle=_BPE_ORACLE)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merge round of BPE vocabulary training: count adjacent
+    symbol-pair frequencies across the corpus and take the top candidates
+    (the argmax pair is what BPE merges next; real trainers iterate this
+    map-reduce round over the evolving symbol table). Ties break on the
+    pair string so the cut is deterministic.
+
+    Plan: tokens and their adjacent character pairs are generated per row
+    with native regexp_extract_all + transform(sequence(...)) — the
+    double explode (token, then pair) never leaves the map side, so the
+    ONLY shuffle is the partial-aggregated pair count, whose key space is
+    bounded by the symbol alphabet squared (tiny), followed by a
+    TakeOrderedAndProject top-k. This is the canonical "heavy generation,
+    light reduction" shape — at 100 TB the pair-count exchange carries at
+    most |alphabet|^2 rows per map task regardless of corpus size."""
+    d = load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")
+        ).alias("tok")
+    )
+    pairs = d.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, CAST(i AS INT), 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOPK)
+    )

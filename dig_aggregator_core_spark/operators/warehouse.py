@@ -414,3 +414,86 @@ def merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("op", F.lit("K")).alias("last_action"),
     )
     return merged
+
+
+_DRIFT_ORACLE = """
+WITH halves AS (
+  SELECT event_type,
+         CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+         value,
+         json_extract(props, '$.k') IS NOT NULL AS has_k
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         AVG(CASE WHEN half = 'a' THEN value END) AS mean_a,
+         AVG(CASE WHEN half = 'b' THEN value END) AS mean_b,
+         AVG(CASE WHEN half = 'a' THEN
+               CASE WHEN has_k THEN 1.0 ELSE 0.0 END END) AS kr_a,
+         AVG(CASE WHEN half = 'b' THEN
+               CASE WHEN has_k THEN 1.0 ELSE 0.0 END END) AS kr_b
+  FROM halves GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+       ROUND(abs(mean_a - mean_b), 6) AS mean_drift,
+       ROUND(abs(kr_a - kr_b), 6) AS null_rate_drift,
+       ROUND(abs(CAST(n_a AS DOUBLE) / (n_a + n_b) - 0.5), 6)
+         AS count_skew
+FROM s
+"""
+
+
+@query("profile_drift", oracle=_DRIFT_ORACLE)
+def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift profile: split the log into two deterministic halves
+    (event_id parity stands in for yesterday/today snapshots) and compare
+    per-event-type distributions — count skew, mean drift, and the
+    drift in a JSON-field presence rate (the schema-health signal that
+    catches an upstream producer silently dropping a key). This is the
+    data-quality gate a training pipeline runs between ingest and mixing;
+    alert thresholds go on the *_drift columns.
+
+    Plan: ONE scan, ONE partial-aggregated exchange on the tiny
+    event_type key — both halves' statistics come from conditional
+    aggregates in the same pass (contrast the naive two-scan + join
+    form; see also snapshot_diff for row-level CDC). Everything is
+    codegen; at 100 TB the map side reduces each partition to
+    |event_type| rows before the shuffle."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("half"),
+        "value",
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+    )
+    a = F.col("half") == "a"
+    b = F.col("half") == "b"
+    s = ev.groupBy("event_type").agg(
+        F.sum(a.cast("int")).cast("bigint").alias("n_a"),
+        F.sum(b.cast("int")).cast("bigint").alias("n_b"),
+        F.avg(F.when(a, F.col("value"))).alias("m_a"),
+        F.avg(F.when(b, F.col("value"))).alias("m_b"),
+        F.avg(F.when(a, F.col("has_k").cast("double"))).alias("kr_a"),
+        F.avg(F.when(b, F.col("has_k").cast("double"))).alias("kr_b"),
+    )
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round(F.abs(F.col("m_a") - F.col("m_b")), 6).alias("mean_drift"),
+        F.round(F.abs(F.col("kr_a") - F.col("kr_b")), 6).alias(
+            "null_rate_drift"
+        ),
+        F.round(
+            F.abs(
+                F.col("n_a").cast("double") / (F.col("n_a") + F.col("n_b"))
+                - 0.5
+            ),
+            6,
+        ).alias("count_skew"),
+    )

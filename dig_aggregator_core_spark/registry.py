@@ -52,6 +52,7 @@ def load_all() -> None:
         aggregates,
         analytic,
         analytic2,
+        behavioral,
         clustering,
         curation,
         dedup,
@@ -66,6 +67,7 @@ def load_all() -> None:
         scale,
         scans,
         scrub,
+        search,
         similarity,
         textops,
         timeseries,
