@@ -76,6 +76,15 @@ HEADLINE = [
     "window_running_distinct",
     "timeseries_resample_ohlc",
     "text_regex_tokenize",
+    # mid-r4 additions: retrieval, prefix-filter simjoin, behavioral
+    # analytics, and the remaining curation primitives
+    "bm25_topk",
+    "simjoin_prefix_jaccard",
+    "funnel_conversion",
+    "cohort_retention",
+    "bpe_pair_stats",
+    "doc_chunk_overlap",
+    "profile_drift",
 ]
 
 

@@ -150,9 +150,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.stage_idx").alias("stage_idx"),
         F.col("s.stage").alias("stage"),
         F.col("s.n_users").alias("n_users"),
-        F.round(F.col("s.n_users").cast("double") / F.col("n1"), 6).alias(
-            "conv_from_first"
-        ),
+        # try_divide: an empty log (n1 = 0) must yield NULL conversion
+        # rows, not an ANSI DIVIDE_BY_ZERO crash
+        F.round(
+            F.try_divide(F.col("s.n_users").cast("double"), F.col("n1")), 6
+        ).alias("conv_from_first"),
     )
 
 
@@ -177,29 +179,36 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell counts distinct cohort members active N days later. The daily
     roll-up behind every retention curve.
 
-    Plan: the cohort assignment is a min-over-user window, so it shares
-    ONE user_id exchange with the (user, day) activity dedup — no
-    firsts-table join shuffle (the oracle's join form is the semantic
-    spec; the window form is the efficient plan). The second, final
-    shuffle reduces to the tiny (cohort_day, day_offset) grid — days ×
-    days cells regardless of user count, so the output never scales with
-    data volume. At 100 TB partial aggregation does the heavy lifting
-    map-side.
+    Plan: ONE user_id exchange computes each user's distinct active-day
+    set (collect_set — partial-aggregated map-side, so the shuffle
+    carries near-deduped days, and both the cohort min and the activity
+    days come out of the same aggregate; a naive distinct() would key
+    its exchange on (user, day) and force a SECOND user_id shuffle for
+    the cohort window). Re-exploding the day set is map-side. The
+    second, final shuffle reduces to the tiny (cohort_day, day_offset)
+    grid — days × days cells regardless of user count. Per-user state is
+    bounded by distinct active days (same bound as timeseries_ewma's
+    history rows).
     """
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id")
-    cohorted = (
-        ev.distinct()  # (user, day) activity — same user_id partitioning
-        .withColumn("cohort_day", F.min("day").over(w))
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set("day").alias("days")
+    )
+    cohorted = per_user.select(
+        "user_id",
+        F.array_min("days").alias("cohort_day"),
+        F.explode("days").alias("day"),
     )
     return (
         cohorted.groupBy(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
             F.datediff("day", "cohort_day").alias("day_offset"),
         )
-        .agg(F.count_distinct("user_id").alias("n_active"))
+        # plain COUNT, not COUNT(DISTINCT): exploding per-user day SETS
+        # makes (user, day) unique by construction, so each user hits a
+        # grid cell at most once — and COUNT keeps the final exchange
+        # partial-aggregatable (no distinct Expand)
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )

@@ -290,11 +290,13 @@ _PROFILE_APPROX_ORACLE = "\nUNION ALL\n".join(
 
 @query("table_profile_approx", oracle=_PROFILE_APPROX_ORACLE)
 def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB shape of `table_profile`: distinct counts come from the
-    HLL sketch (approx_count_distinct) instead of exact COUNT(DISTINCT),
-    so the single-scan agg has NO Expand at all — each column contributes
-    one fixed-memory sketch, and the whole profile is one pass + one
-    1-row exchange regardless of column count or cardinality.
+    """The 100 TB shape of `table_profile`: distinct counts come from a
+    DataSketches HLL sketch (hll_sketch_agg, lgConfigK=12) instead of
+    exact COUNT(DISTINCT), so the approx aggregation has NO Expand at
+    all — each column contributes one fixed-size binary sketch, and the
+    whole profile is one pass + one 1-row exchange regardless of column
+    count or cardinality (the sketch also unions incrementally across
+    partitions/days — hll_sketch_union_bounded shows that rollup).
 
     Evidence shape (same device as approx_count_distinct_bounded /
     percentile_approx_bounded): the sketch estimate is engine-specific,
@@ -303,15 +305,29 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact column exists only for the evidence; the production profile
     drops it (docstring of table_profile names this exact swap)."""
     o = load(spark, sf_dir, "orders").select(*_PROFILE_COLS)
-    aggs = []
+    # sketches via DataSketches hll_sketch_agg (lgConfigK=12, ~1.6% rsd):
+    # ONE binary buffer per sketch. approx_count_distinct at tight rsd is
+    # the wrong tool here — its HLL registers become individual codegen
+    # attributes (rsd 0.01 -> 1640 longs per sketch, a 6500-attribute
+    # aggregate that compiles for minutes and runs interpreted); the
+    # sketch column stays opaque bytes and merges like any agg state.
+    approx_aggs = []
     for c in _PROFILE_COLS:
-        aggs += [
+        approx_aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
-            F.approx_count_distinct(c, 0.01).alias(f"{c}__approx"),
-            F.countDistinct(c).alias(f"{c}__exact"),
+            F.expr(
+                f"hll_sketch_estimate(hll_sketch_agg(CAST({c} AS STRING), 12))"
+            ).alias(f"{c}__approx"),
         ]
-    wide = o.agg(*aggs)
+    # the exact side exists ONLY as evidence for the bound check; it runs
+    # as its OWN aggregation so its multi-distinct Expand never touches
+    # the approx pass (whose no-Expand single pass is the production
+    # claim — drop this agg and the crossJoin to get the 100 TB profile)
+    exact_aggs = [
+        F.countDistinct(c).alias(f"{c}__exact") for c in _PROFILE_COLS
+    ]
+    wide = o.agg(*approx_aggs).crossJoin(F.broadcast(o.agg(*exact_aggs)))
     stack = ", ".join(
         f"'{c}', {c}__rows, {c}__null, {c}__approx, {c}__exact"
         for c in _PROFILE_COLS

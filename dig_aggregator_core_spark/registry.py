@@ -150,9 +150,10 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # the harness budget is ~50 rows per round, so operators added (or
 # rewritten) AFTER a round's queue is frozen park here rather than
 # displace a never-checked name. Round 4 folded the 31-name r3 deferred
-# tier back into the ordinary unverified tier (they are this round's
-# queue, ~33 names + the round-4 additions — all inside one 50-entry
-# budget), so the set starts empty; late-r4 additions go here.
+# tier back into the ordinary unverified tier; with the quantize rewrite
+# and the mid-r4 additions (behavioral/search/simjoin/chunking/drift/BPE)
+# the unverified queue is 49 names — still inside one 50-entry budget,
+# so the set stays empty.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 

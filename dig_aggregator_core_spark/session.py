@@ -29,6 +29,13 @@ DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.ui.enabled": "false",
+    # local[N] runs driver + all executor threads in ONE JVM; Spark's 1g
+    # default heap is sized for a thin cluster driver, not 32 concurrent
+    # task threads plus persisted intermediates (a long query sequence
+    # OOMs it). Applies only when this factory launches the JVM — a
+    # caller's pre-existing session keeps its own sizing. Env-overridable
+    # for smaller hosts.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

@@ -37,6 +37,14 @@ EMPTY_SAFE = [
     "hll_sketch_union_bounded",
     "sample_weighted_without_replacement",
     "pipeline_user_features",
+    # r4 additions
+    "funnel_conversion",
+    "cohort_retention",
+    "bm25_topk",
+    "simjoin_prefix_jaccard",
+    "bpe_pair_stats",
+    "doc_chunk_overlap",
+    "profile_drift",
 ]
 
 
@@ -60,7 +68,10 @@ def test_empty_input_yields_empty_result(name, spark, empty_sf_dir):
     df = registry.QUERIES[name](spark, empty_sf_dir)
     rows = df.collect()  # must not raise
     assert df.schema is not None
-    if name == "table_profile":
+    if name == "funnel_conversion":
+        # the funnel legitimately keeps its 3 stage rows, all at zero
+        assert len(rows) == 3 and all(r.n_users == 0 for r in rows)
+    elif name == "table_profile":
         # a profile of an empty table legitimately reports every profiled
         # column — with zero counts
         assert len(rows) == 4 and all(r.n_rows == 0 for r in rows)

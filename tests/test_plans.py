@@ -198,3 +198,72 @@ def test_user_features_pipeline_single_user_shuffle(spark, sf_dir):
         len(re.findall(r"hashpartitioning\(user_id", plan)) > 0
         and plan.count("Exchange hashpartitioning(user_id") <= 1
     )
+
+
+def test_chunking_shuffle_free(spark, sf_dir):
+    # sequence+transform+posexplode chunking is a pure map: any Exchange
+    # means someone re-introduced a shuffle into a per-row generator
+    assert "Exchange" not in plan_of("doc_chunk_overlap", spark, sf_dir)
+
+
+def test_bpe_pairs_single_exchange_heap_topk(spark, sf_dir):
+    plan = plan_of("bpe_pair_stats", spark, sf_dir)
+    # double explode stays map-side; only the alphabet^2-bounded pair
+    # count exchanges, and the top-k is a heap, not a global sort
+    assert n_shuffles(plan) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_bm25_broadcasts_stats_heap_topk(spark, sf_dir):
+    plan = plan_of("bm25_topk", spark, sf_dir)
+    # the 1-row corpus-stats side must broadcast (BroadcastNestedLoopJoin
+    # over a single row is fine); the top-k must be a heap
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_profile_drift_single_scan_single_exchange(spark, sf_dir):
+    plan = plan_of("profile_drift", spark, sf_dir)
+    # both snapshot halves profile as conditional aggs in ONE pass
+    assert n_scans(plan) == 1
+    assert n_shuffles(plan) == 1
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    plan = plan_of("funnel_conversion", spark, sf_dir)
+    # per-user fold: one user_id exchange + the 1-row final reduction
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    assert n_shuffles(plan) == 2
+    assert "Python" not in plan
+
+
+def test_cohort_single_user_exchange(spark, sf_dir):
+    plan = plan_of("cohort_retention", spark, sf_dir)
+    # cohort min and activity days both come from ONE user_id aggregate;
+    # a (user, day)-keyed distinct before the window would add a second
+    # user-derived exchange. Grid reduction is the only other shuffle.
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    assert n_shuffles(plan) == 2
+    # grid count must partial-aggregate: no distinct Expand
+    assert "Expand" not in plan
+
+
+def test_simjoin_narrow_prefix_join(spark, sf_dir):
+    plan = plan_of("simjoin_prefix_jaccard", spark, sf_dir)
+    # shingles are xxhash64 bigints everywhere downstream of the scan —
+    # a join keyed on raw shingle STRINGS would re-widen every shuffle
+    assert "xxhash64" in plan
+    assert "Python" not in plan
+
+
+def test_table_profile_approx_no_expand_on_sketch_side(spark, sf_dir):
+    plan = plan_of("table_profile_approx", spark, sf_dir)
+    # the sketch aggregation must stay Expand-free and sketch state must
+    # be DataSketches binary buffers (hll_sketch_agg), never the
+    # register-per-attribute approx_count_distinct form whose codegen
+    # explodes at tight rsd; the only Expand allowed is the evidence-only
+    # exact-distinct aggregation (its own pass, crossJoined back)
+    assert "hll_sketch_agg" in plan
+    assert "approx_count_distinct" not in plan

@@ -1,0 +1,165 @@
+"""Plan lint: sweep every registered query's pre-AQE physical plan for
+scale anti-patterns. Complements tests/test_plans.py (which pins named
+queries' shapes exactly): this is the broad screen that catches a
+regression in any of the other ~180 plans.
+
+Flags (with a per-query allowlist for the deliberate exceptions):
+- CartesianProduct / BroadcastNestedLoopJoin — quadratic unless the
+  broadcast side is provably tiny (1-row stats frames, bounded dims).
+- PythonUDF / ArrowEvalPython / MapInPandas etc. — Python in the plan;
+  allowed only for ops whose POINT is the vectorized-UDF path.
+- "Sort [global=true" outside TakeOrderedAndProject — a full global sort.
+- Exchange count above a threshold — shuffle-heavy plan drift.
+
+Usage: python tools/planlint.py [name ...]
+Exit 1 on any unallowlisted finding.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dig_aggregator_core_spark import registry  # noqa: E402
+from dig_aggregator_core_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.001")
+
+# queries whose plan legitimately contains the pattern, with the reason
+ALLOW: dict[str, dict[str, str]] = {
+    "nested_loop": {
+        "ann_topk_bruteforce": "the documented exact-recall yardstick; query side broadcast",
+        "join_cross_product": "the operator IS a (bounded) cross join",
+        "bm25_topk": "1-row corpus-stats frame broadcast onto the scan",
+        "table_profile_approx": "1-row evidence frame (exact distinct) crossJoined back",
+        "feature_quantile_bucketize": "1-row quantile-cuts frame broadcast",
+        "feature_winsorized_stats": "1-row percentile-clamp frame broadcast",
+        "range_join_bands": "band predicate rides a broadcast non-equi join by design",
+        "decontam_ngram_overlap": "tiny benchmark shingle set, non-equi containment probe",
+        "dedup_exact_substring": "1-row corpus-stats frame broadcast",
+        "text_perplexity_proxy": "1-row vocab-size frame broadcast",
+        "stats_agg": "1-row global-stats frame joined back",
+        "stats_correlation": "1-row moments frame joined back",
+        "mixture_weighted_sample": "per-source rate frame (sources-sized) broadcast",
+        "scalar_subquery_avg": "scalar subquery is a 1-row broadcast by definition",
+        "q11_important_stock": "scalar threshold subquery, 1 row",
+        "q22_global_sales": "scalar avg subquery, 1 row",
+        "skew_diagnose_keys": "total-count 1-row frame joined back",
+        "epoch_shard_assignment": "1-row corpus-count frame broadcast",
+        "sample_weighted_without_replacement": "per-stratum weight-sum frame, strata-sized",
+        "hll_sketch_union_bounded": "1-row exact-distinct evidence frame",
+        "approx_top_k_bounded": "exact top-k evidence frame, k rows",
+        "percentile_approx_bounded": "exact percentile evidence frame, 1 row",
+        "approx_count_distinct_bounded": "1-row exact-distinct evidence frame",
+        "agg_mode_per_group": "group-count-sized tie-break frame",
+        "snapshot_diff": "keyless row-number seam: bounded seam frame",
+        "interleave_sources": "per-source count frame, sources-sized",
+        "pack_token_chunks": "per-source chunk-offset frame, sources-sized",
+        "pack_chunk_texts": "per-source chunk-offset frame, sources-sized",
+        "kmeans_embeddings": "k x dim centroid matrix broadcast each iteration",
+        "pagerank_transitions": "node-count scalar frame per power iteration",
+        "graph_triangle_count": "1-row totals frame",
+        "dedup_incremental_ledger": "1-row batch-watermark frame",
+        "funnel_conversion": "3-row stage frame exploded from the 1-row reduction",
+        "table_profile": "1-row profile frame unpivoted via stack",
+        "text_tfidf_topterm": "1-row doc-count frame broadcast (idf)",
+        "cube_agg": "1-row grand-total frame",
+        "window_running_distinct": "1-row seam frame for the running-distinct splice",
+        "join_salted_skew": "salt replication = cross join with the FACTOR-sized literal salt range",
+        "ann_ivf_probe": "k-row centroid table crossed for assignment + probe scoring",
+    },
+    "python": {
+        "text_langid": "the designated Arrow mapInPandas showcase",
+        "udaf_pandas_geomean": "the designated grouped-agg pandas UDAF",
+        "mm_decode_features": "multimodal decode is Pandas-UDF plumbing by brief",
+        "mm_frame_sample": "multimodal frame sampling, mapInPandas by brief",
+        "mm_binary_meta": "binary metadata extraction, Arrow batch path",
+        "mapinarrow_vector_norm": "the designated mapInArrow showcase",
+        "udtf_sentence_split": "the designated Python UDTF showcase",
+        "scan_python_datasource": "a Python DataSource necessarily runs Python readers",
+        "stream_ewma_stateful": "applyInPandasWithState stateful op",
+    },
+    "global_sort": {
+        "sink_compacted_write": "repartitionByRange for the clustered layout — the op's point",
+        "layout_zorder_key": "range partition by Morton key is the clustering device",
+        "epoch_shard_assignment": "within-shard hash order is emitted for determinism proof",
+        "window_running_distinct": "ordered seam splice over the running window",
+        "timeseries_gapfill": "day-spine window is one-row-per-day by construction",
+    },
+}
+
+MAX_SHUFFLES = 8
+
+# iterative / multi-pass ops where the shuffle count is the algorithm,
+# not drift: value = documented ceiling
+SHUFFLE_CEILING: dict[str, int] = {
+    "pagerank_transitions": 40,  # fixed power iterations x (join + agg)
+    "graph_triangle_count": 16,  # two oriented-edge joins + dedup passes
+    "dedup_simhash": 14,  # two block-key candidate passes + verify
+    "dedup_connected_components": 64,  # large/small-star rounds to fixpoint
+    "dedup_minhash_lsh": 14,  # band join + candidate dedup + 2 verifies
+    "pipeline_corpus_curation": 12,  # 4 composed stages, one plan
+}
+
+
+def lint(name: str, plan: str) -> list[str]:
+    finds: list[str] = []
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan):
+        if name not in ALLOW["nested_loop"]:
+            finds.append("nested_loop/cartesian join")
+    # actual Python EXECUTION nodes only — applySchemaToPythonRDD is just
+    # createDataFrame over a tiny literal dim (bands/centroids/blocklists)
+    if re.search(
+        r"BatchEvalPython|ArrowEvalPython|MapInPandas|PythonMapInArrow"
+        r"|FlatMapGroupsInPandas|PythonUDTF|MapInArrow",
+        plan,
+    ):
+        if name not in ALLOW["python"]:
+            finds.append("Python in plan")
+    # global sorts that aren't the heap top-k
+    for m in re.finditer(r"^\(\d+\) Sort", plan, re.M):
+        if "TakeOrderedAndProject" in plan:
+            continue
+        if name not in ALLOW["global_sort"] and re.search(
+            r"Arguments: \[.*\], true, 0", plan
+        ):
+            finds.append("global sort (no heap)")
+            break
+    n_sh = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+    cap = SHUFFLE_CEILING.get(name, MAX_SHUFFLES)
+    if n_sh > cap:
+        finds.append(f"{n_sh} shuffles (> {cap})")
+    return finds
+
+
+def main() -> int:
+    registry.load_all()
+    names = sys.argv[1:] or list(registry.QUERIES)
+    spark = get_spark(app_name="planlint", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    for name in names:
+        if name.startswith("stream_") or name.endswith("_window"):
+            continue  # streaming plans resolve only at runtime
+        try:
+            df = registry.QUERIES[name](spark, SF_DIR)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            finds = lint(name, buf.getvalue())
+        except Exception as e:  # noqa: BLE001
+            finds = [f"EXPLAIN FAILED: {type(e).__name__}: {e}"]
+        if finds:
+            bad += 1
+            print(f"{name:45s} {'; '.join(finds)}", flush=True)
+    print(f"\n{bad} flagged / {len(names)} linted")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
