@@ -62,6 +62,43 @@ SELECT * FROM (
 """
 
 
+def stage_times(ev: DataFrame) -> DataFrame:
+    """(user_id, st(t1, t2, t3)): greedy first-match stage times per user
+    over a (user_id, us, event_type) relation — the funnel's core. One
+    user_id shuffle collects each user's (us, type)-sorted history; the
+    native ``aggregate`` fold matches stages in one pass. Exposed as its
+    own operator so the randomized property suite can pin the fold
+    against a reference implementation on arbitrary histories."""
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "event_type"))).alias(
+            "seq"
+        )
+    )
+    # greedy fold: acc = (t1, t2, t3) nullable stage times
+    return per_user.select(
+        "user_id",
+        F.expr(
+            """
+            aggregate(
+              seq,
+              named_struct('t1', CAST(NULL AS BIGINT),
+                           't2', CAST(NULL AS BIGINT),
+                           't3', CAST(NULL AS BIGINT)),
+              (acc, e) -> named_struct(
+                't1', CASE WHEN acc.t1 IS NULL AND e.event_type = 'view'
+                           THEN e.us ELSE acc.t1 END,
+                't2', CASE WHEN acc.t2 IS NULL AND e.event_type = 'click'
+                                AND acc.t1 IS NOT NULL AND e.us > acc.t1
+                           THEN e.us ELSE acc.t2 END,
+                't3', CASE WHEN acc.t3 IS NULL AND e.event_type = 'purchase'
+                                AND acc.t2 IS NOT NULL AND e.us > acc.t2
+                           THEN e.us ELSE acc.t3 END)
+            )
+            """
+        ).alias("st"),
+    )
+
+
 @query("funnel_conversion", oracle=_FUNNEL_ORACLE)
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view -> click -> purchase): a user converts a stage
@@ -92,33 +129,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("us", "event_type"))).alias(
-            "seq"
-        )
-    )
-    # greedy fold: acc = (t1, t2, t3) nullable stage times
-    folded = per_user.select(
-        F.expr(
-            """
-            aggregate(
-              seq,
-              named_struct('t1', CAST(NULL AS BIGINT),
-                           't2', CAST(NULL AS BIGINT),
-                           't3', CAST(NULL AS BIGINT)),
-              (acc, e) -> named_struct(
-                't1', CASE WHEN acc.t1 IS NULL AND e.event_type = 'view'
-                           THEN e.us ELSE acc.t1 END,
-                't2', CASE WHEN acc.t2 IS NULL AND e.event_type = 'click'
-                                AND acc.t1 IS NOT NULL AND e.us > acc.t1
-                           THEN e.us ELSE acc.t2 END,
-                't3', CASE WHEN acc.t3 IS NULL AND e.event_type = 'purchase'
-                                AND acc.t2 IS NOT NULL AND e.us > acc.t2
-                           THEN e.us ELSE acc.t3 END)
-            )
-            """
-        ).alias("st")
-    )
+    folded = stage_times(ev).select("st")
     counts = folded.agg(
         F.count("st.t1").alias("n1"),
         F.count("st.t2").alias("n2"),

