@@ -85,6 +85,7 @@ HEADLINE = [
     "bpe_pair_stats",
     "doc_chunk_overlap",
     "profile_drift",
+    "ann_lsh_adaptive",
 ]
 
 

@@ -336,3 +336,123 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# adaptive variant: sign string wide enough for 4096 buckets; the USED
+# prefix length grows with the corpus so bucket occupancy stays ~64
+_MAXBITS = 12
+_SIGNS_SQL = (
+    "concat("
+    + ", ".join(
+        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(1, _MAXBITS + 1)
+    )
+    + ")"
+)
+_SIGNS_SPARK = (
+    "concat("
+    + ", ".join(
+        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(0, _MAXBITS)
+    )
+    + ")"
+)
+_NBITS_SQL = (
+    "GREATEST(4, LEAST({m}, CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0)) AS INT)))"
+).format(m=_MAXBITS)
+
+
+@query(
+    "ann_lsh_adaptive",
+    oracle=f"""
+    WITH {_VECS_SQL},
+    sig AS (SELECT *, {_SIGNS_SQL} AS signs FROM vecs),
+    b AS (SELECT {_NBITS_SQL} AS nb FROM sig),
+    keyed AS (SELECT s.vec_id, s.v, s.nrm,
+                     substr(s.signs, 1, b.nb) AS bucket
+              FROM sig s, b),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.bucket AS bucket, {_COS_SQL} AS cos
+      FROM (SELECT * FROM keyed WHERE {_QUERY_FILTER}) q
+      JOIN keyed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine,
+           CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOPK}
+    """,
+)
+def ann_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH top-k with an OCCUPANCY-ADAPTIVE bucket width: the used
+    sign-bit count is ceil(log2(n/64)) clamped to [4, {m}], computed from
+    the corpus count itself, so buckets hold ~64 vectors whether the
+    corpus has 500 rows or 50 million — the sizing rule ann_lsh_buckets'
+    docstring states, executed. The count reduces to ONE row and
+    broadcasts; bucketing is then a substring of the precomputed sign
+    string, so the plan is the fixed-bit plan plus one scalar exchange.
+
+    The scaleproof measurement motivates it: fixed 4-bit bucketing went
+    superlinear (44x wall at 100x rows) because occupancy grew 100x;
+    with width tied to n, within-bucket work per row stays constant and
+    the whole op scales like the rest of the suite. Recall behavior is
+    the standard LSH trade (more bits = finer buckets = lower recall per
+    table); production stacks multiple hash tables for recall, exactly
+    as dedup_minhash_lsh's banding does.
+    """
+    vecs = _vecs(spark, sf_dir).withColumn("signs", F.expr(_SIGNS_SPARK))
+    nb = vecs.agg(
+        F.expr(
+            f"GREATEST(4, LEAST({_MAXBITS},"
+            " CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0)) AS INT)))"
+        ).alias("nb")
+    )
+    keyed = vecs.crossJoin(F.broadcast(nb)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.expr("substring(signs, 1, nb)").alias("bucket"),
+    )
+    q = keyed.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    c = keyed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("cbucket"),
+    )
+    scored = q.join(
+        c,
+        (q.bucket == c.cbucket)
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn(
+        "cos",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+ann_lsh_adaptive.__doc__ = ann_lsh_adaptive.__doc__.format(m=_MAXBITS)

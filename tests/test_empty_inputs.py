@@ -45,6 +45,7 @@ EMPTY_SAFE = [
     "bpe_pair_stats",
     "doc_chunk_overlap",
     "profile_drift",
+    "ann_lsh_adaptive",
 ]
 
 

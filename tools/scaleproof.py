@@ -53,6 +53,7 @@ OPS = [
     "timeseries_resample_ohlc",
     "profile_drift",
     "ann_lsh_buckets",
+    "ann_lsh_adaptive",
     "kmeans_embeddings",
 ]
 
