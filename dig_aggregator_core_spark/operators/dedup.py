@@ -33,7 +33,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -969,3 +969,135 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 simjoin_prefix_jaccard.__doc__ = simjoin_prefix_jaccard.__doc__.format(
     t=_SJ_T
 )
+
+
+_SD_THRESH = 0.99  # cosine-to-representative prune threshold
+_SD_CENT_FILTER = "vec_id % 89 = 0"  # deterministic seed centroids
+
+_SEMDEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x + 0.01)
+  FROM embeddings
+), vecs AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0,
+              list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+  FROM base
+), centroids AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vecs
+  WHERE {_SD_CENT_FILTER}
+), assigned AS (
+  SELECT vec_id, v, nrm, cent_id FROM (
+    SELECT x.vec_id, x.v, x.nrm, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+             list_reduce(list_prepend(0.0,
+               list_transform(range(1, len(x.v) + 1), i -> x.v[i] * c.cv[i])),
+               (a, y) -> a + y) / (x.nrm * c.cn) DESC, c.cent_id) AS rk
+    FROM vecs x, centroids c
+  ) WHERE rk = 1
+), rep AS (
+  SELECT cent_id, MIN(vec_id) AS rep_id FROM assigned GROUP BY cent_id
+), scored AS (
+  SELECT a.cent_id, a.vec_id, r.rep_id,
+         list_reduce(list_prepend(0.0,
+           list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+           (x, y) -> x + y) / (a.nrm * b.nrm) AS cos_rep
+  FROM assigned a
+  JOIN rep r ON a.cent_id = r.cent_id
+  JOIN assigned b ON b.vec_id = r.rep_id
+)
+SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN vec_id <> rep_id AND cos_rep >= {_SD_THRESH}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM scored GROUP BY cent_id
+"""
+
+
+@query("semdedup_clusters", oracle=_SEMDEDUP_ORACLE)
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, cluster-then-prune (the SemDeDup recipe): assign
+    every embedding to its nearest seed centroid, elect a per-cluster
+    representative (min id), and drop members whose cosine to the
+    representative is >= {t} — duplicates are only ever searched WITHIN a
+    cluster, so the quadratic term is bucket-confined exactly like the
+    LSH dedup paths, but keyed by semantic neighborhood instead of hash.
+    The corpus plants a perturbed near-copy of each vector (the standard
+    mutation fixture — embeddings alone have max pairwise cosine ~0.5).
+
+    Plan: centroid table is metadata-sized -> broadcast to score
+    assignments map-side (one rank window on vec_id); representatives are
+    a cluster-keyed aggregate; the member-vs-rep scoring joins back on
+    cent_id, so every shuffle keys on (vec_id | cent_id) with array
+    payloads only where the dot product needs them. At 100 TB the
+    centroids come from kmeans_embeddings (same seed filter), clusters
+    partition the corpus, and per-cluster members stream through one
+    task each.
+    """
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    mutated = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(v, x -> x + 0.01D)").alias("v"),
+    )
+    vecs = base.unionByName(mutated).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(transform(v, x -> x * x), 0.0D,"
+            " (a, x) -> a + x))"
+        ),
+    )
+    cent = vecs.filter(F.expr(_SD_CENT_FILTER)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos_c = (
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0D,"
+        " (a, x) -> a + x) / (nrm * cn)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.expr(cos_c).desc(), F.col("cent_id")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", "cent_id")
+    )
+    rep = assigned.groupBy("cent_id").agg(F.min("vec_id").alias("rep_id"))
+    rep_vecs = assigned.select(
+        F.col("vec_id").alias("rep_id"),
+        F.col("v").alias("rv"),
+        F.col("nrm").alias("rn"),
+    )
+    scored = (
+        assigned.join(rep, "cent_id")
+        .join(rep_vecs, "rep_id")
+        .withColumn(
+            "cos_rep",
+            F.expr(
+                "aggregate(zip_with(v, rv, (x, y) -> x * y), 0.0D,"
+                " (a, x) -> a + x) / (nrm * rn)"
+            ),
+        )
+    )
+    return scored.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(
+            (
+                (F.col("vec_id") != F.col("rep_id"))
+                & (F.col("cos_rep") >= _SD_THRESH)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+semdedup_clusters.__doc__ = semdedup_clusters.__doc__.format(t=_SD_THRESH)

@@ -259,3 +259,94 @@ def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 4).alias("lo"),
         F.round(F.max("o_totalprice"), 4).alias("hi"),
     )
+
+
+_BOOT_B = 50  # bootstrap replicas
+# deterministic "Poisson(1)" replica weight: md5(event:replica) -> uniform
+# h in [0,1); w = 0 below e^-1, 1 below 2e^-1, else 2. Same arithmetic on
+# both engines, so the oracle is exact; the truncation at 2 biases the CI
+# width slightly narrow vs true Poisson resampling (documented trade for
+# cross-engine determinism — rand()-based weights would not replay).
+_BOOT_W = (
+    "CASE WHEN {h} < 0.367879 THEN 0"
+    " WHEN {h} < 0.735758 THEN 1 ELSE 2 END"
+)
+_H_SQL = (
+    "(CAST(('0x' || substr(md5(event_id || ':' || r), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+_H_SPARK = (
+    "(CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':',"
+    " CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0)"
+)
+
+_BOOT_ORACLE = f"""
+WITH reps AS (
+  SELECT e.event_id, e.event_type, e.value, r
+  FROM events e, LATERAL unnest(generate_series(0, {_BOOT_B - 1})) AS t(r)
+), weighted AS (
+  SELECT event_type, r,
+         SUM(({_BOOT_W.format(h=_H_SQL)}) * value) AS wv,
+         SUM({_BOOT_W.format(h=_H_SQL)}) AS w
+  FROM reps GROUP BY event_type, r
+), means AS (
+  SELECT event_type, list(ROUND(wv / w, 6) ORDER BY ROUND(wv / w, 6))
+           AS ms
+  FROM weighted GROUP BY event_type
+)
+SELECT event_type,
+       ms[{max(1, int(0.05 * _BOOT_B))}] AS ci_lo,
+       ms[{int(0.95 * _BOOT_B)}] AS ci_hi,
+       CAST(len(ms) AS INT) AS n_replicas
+FROM means
+"""
+
+
+@query("bootstrap_confidence", oracle=_BOOT_ORACLE)
+def bootstrap_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the per-group mean ({b} replicas,
+    5th/95th replica-mean order statistics), with DETERMINISTIC resampling:
+    each (row, replica) weight derives from md5(event_id:replica), the
+    same auditability rule as every sampling op here — rand() would give
+    a different CI per run, per partitioning, per engine. The percentile
+    is an explicit order-statistic index (sorted replica means, elements
+    {lo} and {hi}), not an interpolating percentile whose definition
+    differs across engines.
+
+    Plan: the replica dimension explodes map-side (sequence + explode —
+    heavy generation, light reduction); the ONLY real shuffle is the
+    partial-aggregated (group, replica) weighted sum, whose key space is
+    |groups| x {b} regardless of row count; the final per-group sort of
+    {b} means is array work. At 100 TB this is the textbook way to get
+    error bars without a second pass over the data."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    reps = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
+    )
+    w = F.expr(_BOOT_W.format(h=_H_SPARK))
+    weighted = reps.groupBy("event_type", "r").agg(
+        F.sum(w * F.col("value")).alias("wv"),
+        F.sum(w).alias("w"),
+    )
+    means = weighted.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.round(F.col("wv") / F.col("w"), 6))
+        ).alias("ms")
+    )
+    lo_i, hi_i = max(1, int(0.05 * _BOOT_B)), int(0.95 * _BOOT_B)
+    return means.select(
+        "event_type",
+        F.element_at("ms", lo_i).alias("ci_lo"),
+        F.element_at("ms", hi_i).alias("ci_hi"),
+        F.size("ms").alias("n_replicas"),
+    )
+
+
+bootstrap_confidence.__doc__ = bootstrap_confidence.__doc__.format(
+    b=_BOOT_B, lo=max(1, int(0.05 * _BOOT_B)), hi=int(0.95 * _BOOT_B)
+)

@@ -334,3 +334,53 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+_KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+WITH assigned AS (
+  SELECT user_id, event_id, value,
+         CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_KFOLD_K} AS INT) AS fold
+  FROM events
+)
+SELECT fold,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(value), 4) AS sum_value
+FROM assigned GROUP BY fold
+"""
+
+
+@query("sample_group_kfold", oracle=_KFOLD_ORACLE)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-atomic k-fold assignment ({k} folds): every row of a user
+    lands in the SAME fold because the fold comes from md5(user_id), not
+    from the row — the leakage guard cross-validation needs when rows
+    within a group are correlated (sklearn's GroupKFold, as a pure
+    column expression). Deterministic and append-stable: new events of a
+    known user join their existing fold, exactly like
+    sample_train_val_test's key-hash split.
+
+    Plan: fold assignment is map-side; the only shuffle is the k-row
+    fold-stats aggregate (plus the distinct-user count's Expand — drop
+    n_groups for a pure one-exchange profile). Train/eval selection at
+    scale is then a partition-pruned filter on the fold column."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % _KFOLD_K
+    ).cast("int")
+    return (
+        ev.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.count_distinct("user_id").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+sample_group_kfold.__doc__ = sample_group_kfold.__doc__.format(k=_KFOLD_K)

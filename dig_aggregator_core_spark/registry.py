@@ -151,10 +151,19 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # rewritten) AFTER a round's queue is frozen park here rather than
 # displace a never-checked name. Round 4 folded the 31-name r3 deferred
 # tier back into the ordinary unverified tier; with the quantize rewrite
-# and the mid-r4 additions (behavioral/search/simjoin/chunking/drift/BPE)
-# the unverified queue is 49 names — still inside one 50-entry budget,
-# so the set stays empty.
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
+# and the mid-r4 additions (behavioral/search/simjoin/chunking/drift/BPE/
+# adaptive-LSH) the unverified queue is exactly 50 names — one full
+# budget. The late-r4 additions below would displace never-checked names,
+# so they park here as round 5's queue (all green in the local sf0.01
+# sweep).
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {
+        "semdedup_clusters",
+        "bootstrap_confidence",
+        "sample_group_kfold",
+        "stream_topk_windowed",
+    }
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -72,6 +72,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "window_running_distinct": "1-row seam frame for the running-distinct splice",
         "join_salted_skew": "salt replication = cross join with the FACTOR-sized literal salt range",
         "ann_ivf_probe": "k-row centroid table crossed for assignment + probe scoring",
+        "semdedup_clusters": "metadata-sized seed-centroid table broadcast for assignment",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
