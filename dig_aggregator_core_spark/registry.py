@@ -162,6 +162,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "bootstrap_confidence",
         "sample_group_kfold",
         "stream_topk_windowed",
+        "stream_stream_left_outer_join",
     }
 )
 

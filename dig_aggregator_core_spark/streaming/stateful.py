@@ -16,6 +16,10 @@ plan runs continuously with a real watermark-driven eviction.
 from __future__ import annotations
 
 import itertools
+import os
+import re
+import shutil
+import tempfile
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -25,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import query
-from ..tables import ntz_as_utc_instant
+from ..tables import load, ntz_as_utc_instant
 
 _sink_counter = itertools.count()
 
@@ -477,3 +481,137 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "n_events", "ewma")
     )
+
+
+def _events_with_flush_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch copy of events plus one far-future click+purchase pair for
+    a sentinel user (user_id = -1), written as a parquet dir.
+
+    A finite stream's watermark stops at max(event_time) - delay, so an
+    outer join can never declare the final window's rows unmatched — the
+    null-emission tail stays in state forever. Production streams flush
+    naturally (data keeps arriving); a run-to-idle replay must append a
+    watermark-advancing sentinel past every real row's expiration. The
+    sentinel pair matches only itself and is filtered from the output."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        "outer_sentinel_" + re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/")),
+    )
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        ev = load(spark, sf_dir, "events")
+        sent = (
+            ev.agg(F.max("ts").alias("ts"))
+            .crossJoin(spark.range(2))
+            .select(
+                (-1 - F.col("id")).alias("event_id"),
+                F.expr("ts + INTERVAL 30 DAYS").alias("ts"),
+                F.lit(-1).cast("bigint").alias("user_id"),
+                F.when(F.col("id") == 0, F.lit("click"))
+                .otherwise(F.lit("purchase"))
+                .alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        data_dir = os.path.join(out, "events.parquet")
+        ev.coalesce(4).write.mode("overwrite").parquet(data_dir)
+        # the sentinel goes in its OWN, later file: the file source must
+        # deliver it in a LATER micro-batch (maxFilesPerTrigger below) so
+        # the watermark advances past the real data's expiration while
+        # the query is still running — in a single batch the final
+        # watermark update has no subsequent batch to flush evictions
+        sent.coalesce(1).write.mode("append").parquet(data_dir)
+        open(done, "w").close()
+    return os.path.join(out, "events.parquet")
+
+
+def _scratch_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        # several batches, sentinel file last (latest mtime): eviction
+        # output needs a batch boundary AFTER the watermark-advancing rows
+        .option("maxFilesPerTrigger", 2)
+        .option("latestFirst", "false")
+        .parquet(path)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", ntz_as_utc_instant("ts"))
+    return stream
+
+
+@query(
+    "stream_stream_left_outer_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-2 AS BIGINT), CAST(-1 AS BIGINT)
+    """,
+)
+def stream_stream_left_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits, matched
+    or not — the attribution query's real form ("which clicks converted,
+    which didn't"), and strictly harder than the inner join because the
+    NULL side is a WATERMARK decision, not a data decision: a click can
+    only be declared unmatched once the purchase watermark has passed
+    click.ts + 6h (until then a match could still arrive), so outer rows
+    trail the inner rows by up to the watermark delay. Under AvailableNow
+    the final watermark passes the whole fixture and the result equals
+    the batch LEFT JOIN, which the oracle pins — the run-to-idle parity
+    argument, extended to the null-emission path.
+
+    State sizing is the inner join's: each side buffers rows until the
+    other side's watermark clears them; the outer semantics add no state,
+    only the deferred null emission. Both join keys partition the state
+    store by user_id."""
+    path = _events_with_flush_sentinel(spark, sf_dir)
+    clicks = (
+        _scratch_events_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        _scratch_events_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")
+            ),
+            "leftOuter",
+        )
+        .select("click_id", "purchase_id", "user_id")
+    )
+    # NO sentinel filter here: any predicate excluding the sentinel user
+    # gets pushed through the join into BOTH streaming scans (equi-key
+    # equivalence), so the sentinel rows would never reach the watermark
+    # nodes and the flush would silently stop working. The sentinel pair
+    # instead emits its one deterministic matched row (click -1,
+    # purchase -2, user -1), which the oracle appends verbatim.
+    return _run_to_memory(joined, "append")
