@@ -501,3 +501,165 @@ def text_regex_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.expr("array_join(slice(toks, 1, 20), ' ')"))
         .alias("head_digest"),
     )
+
+
+# fixed classifier weights: (feature -> weight) for the linear quality
+# model; stands in for the trained fasttext/logreg scorer every corpus
+# pipeline ships — inference is pure columnar math either way
+_QC_W = {
+    "bias": -1.2,
+    "ttr": 2.0,           # type-token ratio
+    "stop_ratio": 1.5,    # stopword share
+    "len_norm": 0.8,      # tokens / 100, capped at 1
+    "digit_ratio": -2.5,  # digit-heavy docs are usually junk
+}
+
+_QC_SQL_FEATS = f"""
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN {_STOP_SQL})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         LEAST(len(string_split(text, ' ')) / 100.0, 1.0) AS len_norm,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / length(text) AS digit_ratio
+  FROM documents WHERE length(text) > 0
+"""
+
+_QC_ORACLE = f"""
+WITH f AS ({_QC_SQL_FEATS}),
+s AS (
+  SELECT doc_id,
+         {_QC_W['bias']} + {_QC_W['ttr']} * ttr
+           + {_QC_W['stop_ratio']} * stop_ratio
+           + {_QC_W['len_norm']} * len_norm
+           + {_QC_W['digit_ratio']} * digit_ratio AS logit
+  FROM f
+)
+SELECT doc_id, ROUND(logit, 6) AS logit,
+       ROUND(1.0 / (1.0 + exp(-logit)), 6) AS p_keep,
+       (1.0 / (1.0 + exp(-logit))) >= 0.5 AS keep
+FROM s
+"""
+
+
+@query("quality_classifier_score", oracle=_QC_ORACLE)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference: a fixed-weight logistic model
+    over cheap text features (TTR, stopword share, normalized length,
+    digit ratio) scoring every document — the columnar form of the
+    fasttext/logreg keep-or-drop scorer corpus pipelines run after the
+    heuristic filters. With the weights broadcast as literals the whole
+    model is ONE codegen projection: zero shuffle, zero Python, linear
+    scan — at 100 TB model inference at this shape is IO-bound, which is
+    the point of distilling big quality models into linear probes.
+    The keep decision thresholds the UNROUNDED probability so both
+    engines decide identically."""
+    toks = F.split(F.col("text"), " ")
+    f = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+            .alias("ttr"),
+            (
+                F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+                .cast("double")
+                / F.size(toks)
+            ).alias("stop_ratio"),
+            F.least(F.size(toks) / 100.0, F.lit(1.0)).alias("len_norm"),
+            (
+                F.length(F.regexp_replace("text", "[^0-9]", ""))
+                .cast("double")
+                / F.length("text")
+            ).alias("digit_ratio"),
+        )
+    )
+    logit = (
+        F.lit(_QC_W["bias"])
+        + _QC_W["ttr"] * F.col("ttr")
+        + _QC_W["stop_ratio"] * F.col("stop_ratio")
+        + _QC_W["len_norm"] * F.col("len_norm")
+        + _QC_W["digit_ratio"] * F.col("digit_ratio")
+    )
+    p = 1.0 / (1.0 + F.exp(-logit))
+    return f.select(
+        "doc_id",
+        F.round(logit, 6).alias("logit"),
+        F.round(p, 6).alias("p_keep"),
+        (p >= 0.5).alias("keep"),
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
+), freq AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM freq GROUP BY doc_id
+)
+SELECT f.doc_id,
+       ROUND(-SUM((n / total) * ln(n / total)) / ln(2), 6) AS char_entropy,
+       MAX(t.n_distinct) AS n_distinct_chars,
+       (-SUM((n / total) * ln(n / total)) / ln(2)) >= 3.0 AS keep
+FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+GROUP BY f.doc_id
+"""
+
+
+@query("entropy_filter", oracle=_ENTROPY_ORACLE)
+def entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter: Shannon entropy (bits) of each
+    document's character distribution — near-zero entropy catches
+    repeated-character/boilerplate junk, abnormally high entropy catches
+    binary-as-text; the keep band's low side (>= 3 bits) is checked here.
+    Thresholding the UNROUNDED entropy keeps both engines' decisions
+    identical.
+
+    Plan: characters never explode into rows on the Spark side — the
+    per-doc frequency map folds inside one codegen projection
+    (aggregate over the char array into a map, then an entropy fold over
+    map_values), so the op is zero-shuffle; the oracle's explode+group
+    form is the semantic spec. At 100 TB per-row state is the alphabet
+    size (bounded), the textbook map-side fold."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                aggregate(
+                  split(text, ''),
+                  CAST(map() AS MAP<STRING, DOUBLE>),
+                  (m, c) -> map_concat(
+                    map_filter(m, (k, v) -> k != c),
+                    map(c, coalesce(element_at(m, c), 0D) + 1D))
+                )
+                """
+            ).alias("freq"),
+        )
+    )
+    ent = F.expr(
+        """
+        - aggregate(
+            map_values(freq), 0D,
+            (acc, n) -> acc + (n / aggregate(map_values(freq), 0D,
+                                             (a, x) -> a + x))
+                        * ln(n / aggregate(map_values(freq), 0D,
+                                           (a, x) -> a + x))
+          ) / ln(2)
+        """
+    )
+    return d.select(
+        "doc_id",
+        F.round(ent, 6).alias("char_entropy"),
+        F.size("freq").cast("bigint").alias("n_distinct_chars"),
+        (ent >= 3.0).alias("keep"),
+    )

@@ -481,3 +481,89 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+_LB_BATCH = 8  # docs per training batch within a length bucket
+
+_LENBUCKET_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         CAST(ceil(log2(greatest(len(string_split(text, ' ')), 2)))
+              AS INT) AS bucket
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_tokens, bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY bucket
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
+  FROM d
+)
+SELECT bucket, CAST(rn // {_LB_BATCH} AS INT) AS batch_idx,
+       CAST(COUNT(*) AS BIGINT) AS batch_size,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_len,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+             / (COUNT(*) * MAX(n_tokens)), 6) AS pack_efficiency,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn))
+         AS member_digest
+FROM ranked GROUP BY bucket, rn // {_LB_BATCH}
+"""
+
+
+@query("length_bucket_batching", oracle=_LENBUCKET_ORACLE)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment: documents bucket by
+    ceil(log2(token count)), shuffle deterministically WITHIN the bucket
+    (md5-hash order — reproducible, unlike rand()), and group into
+    {b}-doc training batches. Padding waste per batch is bounded by the
+    bucket's 2x length band; pack_efficiency (= sum(len) / (rows *
+    max_len)) is the fraction of the padded tensor that is real tokens —
+    the metric this op exists to maximize versus random batching.
+
+    Plan: ONE shuffle on the tiny bucket key for the ranking window, one
+    more for the (bucket, batch) stats — the window's per-bucket sort is
+    the cost, and at 100 TB it becomes a per-bucket range partition
+    (bucket count is ~log2(max_len), so each sort is corpus/20-sized).
+    Batch membership is digest-pinned so the oracle verifies the exact
+    assignment, not just the counts."""
+    toks = F.split(F.col("text"), " ")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.ceil(F.log2(F.greatest(F.size(toks), F.lit(2))))
+        .cast("int")
+        .alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w) - 1)
+    return (
+        ranked.groupBy(
+            "bucket",
+            F.floor(F.col("rn") / _LB_BATCH).cast("int").alias("batch_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("batch_size"),
+            F.max("n_tokens").cast("bigint").alias("max_len"),
+            F.min("n_tokens").cast("bigint").alias("min_len"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / (F.count(F.lit(1)) * F.max("n_tokens")),
+                6,
+            ).alias("pack_efficiency"),
+            F.md5(
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list(struct(rn, doc_id))), x -> CAST(x.doc_id AS STRING))"),
+                    ",",
+                )
+            ).alias("member_digest"),
+        )
+    )
+
+
+length_bucket_batching.__doc__ = length_bucket_batching.__doc__.format(
+    b=_LB_BATCH
+)

@@ -163,6 +163,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "sample_group_kfold",
         "stream_topk_windowed",
         "stream_stream_left_outer_join",
+        "quality_classifier_score",
+        "entropy_filter",
+        "length_bucket_batching",
     }
 )
 
