@@ -567,3 +567,129 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
 length_bucket_batching.__doc__ = length_bucket_batching.__doc__.format(
     b=_LB_BATCH
 )
+
+
+_BPE_ROUNDS = 3
+
+# one merge round of the oracle: argmax pair over the current vocab, then
+# the double-replace application (see docstring for why double)
+_BPE_R_TMPL = """
+p{r} AS (
+  SELECT pair, SUM(cnt) AS n FROM (
+    SELECT cnt,
+           unnest([syms[i] || ' ' || syms[i+1]
+                   FOR i IN generate_series(1, len(syms) - 1)]) AS pair
+    FROM (SELECT list_filter(string_split_regex(trim(sym), ' '),
+                             x -> x <> '') AS syms, cnt
+          FROM v{p})
+  ) GROUP BY pair
+),
+b{r} AS (SELECT pair, CAST(n AS BIGINT) AS n FROM p{r}
+         ORDER BY n DESC, pair LIMIT 1),
+v{r} AS (
+  SELECT replace(replace(sym, ' ' || b{r}.pair || ' ',
+                         ' ' || replace(b{r}.pair, ' ', '') || ' '),
+                 ' ' || b{r}.pair || ' ',
+                 ' ' || replace(b{r}.pair, ' ', '') || ' ') AS sym, cnt
+  FROM v{p}, b{r}
+)"""
+
+_BPE_MERGES_ORACLE = (
+    """
+WITH words AS (
+  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+    FROM documents
+  ) GROUP BY tok
+),
+v0 AS (
+  SELECT ' ' || array_to_string(
+           list_filter(string_split_regex(w, ''), x -> x <> ''), ' ')
+         || ' ' AS sym, cnt
+  FROM words
+),"""
+    + ",".join(
+        _BPE_R_TMPL.format(r=r, p=r - 1) for r in range(1, _BPE_ROUNDS + 1)
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, pair, n FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+@query("tokenizer_bpe_merges", oracle=_BPE_MERGES_ORACLE)
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE vocabulary training, {r} merge rounds: each round
+    finds the corpus-wide most frequent adjacent symbol pair and fuses
+    it everywhere, exactly the loop a tokenizer trainer runs (contrast
+    bpe_pair_stats, which is one round's counting only). Output is the
+    learned merge table (round, pair, count) — the artifact a trainer
+    ships.
+
+    The distributed-systems content is the VOCAB optimization every real
+    BPE trainer uses: the corpus is scanned ONCE into (word, count) —
+    after that, every round iterates over the word-type table (vocabulary
+    -sized, orders of magnitude smaller than the corpus) with counts as
+    weights. Per round: one pair-count aggregation on the vocab + an
+    argmax that collects ONE row to the driver (the kmeans_embeddings
+    pattern — metadata-sized driver traffic), then a map-side merge
+    application.
+
+    Merge application is string replace on the space-joined symbol form,
+    applied TWICE: a single leftmost pass consumes the separator after
+    each match, skipping back-to-back occurrences ("a b a b" -> only the
+    first merges); the second pass catches them. On runs of a repeated
+    symbol with odd length >= 5 this can fuse a different (still
+    non-overlapping) pairing than canonical leftmost BPE — both engines
+    apply the IDENTICAL procedure, so the oracle pins the exact
+    semantics; canonical tie-handling on such runs is implementation-
+    defined across real tokenizers anyway."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+        ).alias("sym"),
+        "cnt",
+    )
+    rules = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = cur.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(trim(sym), ' ')) >= 2 THEN "
+                    " transform(sequence(1, size(split(trim(sym), ' ')) - 1),"
+                    "  i -> concat(element_at(split(trim(sym), ' '), CAST(i AS INT)),"
+                    "              ' ',"
+                    "              element_at(split(trim(sym), ' '), CAST(i AS INT) + 1)))"
+                    " ELSE array() END"
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .first()
+        )
+        rules.append((r, best["pair"], int(best["n"])))
+        frm = f" {best['pair']} "
+        to = " " + best["pair"].replace(" ", "") + " "
+        cur = cur.select(
+            F.expr(
+                f"replace(replace(sym, '{frm}', '{to}'), '{frm}', '{to}')"
+            ).alias("sym"),
+            "cnt",
+        )
+    return spark.createDataFrame(rules, "round int, pair string, n bigint")

@@ -166,6 +166,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "quality_classifier_score",
         "entropy_filter",
         "length_bucket_batching",
+        "tokenizer_bpe_merges",
     }
 )
 
