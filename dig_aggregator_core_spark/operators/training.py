@@ -683,6 +683,8 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n"), "pair")
             .first()
         )
+        if best is None:  # empty corpus / no 2-symbol words left
+            break
         rules.append((r, best["pair"], int(best["n"])))
         frm = f" {best['pair']} "
         to = " " + best["pair"].replace(" ", "") + " "

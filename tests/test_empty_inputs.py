@@ -46,6 +46,13 @@ EMPTY_SAFE = [
     "doc_chunk_overlap",
     "profile_drift",
     "ann_lsh_adaptive",
+    "semdedup_clusters",
+    "bootstrap_confidence",
+    "sample_group_kfold",
+    "quality_classifier_score",
+    "entropy_filter",
+    "length_bucket_batching",
+    "tokenizer_bpe_merges",
 ]
 
 

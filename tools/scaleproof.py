@@ -122,9 +122,13 @@ def time_ops(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     registry.load_all()
+    global OPS
+    for a in sys.argv[1:]:
+        if a.startswith("--ops="):
+            OPS = a[len("--ops="):].split(",")
     spark = get_spark(app_name="scaleproof")
     spark.sparkContext.setLogLevel("ERROR")
-    scales = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+    scales = [a for a in sys.argv[1:] if not a.startswith("-")] or [
         "x10",
         "x100",
     ]
