@@ -86,6 +86,14 @@ HEADLINE = [
     "doc_chunk_overlap",
     "profile_drift",
     "ann_lsh_adaptive",
+    # late-r4 deferred tier: next round's verification queue, benched now
+    "semdedup_clusters",
+    "bootstrap_confidence",
+    "sample_group_kfold",
+    "quality_classifier_score",
+    "entropy_filter",
+    "length_bucket_batching",
+    "tokenizer_bpe_merges",
 ]
 
 

@@ -322,6 +322,13 @@ def bootstrap_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
+    # the replica explode multiplies rows 50x and each carries an md5 —
+    # CPU-bound narrow maps; a single-file fixture scan (1-2 partitions)
+    # would serialize them, so spread first (same guard as dedup._corpus;
+    # a real many-file dataset skips this branch)
+    par = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < par:
+        ev = ev.repartition(par, "event_id")
     reps = ev.select(
         "event_id",
         "event_type",
