@@ -615,3 +615,118 @@ def stream_stream_left_outer_join(
     # instead emits its one deterministic matched row (click -1,
     # purchase -2, user -1), which the oracle appends verbatim.
     return _run_to_memory(joined, "append")
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+_FUNNEL_STATE = "t1 bigint, t2 bigint, t3 bigint"
+_FUNNEL_OUT = "user_id bigint, t1 bigint, t2 bigint, t3 bigint"
+
+
+def _funnel_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Greedy funnel stage matcher with O(1) state per user: (t1, t2, t3)
+    carried across micro-batches; each batch's rows concat + sort by
+    (us, event_type) before folding (chunk iterators are not globally
+    ordered — the stream_ewma_stateful lesson). Cross-batch equivalence
+    to the batch fold holds when batches arrive in event-time order
+    (exact under AvailableNow replay; out-of-order ACROSS batches needs
+    a watermark-bounded reorder buffer, same documented limit as the
+    EWMA)."""
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        for us, et in (
+            batch.sort_values(["us", "event_type"], kind="mergesort")[
+                ["us", "event_type"]
+            ].itertuples(index=False, name=None)
+        ):
+            if t1 is None and et == "view":
+                t1 = int(us)
+            elif t2 is None and et == "click" and t1 is not None and us > t1:
+                t2 = int(us)
+            elif (
+                t3 is None
+                and et == "purchase"
+                and t2 is not None
+                and us > t2
+            ):
+                t3 = int(us)
+    state.update((t1, t2, t3))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "t1": pd.array([t1], dtype="Int64"),
+            "t2": pd.array([t2], dtype="Int64"),
+            "t3": pd.array([t3], dtype="Int64"),
+        }
+    )
+
+
+@query(
+    "stream_funnel_stateful",
+    oracle="""
+    WITH su AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), v AS (
+      SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT su.user_id, v.t1, c.t2, p.t3
+    FROM su
+    LEFT JOIN v ON su.user_id = v.user_id
+    LEFT JOIN c ON su.user_id = c.user_id
+    LEFT JOIN p ON su.user_id = p.user_id
+    """,
+)
+def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel running INCREMENTALLY: per-user greedy stage times
+    (first view; first click strictly after it; first purchase strictly
+    after that) maintained in the state store via applyInPandasWithState
+    — the unbounded-stream form of operators/behavioral.funnel_conversion
+    (whose batch fold collects each user's full history into a row; here
+    state is THREE scalars per user regardless of history length). After
+    run-to-idle the emitted stage times equal the batch conditional-min
+    joins, which the oracle pins per user — including NULL stage times
+    for users who never advance, the rows a conversion dashboard needs.
+
+    Scale: state is 24 bytes per user; emission is per-key update mode.
+    The strict-ordering caveat is the EWMA's: in-batch order is enforced
+    by an explicit sort, cross-batch order by replay/watermark."""
+    stream = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin(*_FUNNEL_STAGES))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+        )
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")

@@ -267,3 +267,31 @@ def test_table_profile_approx_no_expand_on_sketch_side(spark, sf_dir):
     # exact-distinct aggregation (its own pass, crossJoined back)
     assert "hll_sketch_agg" in plan
     assert "approx_count_distinct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["quality_classifier_score", "entropy_filter"]
+)
+def test_quality_ops_shuffle_free(name, spark, sf_dir):
+    # model inference / entropy fold are pure per-row projections
+    plan = plan_of(name, spark, sf_dir)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_semdedup_no_wide_window(spark, sf_dir):
+    plan = plan_of("semdedup_clusters", spark, sf_dir)
+    # centroid assignment must be the partial-aggregated max_by, never a
+    # ranking window dragging embedding arrays through a per-vector sort
+    assert "row_number" not in plan
+    assert "partial_max" in plan or "max(" in plan
+    assert "BroadcastExchange" in plan  # centroid table broadcast
+
+
+def test_bootstrap_generation_stays_mapside(spark, sf_dir):
+    plan = plan_of("bootstrap_confidence", spark, sf_dir)
+    # replica explode is map-side; the only exchanges are the
+    # (group, replica) partial agg, the per-group collect, and the
+    # under-partitioned-scan spread guard
+    assert "Generate" in plan and "explode" in plan
+    assert n_shuffles(plan) <= 3
