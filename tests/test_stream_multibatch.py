@@ -165,3 +165,113 @@ def test_ewma_fold_is_globally_ordered_across_arrow_chunks():
     assert out["n_events"].tolist() == [4]
     assert out["ewma"].tolist() == [round(ewma, 6)]
     assert state.get == (4, ewma)
+
+
+def test_funnel_state_carries_across_batches(spark, sf_dir):
+    """Same two-file replay for the stateful funnel: a user whose view
+    lands in batch 1 and whose click/purchase land in batch 2 converts
+    ONLY if (t1) round-tripped through the state store."""
+    from dig_aggregator_core_spark.streaming.stateful import (
+        _FUNNEL_OUT,
+        _FUNNEL_STAGES,
+        _FUNNEL_STATE,
+        _funnel_fn,
+    )
+    from dig_aggregator_core_spark.tables import ntz_epoch_us
+
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", "multibatch_funnel"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*_FUNNEL_STAGES))
+        .select("user_id", ntz_epoch_us("ts").alias("us"), "event_type")
+    )
+    # split at a CONVERTING user's t1 so that user's later stages land in
+    # batch 2 — guarantees the test exercises cross-batch conversion (an
+    # arbitrary midpoint split may not, as the sf0.001 fixture showed)
+    from dig_aggregator_core_spark.operators.behavioral import (
+        stage_times as _stage_times,
+    )
+
+    expected = {
+        r["user_id"]: (r["st"]["t1"], r["st"]["t2"], r["st"]["t3"])
+        for r in _stage_times(ev).collect()
+    }
+    converters = {
+        u: t for u, t in expected.items() if t[0] is not None and t[1] is not None
+    }
+    assert converters, "fixture has no converting user"
+    bound = min(t[0] for t in converters.values())
+    first = ev.filter(F.col("us") <= bound)
+    second = ev.filter(F.col("us") > bound)
+    assert first.count() > 0 and second.count() > 0
+
+    for i, half in enumerate((first, second)):
+        tmp = os.path.join(base, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(data_dir, f"{chr(97 + i)}.parquet")
+        shutil.copy(os.path.join(tmp, part), dest)
+        ts_file = time.time() - (10 - i)
+        os.utime(dest, (ts_file, ts_file))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = "multibatch_funnel_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+
+    # latest emission per user = most stages filled -> highest (t1,t2,t3)
+    # non-null count; emissions only ever fill stages, so take the row
+    # with the most non-nulls per user
+    result = spark.table(sink).withColumn(
+        "filled",
+        F.col("t1").isNotNull().cast("int")
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("filled"))
+    final = (
+        result.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"]) for r in final.collect()
+    }
+    assert got == expected
+    # the split must actually exercise cross-batch conversion: at least
+    # one user's t2 or t3 falls in the second half while t1 is in the
+    # first
+    crossers = [
+        u
+        for u, (t1, t2, t3) in expected.items()
+        if t1 is not None
+        and t1 <= bound
+        and ((t2 is not None and t2 > bound) or (t3 is not None and t3 > bound))
+    ]
+    assert crossers, "fixture split produced no cross-batch conversions"
