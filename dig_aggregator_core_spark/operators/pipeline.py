@@ -205,3 +205,100 @@ def pipeline_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     )
+
+
+_RAG_W, _RAG_S = 200, 150  # chunk window/stride (shared with curation)
+
+_RAG_ORACLE = f"""
+WITH kept AS (
+  SELECT doc_id, text, source,
+         -1.2 + 2.0 * (CAST(len(list_distinct(string_split(text, ' ')))
+                       AS DOUBLE) / len(string_split(text, ' ')))
+             + 0.8 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+           AS logit
+  FROM documents
+  WHERE length(text) > 0
+), scored AS (
+  SELECT * FROM kept WHERE 1.0 / (1.0 + exp(-logit)) >= 0.4
+), chunks AS (
+  SELECT doc_id, source,
+         CAST(i - 1 AS INT) AS chunk_idx,
+         substr(text, (i - 1) * {_RAG_S} + 1, {_RAG_W}) AS chunk
+  FROM scored, LATERAL unnest(generate_series(
+    1, 1 + CAST(floor((greatest(length(text) - {_RAG_W}, 0)
+                       + {_RAG_S} - 1) / {_RAG_S}) AS INT))) AS t(i)
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+  ) WHERE rn = 1
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(length(chunk)) AS BIGINT) AS total_chars,
+       md5(string_agg(md5(chunk), ',' ORDER BY md5(chunk)))
+         AS corpus_digest
+FROM deduped GROUP BY source
+"""
+
+
+@query("pipeline_rag_chunking", oracle=_RAG_ORACLE)
+def pipeline_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG ingest pipeline as ONE plan (fourth flagship): linear
+    quality gate -> overlapping chunking -> exact chunk-level dedup ->
+    per-source report with an order-insensitive corpus digest. Composes
+    this round's operators (quality_classifier_score's probe,
+    doc_chunk_overlap's splitter, dedup_exact's digest-group) without a
+    materialization barrier: Catalyst sees the whole chain, so the
+    quality filter prunes BEFORE the chunk explode (cheap gate ahead of
+    the 2x data amplification — same stage-ordering rule as
+    pipeline_corpus_curation) and the only wide stages are the chunk-
+    digest dedup and the report.
+
+    The digest pins exact chunk membership per source, so the oracle
+    catches a pipeline that filters, splits, or dedups differently —
+    not just one with different counts."""
+    toks = F.split(F.col("text"), " ")
+    logit = (
+        F.lit(-1.2)
+        + 2.0 * (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+        + 0.8 * F.least(F.size(toks) / 100.0, F.lit(1.0))
+    )
+    scored = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .withColumn("logit", logit)
+        .filter(1.0 / (1.0 + F.exp(-F.col("logit"))) >= 0.4)
+    )
+    n_chunks = (
+        1
+        + F.floor(
+            (F.greatest(F.length("text") - _RAG_W, F.lit(0)) + _RAG_S - 1)
+            / _RAG_S
+        )
+    ).cast("int")
+    chunks = scored.withColumn("nc", n_chunks).select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, nc),"
+                f" i -> substring(text, (i - 1) * {_RAG_S} + 1, {_RAG_W}))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    deduped = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum(F.length("chunk")).alias("total_chars"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.md5("chunk"))), ",")
+        ).alias("corpus_digest"),
+    )

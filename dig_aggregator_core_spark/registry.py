@@ -153,7 +153,7 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # tier back into the ordinary unverified tier; with the quantize rewrite
 # and the mid-r4 additions (behavioral/search/simjoin/chunking/drift/BPE/
 # adaptive-LSH) the unverified queue is exactly 50 names — one full
-# budget. The late-r4 additions below (10 names) would displace
+# budget. The late-r4 additions below (11 names) would displace
 # never-checked names, so they park here as round 5's queue — every one
 # is green in the local sf0.001 AND sf0.01 driver-mirror sweeps
 # (tools/sweep.py) and in the ported test suite.
@@ -169,6 +169,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "length_bucket_batching",
         "tokenizer_bpe_merges",
         "stream_funnel_stateful",
+        "pipeline_rag_chunking",
     }
 )
 
