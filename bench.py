@@ -94,6 +94,8 @@ HEADLINE = [
     "entropy_filter",
     "length_bucket_batching",
     "tokenizer_bpe_merges",
+    "stream_funnel_stateful",
+    "pipeline_rag_chunking",
 ]
 
 
