@@ -139,17 +139,36 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    line = json.dumps(payload)
+    # the driver keeps only the last ~2000 chars of stdout, and the full
+    # per-query map no longer fits (BENCH_r04 recorded "parsed": null).
+    # Persist the complete payload to a file, print it for humans, then
+    # print a guaranteed-small JSON summary LAST so the driver's parse
+    # always succeeds; the full per-query numbers live in BENCH_LAST.json.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
     )
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
+    summary = dict(payload)
+    if len(line) > 1800:
+        # keep the summary line comfortably inside the capture window:
+        # per-query numbers move to the file; the headline total stays
+        summary["queries"] = {"_full_per_query_map_in": "BENCH_LAST.json"}
+        summary["n_queries"] = len(times)
+    print(json.dumps(summary))
     spark.stop()
 
 

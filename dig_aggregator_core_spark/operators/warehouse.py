@@ -437,7 +437,8 @@ WITH halves AS (
   SELECT event_type,
          CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
          value,
-         json_extract(props, '$.k') IS NOT NULL AS has_k
+         (json_valid(props)
+          AND json_extract_string(props, '$.k') IS NOT NULL) AS has_k
   FROM events
 ), s AS (
   SELECT event_type,

@@ -142,6 +142,28 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "stream_stream_interval_join", "stream_static_join",
         "stream_kafka_shaped", "tumbling_window", "sliding_window",
         "session_window",
+        # green in CORRECTNESS_r04.json (50 rows, all hash-verified):
+        "agg_mode_per_group", "ann_lsh_adaptive", "approx_top_k_bounded",
+        "bm25_topk", "bpe_pair_stats", "cohort_retention",
+        "dedup_exact_substring", "dedup_incremental_ledger",
+        "dedup_minhash_lsh", "doc_chunk_overlap", "feature_mad_outliers",
+        "feature_quantile_bucketize", "feature_winsorized_stats",
+        "feature_zscore_outliers", "fn_decimal_exact", "fn_variant_json",
+        "funnel_conversion", "graph_triangle_count",
+        "histogram_fixed_buckets", "hll_sketch_union_bounded",
+        "join_bloom_prefilter", "join_interval_bucketed",
+        "layout_zorder_key", "merge_upsert_delete", "pagerank_transitions",
+        "percentile_approx_bounded", "pii_redact", "pipeline_user_features",
+        "profile_drift", "quantize_embeddings",
+        "sample_weighted_without_replacement", "scan_binaryfile_ingest",
+        "scan_python_datasource", "simjoin_prefix_jaccard",
+        "sink_compacted_write", "skew_diagnose_keys", "snapshot_diff",
+        "stream_ewma_stateful", "stream_session_availablenow",
+        "stream_sliding_availablenow", "stream_tumbling_availablenow",
+        "table_profile", "table_profile_approx", "text_perplexity_proxy",
+        "text_regex_tokenize", "timeseries_ewma", "timeseries_resample_ohlc",
+        "udtf_sentence_split", "url_domain_blocklist",
+        "window_running_distinct",
     }
 )
 
@@ -149,29 +171,12 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # Unverified names deliberately ranked LAST within the unverified tier:
 # the harness budget is ~50 rows per round, so operators added (or
 # rewritten) AFTER a round's queue is frozen park here rather than
-# displace a never-checked name. Round 4 folded the 31-name r3 deferred
-# tier back into the ordinary unverified tier; with the quantize rewrite
-# and the mid-r4 additions (behavioral/search/simjoin/chunking/drift/BPE/
-# adaptive-LSH) the unverified queue is exactly 50 names — one full
-# budget. The late-r4 additions below (11 names) would displace
-# never-checked names, so they park here as round 5's queue — every one
-# is green in the local sf0.001 AND sf0.01 driver-mirror sweeps
-# (tools/sweep.py) and in the ported test suite.
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {
-        "semdedup_clusters",
-        "bootstrap_confidence",
-        "sample_group_kfold",
-        "stream_topk_windowed",
-        "stream_stream_left_outer_join",
-        "quality_classifier_score",
-        "entropy_filter",
-        "length_bucket_batching",
-        "tokenizer_bpe_merges",
-        "stream_funnel_stateful",
-        "pipeline_rag_chunking",
-    }
-)
+# displace a never-checked name. Round 5 folded the 11-name r4 deferred
+# tier (semdedup/bootstrap/kfold/stream-topk/stream-left-outer/quality/
+# entropy/length-bucket/BPE-merges/stream-funnel/rag-chunking) into the
+# ordinary unverified queue — it heads round 5's ~50-row budget alongside
+# the r5 additions.
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 
 def ordered_queries() -> dict[str, QueryFn]:

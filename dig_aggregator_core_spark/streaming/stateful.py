@@ -493,10 +493,35 @@ def _events_with_flush_sentinel(spark: SparkSession, sf_dir: str) -> str:
     naturally (data keeps arriving); a run-to-idle replay must append a
     watermark-advancing sentinel past every real row's expiration. The
     sentinel pair matches only itself and is filtered from the output."""
+    # key the scratch dir on a content fingerprint of the SOURCE (total
+    # size + max mtime over its files), not just the path: regenerating
+    # the fixture at the same path must invalidate the cache, and two
+    # concurrent runs against different source contents must not share a
+    # directory. A half-written cache is never served (_done written last).
+    src = os.path.join(sf_dir, "events.parquet")
+    sig = "0"
+    try:
+        paths = (
+            [
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if not f.startswith((".", "_"))
+            ]
+            if os.path.isdir(src)
+            else [src]
+        )
+        stats = [os.stat(p) for p in paths]
+        sig = "%d_%d" % (
+            sum(s.st_size for s in stats),
+            max((s.st_mtime_ns for s in stats), default=0),
+        )
+    except OSError:
+        pass
     out = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_scratch",
-        "outer_sentinel_" + re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/")),
+        "outer_sentinel_%s_%s"
+        % (re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/")), sig),
     )
     done = os.path.join(out, "_done")
     if not os.path.exists(done):
@@ -729,4 +754,23 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "update")
+    result = _run_to_memory(out, "update")
+    # update mode re-emits a user's row in EVERY micro-batch that touches
+    # the user; a multi-file source therefore yields several rows per
+    # user_id. Stage times only ever fill in (t1 before t2 before t3,
+    # never mutated), so the final emission is the row with the most
+    # non-null stage times — keep exactly that one per user (same
+    # collapse stream_ewma_stateful applies via its n_events ordering).
+    from pyspark.sql import Window
+
+    filled = (
+        F.col("t1").isNotNull().cast("int")
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    )
+    w = Window.partitionBy("user_id").orderBy(filled.desc())
+    return (
+        result.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "t1", "t2", "t3")
+    )

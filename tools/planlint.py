@@ -123,15 +123,20 @@ def lint(name: str, plan: str) -> list[str]:
     ):
         if name not in ALLOW["python"]:
             finds.append("Python in plan")
-    # global sorts that aren't the heap top-k
-    for m in re.finditer(r"^\(\d+\) Sort", plan, re.M):
-        if "TakeOrderedAndProject" in plan:
-            continue
-        if name not in ALLOW["global_sort"] and re.search(
-            r"Arguments: \[.*\], true, 0", plan
+    # global sorts that aren't the heap top-k. TakeOrderedAndProject has
+    # no child Sort node (it replaces sort+limit wholesale), so its
+    # presence never excuses a SEPARATE full global Sort elsewhere in the
+    # plan — each Sort node's OWN detail block decides (global=true is the
+    # 2nd Argument), never a plan-wide bypass.
+    if name not in ALLOW["global_sort"]:
+        for m in re.finditer(
+            r"^\(\d+\) Sort\b.*?^Arguments: \[[^\n]*\], (\w+), \d+",
+            plan,
+            re.M | re.S,
         ):
-            finds.append("global sort (no heap)")
-            break
+            if m.group(1) == "true":
+                finds.append("global sort (no heap)")
+                break
     n_sh = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
     cap = SHUFFLE_CEILING.get(name, MAX_SHUFFLES)
     if n_sh > cap:
