@@ -31,6 +31,10 @@ from ..tables import load
 
 DECONTAM_NGRAM = 5  # shingle width for benchmark-overlap decontamination
 EPOCH_SHARDS = 8  # deterministic shard count for epoch assignment
+# the per-source matrix uses a tighter shingle so the fixture grid is
+# densely populated (5-grams almost never collide in the synthetic text;
+# real audits pick 8-13 and the width is a parameter, not a design point)
+MATRIX_NGRAM = 3
 
 # first 8 md5 hex chars as a bigint in [0, 2^32) — the shared Spark/DuckDB
 # uniform hash used for sampling decisions (same trick as
@@ -194,6 +198,98 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+@query(
+    "decontam_source_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - {MATRIX_NGRAM - 2}),
+               i -> list_aggregate(list_slice(t, CAST(i AS INT),
+                 CAST(i + {MATRIX_NGRAM - 1} AS INT)), 'string_agg', ' '))))
+               AS shingle
+      FROM toks WHERE len(t) >= {MATRIX_NGRAM}
+    ),
+    bench AS (
+      SELECT DISTINCT 'bench_' || CAST(doc_id % 3 AS VARCHAR) AS benchmark,
+             shingle
+      FROM sh WHERE doc_id % 97 = 0
+    ),
+    per_doc AS (
+      SELECT s.source, b.benchmark, s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sh
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY 1, 2, 3
+    )
+    SELECT source, benchmark,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_contaminated,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shared_ngrams
+    FROM per_doc GROUP BY source, benchmark
+    """,
+)
+def decontam_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination matrix: decontam_ngram_overlap generalized
+    to the source x benchmark grid a real training-data audit ships —
+    for every (corpus source, benchmark) cell, how many training docs
+    share at least one {MATRIX_NGRAM}-gram with that benchmark and how
+    many distinct doc-shingle overlaps there are. Three deterministic
+    pseudo-benchmarks stand in for the eval suites (doc_id % 97 == 0,
+    split into bench_{{0,1,2}} by doc_id % 3).
+
+    Scale shape: ONE corpus scan — shingles are exploded once and probed
+    against the broadcast benchmark shingle set (all benchmarks in one
+    tiny table keyed by shingle), exactly decontam_ngram_overlap's
+    broadcast-probe shape; the matrix costs no more scans than the single
+    flag. Aggregation is two-level so every exchange stays
+    partial-aggregatable: (source, benchmark, doc_id) first — doc_id is
+    near-unique so the map side absorbs it — then the final reduce onto
+    the sources x benchmarks grid, which is metadata-sized at any corpus
+    scale. No COUNT(DISTINCT) Expand anywhere."""
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", toks.alias("t"))
+        .filter(F.size("t") >= MATRIX_NGRAM)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {MATRIX_NGRAM - 1}),"
+                        f" i -> array_join(slice(t, CAST(i AS INT),"
+                        f" {MATRIX_NGRAM}), ' '))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.concat(
+                F.lit("bench_"), (F.col("doc_id") % 3).cast("string")
+            ).alias("benchmark"),
+            "shingle",
+        )
+        .distinct()
+    )
+    per_doc = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("source", "benchmark", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    return per_doc.groupBy("source", "benchmark").agg(
+        F.count(F.lit(1)).alias("n_docs_contaminated"),
+        F.sum("n_sh").alias("n_shared_ngrams"),
     )
 
 

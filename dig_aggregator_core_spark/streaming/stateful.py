@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.behavioral import _COHORT_ORACLE as _BATCH_COHORT_ORACLE
 from ..registry import query
 from ..tables import load, ntz_as_utc_instant
 
@@ -773,4 +774,87 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         result.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("user_id", "t1", "t2", "t3")
+    )
+
+
+_COHORT_STATE = "days array<int>"
+_COHORT_OUT = "user_id bigint, n_days int, days array<int>"
+
+
+def _cohort_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Distinct active epoch-days per user, merged across micro-batches.
+    State is the user's sorted distinct day list — bounded by the span of
+    the retention window (a 90-day product grid caps it at 90 ints), NOT
+    by event volume: a million events on one day cost one state entry."""
+    (days,) = state.get if state.exists else ([],)
+    seen = set(days)
+    for pdf in pdfs:
+        seen.update(int(d) for d in pdf["eday"])
+    days = sorted(seen)
+    state.update((days,))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.array([key[0]], dtype="Int64"),
+            "n_days": pd.array([len(days)], dtype="Int32"),
+            "days": [days],
+        }
+    )
+
+
+@query("stream_cohort_retention", oracle=_BATCH_COHORT_ORACLE)
+def stream_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention maintained INCREMENTALLY: each user's distinct
+    active-day set lives in the state store (applyInPandasWithState) and
+    the cohort grid is re-derived from the final per-user emissions — the
+    streaming twin of operators/behavioral.cohort_retention, sharing its
+    oracle verbatim. After run-to-idle the grid equals the batch one.
+
+    Scale: state per user is the distinct-day list (bounded by the
+    retention window span, not event count); emission is per-key update
+    mode collapsed to the final (max n_days) row per user, the same
+    collapse the EWMA and funnel apply. The grid reduction itself is the
+    batch op's metadata-sized (cohort_day, day_offset) aggregate. The
+    day is computed by pure epoch arithmetic on the embedded UTC instant
+    (floor(unix_micros / 86.4e9)) so the result is session-timezone-proof.
+    """
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("int")
+        .alias("eday"),
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _cohort_fn,
+        outputStructType=_COHORT_OUT,
+        stateStructType=_COHORT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = _run_to_memory(out, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_days"))
+    final = (
+        result.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "days")
+    )
+    cohorted = final.select(
+        F.array_min("days").alias("cohort"),
+        F.explode("days").alias("day"),
+    )
+    return (
+        cohorted.groupBy(
+            F.date_format(
+                F.expr("date_from_unix_date(cohort)"), "yyyy-MM-dd"
+            ).alias("cohort_day"),
+            (F.col("day") - F.col("cohort")).alias("day_offset"),
+        )
+        # (user, day) is unique after exploding per-user day SETS, so a
+        # plain COUNT is the distinct-user count — no Expand
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )

@@ -95,6 +95,18 @@ def test_decontam_broadcasts_benchmark(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_decontam_matrix_single_corpus_scan(spark, sf_dir):
+    plan = plan_of("decontam_source_matrix", spark, sf_dir)
+    # the whole source x benchmark grid costs the SAME two corpus reads
+    # as the single-flag decontam_ngram_overlap (probe side + benchmark
+    # side) — generalizing to the matrix adds no scan; no SMJ, and no
+    # COUNT(DISTINCT) Expand (two-level agg instead)
+    assert n_scans(plan) <= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Expand" not in plan
+
+
 def test_pack_token_chunks_single_exchange_no_global_sort(spark, sf_dir):
     plan = plan_of("pack_token_chunks", spark, sf_dir)
     # one per-source exchange; the window sort is per-partition

@@ -275,3 +275,93 @@ def test_funnel_state_carries_across_batches(spark, sf_dir):
         and ((t2 is not None and t2 > bound) or (t3 is not None and t3 > bound))
     ]
     assert crossers, "fixture split produced no cross-batch conversions"
+
+
+def test_cohort_state_carries_across_batches(spark, sf_dir):
+    """Two-file replay for the stateful cohort: a user's distinct-day SET
+    must merge across batches (days from batch 1 kept when batch 2 adds
+    more), and the collapsed grid must equal the batch retention grid."""
+    from dig_aggregator_core_spark.streaming.stateful import (
+        _COHORT_OUT,
+        _COHORT_STATE,
+        _cohort_fn,
+    )
+    from dig_aggregator_core_spark.tables import ntz_epoch_us
+
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", "multibatch_cohort"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (ntz_epoch_us("ts") / F.lit(86_400_000_000))
+        .cast("int")
+        .alias("eday"),
+    )
+    # split at the median day so most users are active on BOTH sides
+    days = sorted(r["eday"] for r in ev.select("eday").distinct().collect())
+    bound = days[len(days) // 2]
+    first = ev.filter(F.col("eday") <= bound)
+    second = ev.filter(F.col("eday") > bound)
+    assert first.count() > 0 and second.count() > 0
+
+    for i, half in enumerate((first, second)):
+        tmp = os.path.join(base, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(data_dir, f"{chr(97 + i)}.parquet")
+        shutil.copy(os.path.join(tmp, part), dest)
+        ts_file = time.time() - (10 - i)
+        os.utime(dest, (ts_file, ts_file))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _cohort_fn,
+        outputStructType=_COHORT_OUT,
+        stateStructType=_COHORT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = "multibatch_cohort_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+
+    from pyspark.sql import Window
+
+    result = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_days"))
+    final = (
+        result.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "days")
+    )
+    got = {r["user_id"]: sorted(r["days"]) for r in final.collect()}
+    expected = {
+        r["user_id"]: sorted(r["days"])
+        for r in ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("eday")).alias("days"))
+        .collect()
+    }
+    assert got == expected
+    # the split must actually exercise the cross-batch set merge
+    crossers = [
+        u
+        for u, ds in expected.items()
+        if any(d <= bound for d in ds) and any(d > bound for d in ds)
+    ]
+    assert crossers, "fixture split produced no cross-batch users"

@@ -74,6 +74,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "ann_ivf_probe": "k-row centroid table crossed for assignment + probe scoring",
         "semdedup_clusters": "metadata-sized seed-centroid table broadcast for assignment",
         "ann_lsh_adaptive": "1-row bucket-bit-count frame broadcast onto the corpus",
+        "ann_lsh_multiprobe": "1-row bucket-bit-count frame broadcast onto the corpus",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
