@@ -354,6 +354,24 @@ FROM documents WHERE doc_id % 100 = 0
 """
 
 
+def _bin_file_writer(path: str):
+    """Executor-side writer for the binaryFile fixture: one .bin per row,
+    written by the task that owns the partition (names are unique per
+    doc_id, so concurrent tasks never collide)."""
+
+    def write(rows) -> None:
+        import os as _os
+
+        _os.makedirs(path, exist_ok=True)
+        for r in rows:
+            with open(
+                _os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb"
+            ) as f:
+                f.write(bytes(r["payload"]))
+
+    return write
+
+
 @query("scan_binaryfile_ingest", oracle=_BINARYFILE_ORACLE)
 def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-asset ingest via the `binaryFile` source: each file becomes one
@@ -385,12 +403,10 @@ def scan_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan reads the whole directory, so leftovers would change rows
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    # write one .bin per doc driver-side: fixture-scale setup only (the
-    # SCAN under test is the distributed part); real corpora already
-    # exist as files.
-    for r in docs.collect():
-        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as f:
-            f.write(bytes(r["payload"]))
+    # write one .bin per doc DISTRIBUTED (foreachPartition: each task
+    # writes its own partition's files) — no driver-side collect in the
+    # query path; on a real cluster `path` would be shared storage.
+    docs.foreachPartition(_bin_file_writer(path))
     scanned = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")

@@ -9,7 +9,15 @@ RunStatus.scala:56-128) on plain Parquet:
   directory being scanned, and the previous version remains readable until
   the new one is committed (poor-man's snapshot isolation; Delta MERGE INTO
   is the drop-in upgrade where the dependency is allowed);
-- single-writer per stage run, exactly like the reference's usage;
+- CONCURRENT writers are safe: every read-merge-write cycle runs under an
+  exclusive flock on `<table>/.lock`, so two simultaneous upserts serialize
+  and neither loses the other's rows — the semantics the reference gets for
+  free from MySQL's ON DUPLICATE KEY UPDATE (Runs.scala:93-102). flock is
+  released by the OS on process death (no stale-lock protocol needed), and
+  the ledger is constrained to the local filesystem (checked below), where
+  flock is reliable. Readers never take the lock: they see the last
+  committed version. An object-store deployment swaps this class for a
+  transactional table format;
 - `RunStatus.insert` on an existing key RESETS started/ended to NULL
   (RunStatus.scala:79-83 — pinned by the ported RunsStatusTest).
 
@@ -21,8 +29,14 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 from datetime import datetime, timezone
 from typing import Optional
+
+try:  # POSIX only; the sandbox and every target deployment are Linux
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX fallback, best effort
+    fcntl = None  # type: ignore[assignment]
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,6 +95,27 @@ class _VersionedTable:
         self.path = path[len("file://"):] if path.startswith("file://") else path
         self.schema = schema
 
+    @contextmanager
+    def locked(self):
+        """Exclusive writer lock for one read-merge-write cycle.
+
+        flock on `<table>/.lock`: mutual exclusion across processes AND
+        across threads of one process (each holder opens its own fd, and
+        flock serializes per open file description). Reentrancy is not
+        needed — every public mutator takes the lock exactly once.
+        """
+        if fcntl is None:  # pragma: no cover - non-POSIX
+            yield
+            return
+        os.makedirs(self.path, exist_ok=True)
+        fd = open(os.path.join(self.path, ".lock"), "a")
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            fd.close()
+
     def _versions(self) -> list[int]:
         if not os.path.isdir(self.path):
             return []
@@ -95,8 +130,9 @@ class _VersionedTable:
 
     def migrate(self) -> None:
         """CREATE TABLE IF NOT EXISTS (reference Runs.scala:36-45)."""
-        if not self.exists():
-            self._write(self.spark.createDataFrame([], self.schema))
+        with self.locked():
+            if not self.exists():
+                self._write(self.spark.createDataFrame([], self.schema))
 
     def drop(self) -> None:
         import shutil
@@ -128,19 +164,24 @@ class _VersionedTable:
     def upsert(self, new: DataFrame, key: list[str]) -> None:
         """Merge-on-key: drop old rows whose key appears in `new`, union
         the new rows (reference Runs.scala:93-102 ON DUPLICATE KEY UPDATE).
-        """
-        old = self.read()
-        merged = old.join(new.select(*key).distinct(), key, "left_anti").unionByName(
-            new
-        )
-        self._write(merged)
+        The whole read-merge-write cycle holds the writer lock, so two
+        concurrent upserts serialize — the second merges onto the first's
+        committed version instead of a stale snapshot (RunsTest.scala
+        upsert semantics under concurrency)."""
+        with self.locked():
+            old = self.read()
+            merged = old.join(
+                new.select(*key).distinct(), key, "left_anti"
+            ).unionByName(new)
+            self._write(merged)
 
     def delete_where(self, cond) -> int:
-        old = self.read()
-        n = old.filter(cond).count()
-        if n:
-            self._write(old.filter(~cond))
-        return n
+        with self.locked():
+            old = self.read()
+            n = old.filter(cond).count()
+            if n:
+                self._write(old.filter(~cond))
+            return n
 
 
 class RunsLedger:
@@ -260,16 +301,17 @@ class RunStatusLedger:
     ) -> None:
         if not outputs:
             return
-        cur = self.table.read()
         k = (
             (F.col("project") == self.project)
             & (F.col("method") == self.method)
             & (F.col("stage") == stage)
             & (F.col("output").isin(list(outputs)))
         )
-        self.table._write(
-            cur.withColumn(col, F.when(k, F.lit(ts)).otherwise(F.col(col)))
-        )
+        with self.table.locked():
+            cur = self.table.read()
+            self.table._write(
+                cur.withColumn(col, F.when(k, F.lit(ts)).otherwise(F.col(col)))
+            )
 
     def start(self, stage: str, output: str, now: Optional[datetime] = None) -> None:
         self._set_many(stage, [output], "started", now or utc_now())

@@ -148,3 +148,78 @@ def test_status_lifecycle_and_reset(status):
 
     status.delete("TestStage", "o")
     assert status.all() == []
+
+
+# --- concurrent-writer safety (reference gets this from MySQL's
+# ON DUPLICATE KEY UPDATE, Runs.scala:93-102; the Parquet ledger gets it
+# from the flock around each read-merge-write cycle) ---
+
+
+def test_runs_concurrent_upserts_lose_nothing(runs):
+    """Two writers upserting simultaneously: both writers' rows must land
+    (no lost update from both merging the same stale snapshot), and the
+    one overlapping key must resolve to exactly one of the two versions —
+    RunsTest.scala's upsert semantics, under concurrency."""
+    import threading
+
+    runs.migrate()
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def writer(tag: str) -> None:
+        try:
+            barrier.wait(timeout=30)
+            for n in range(3):
+                runs.insert(
+                    "TestStage",
+                    f"out_{tag}_{n}",
+                    [inp(f"in_{tag}_{n}", n)],
+                )
+            # both writers also hit ONE shared key with different versions
+            runs.insert("TestStage", "shared_out", [inp("shared_in", 99)])
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    rows = runs.all()
+    outputs = {r["output"] for r in rows}
+    expected = {f"out_{t}_{n}" for t in ("a", "b") for n in range(3)}
+    assert expected <= outputs, expected - outputs
+    # upsert-on-conflict: the shared key exists exactly once
+    shared = [r for r in rows if r["output"] == "shared_out"]
+    assert len(shared) == 1
+    assert len(rows) == 7
+
+
+def test_status_concurrent_inserts_lose_nothing(status):
+    import threading
+
+    status.migrate()
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def writer(tag: str) -> None:
+        try:
+            barrier.wait(timeout=30)
+            status.insert_many("TestStage", [f"o_{tag}_{n}" for n in range(3)])
+            status.end("TestStage", f"o_{tag}_0")
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    rows = {r["output"]: r for r in status.all()}
+    assert set(rows) == {f"o_{t}_{n}" for t in ("a", "b") for n in range(3)}
+    assert rows["o_a_0"]["ended"] is not None
+    assert rows["o_b_0"]["ended"] is not None
