@@ -96,6 +96,19 @@ HEADLINE = [
     "tokenizer_bpe_merges",
     "stream_funnel_stateful",
     "pipeline_rag_chunking",
+    # r5 additions: the recall-path LSH pair, cluster representative
+    # selection, the contamination matrix, FFD packing, CDC chunking,
+    # containment join, attribution, centroid eval, streaming cohort
+    "ann_lsh_multiprobe",
+    "ann_hard_negatives",
+    "dedup_cluster_representative",
+    "decontam_source_matrix",
+    "pack_bins_ffd",
+    "chunk_cdc_rolling",
+    "simjoin_containment",
+    "attribution_last_touch",
+    "knn_centroid_label_eval",
+    "stream_cohort_retention",
 ]
 
 

@@ -223,3 +223,87 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partial-aggregatable (no distinct Expand)
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+_ATTR_LOOKBACK_US = 3 * 24 * 3600 * 1_000_000  # 3-day attribution window
+
+_ATTR_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+t AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+lt AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.us AS pus,
+         MAX(struct_pack(us := t.us, event_id := t.event_id,
+                         event_type := t.event_type)) AS s
+  FROM p LEFT JOIN t ON t.user_id = p.user_id
+    AND (t.us < p.us OR (t.us = p.us AND t.event_id < p.event_id))
+  GROUP BY 1, 2, 3
+)
+SELECT purchase_id, user_id,
+  CASE WHEN s.us >= pus - {_ATTR_LOOKBACK_US} THEN s.event_id END
+    AS touch_id,
+  CASE WHEN s.us >= pus - {_ATTR_LOOKBACK_US} THEN s.event_type END
+    AS touch_type,
+  CASE WHEN s.us >= pus - {_ATTR_LOOKBACK_US} THEN pus - s.us END
+    AS gap_us
+FROM lt
+"""
+
+
+@query("attribution_last_touch", oracle=_ATTR_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent preceding view/click within a 3-day lookback — the
+    marketing-analytics twin of the as-of join, reported per purchase
+    with the touch id, type, and exact gap (microseconds, so no
+    cross-engine rounding). Purchases with no in-window touch emit NULL
+    touch columns (the unattributed bucket a funnel report needs).
+
+    Plan: ONE user_id shuffle; the running "latest touch so far" is a
+    MAX over a (us, event_id, type) struct in a ROWS window ending one
+    row before the current — strictly-preceding semantics with a
+    deterministic (us, event_id) tie order, which the oracle mirrors as
+    a lexicographic join predicate. No per-touch self-join: the naive
+    purchases-x-touches join is quadratic in per-user activity, while
+    the window pass is linear and partition-local after the single
+    exchange (same scale posture as sessionize_events). The lookback
+    check is applied AFTER the argmax — any older touch is farther, so
+    in-window-latest == latest-overall when that one is in window."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            ntz_epoch_us("ts").alias("us"),
+        )
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct(
+            F.col("us").alias("us"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    with_lt = ev.withColumn("lt", F.max(touch).over(w))
+    in_window = F.col("lt.us") >= F.col("us") - _ATTR_LOOKBACK_US
+    return with_lt.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_window, F.col("lt.event_id")).alias("touch_id"),
+        F.when(in_window, F.col("lt.event_type")).alias("touch_type"),
+        F.when(in_window, F.col("us") - F.col("lt.us")).alias("gap_us"),
+    )

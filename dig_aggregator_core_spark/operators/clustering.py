@@ -143,3 +143,115 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.element_at("v", 2)), 6).alias("c_dim2"),
         )
     )
+
+
+_NCC_ORACLE = """
+WITH x AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+  SELECT x.label, u.pos, AVG(x.v[CAST(u.pos AS INT)]) AS m
+  FROM x, LATERAL unnest(range(1, len(x.v) + 1)) AS u(pos)
+  GROUP BY x.label, u.pos
+),
+cents AS (
+  SELECT label AS c_label,
+         list(ROUND(m, 6) ORDER BY pos) AS c
+  FROM comp GROUP BY label
+),
+scored AS (
+  SELECT x.vec_id, x.label, c.c_label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(x.v) + 1),
+             i -> x.v[i] * c.c[i])),
+           (acc, y) -> acc + y)
+         / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(x.v, y -> y * y)), (acc, y) -> acc + y))
+         / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(c.c, y -> y * y)), (acc, y) -> acc + y))
+           AS cos
+  FROM x CROSS JOIN cents c
+),
+pred AS (
+  SELECT vec_id, label, c_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, c_label) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN c_label = label THEN 1.0 ELSE 0.0 END)
+             / COUNT(*), 6) AS accuracy
+FROM pred GROUP BY label
+"""
+
+
+@query("knn_centroid_label_eval", oracle=_NCC_ORACLE)
+def knn_centroid_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification report over the embedding space:
+    per-label mean vectors (the Rocchio classifier), every vector
+    classified to its most-cosine-similar centroid, accuracy reported
+    per true label — the standard cheap probe of whether an embedding
+    space separates its labels (run after every retraining, before any
+    expensive kNN eval). Centroid components round to 6 decimals on both
+    engines before scoring so cross-engine float summation order cannot
+    flip a near-tie argmax.
+
+    Plan: centroid computation explodes (label, dim_pos, value) and
+    partial-aggregates map-side, so the shuffle carries |labels| x dim
+    rows, not vectors; the labels x dim centroid table is metadata-sized
+    and BROADCASTS back onto one corpus pass for scoring (same posture
+    as ann_ivf_probe's centroid probe); the final reduce is per-label.
+    No vector ever shuffles twice."""
+    x = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, y -> CAST(y AS DOUBLE))").alias("v"),
+    )
+    comp = (
+        x.select(
+            "label", F.posexplode("v").alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+    cents = comp.groupBy(F.col("label").alias("c_label")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, m))),"
+            " s -> round(s.m, 6))"
+        ).alias("c")
+    )
+    scored = x.crossJoin(F.broadcast(cents)).withColumn(
+        "cos",
+        F.expr(
+            "aggregate(zip_with(v, c, (a, b) -> a * b),"
+            " CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
+            " / sqrt(aggregate(transform(v, y -> y * y),"
+            "   CAST(0.0 AS DOUBLE), (acc, y) -> acc + y))"
+            " / sqrt(aggregate(transform(c, y -> y * y),"
+            "   CAST(0.0 AS DOUBLE), (acc, y) -> acc + y))"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("c_label")
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("label", "c_label")
+    )
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("c_label") == F.col("label")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum((F.col("c_label") == F.col("label")).cast("double"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )

@@ -1118,3 +1118,259 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 semdedup_clusters.__doc__ = semdedup_clusters.__doc__.format(t=_SD_THRESH)
+
+
+@query(
+    "dedup_cluster_representative",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_MINHASH_SQL}, {_PAIRS_SQL},
+    comp AS (
+      SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+      FROM reach GROUP BY u
+    ),
+    sized AS (
+      SELECT comp.doc_id, comp.component,
+             CAST(len(corpus.toks) AS BIGINT) AS n_toks
+      FROM comp JOIN corpus ON corpus.doc_id = comp.doc_id
+    )
+    SELECT component, doc_id AS kept_doc_id, n_toks AS kept_n_toks,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+      SELECT component, doc_id, n_toks,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY n_toks DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM sized
+    ) WHERE rk = 1
+    """,
+)
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the step AFTER duplicate clustering that
+    decides which member of each near-dup cluster survives into the
+    training mix. Policy here: keep the longest member (most tokens; the
+    truncation-mutated corpus makes originals strictly longer than their
+    mutants), ties broken by minimum doc_id so the choice is
+    deterministic. A production pipeline swaps in any per-doc score
+    (quality_classifier_score, source priority) without changing the
+    plan shape.
+
+    Plan: the connected-components labels join to per-doc token counts
+    (narrow map over the corpus), then ONE component-partitioned window
+    pass computes the argmax member and the member count together — the
+    row_number and count share the same shuffle. Cluster sizes are
+    near-dup cluster sizes (small by nature), so the window partitions
+    are tiny and skew-free at any corpus scale; the expensive part is
+    the CC fixpoint this op inherits, not the selection."""
+    cc = dedup_connected_components(spark, sf_dir)
+    sizes = _corpus(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_toks")
+    )
+    j = cc.join(sizes, "doc_id")
+    part = Window.partitionBy("component")
+    ordered = part.orderBy(F.desc("n_toks"), F.asc("doc_id"))
+    return (
+        j.select(
+            "component",
+            "doc_id",
+            "n_toks",
+            F.row_number().over(ordered).alias("rk"),
+            F.count(F.lit(1)).over(part).alias("n_members"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_toks").alias("kept_n_toks"),
+            "n_members",
+        )
+    )
+
+
+_CDC_W = 16  # rolling window (chars); boundary when digest nibble == '0'
+
+# the final position is forced to be a boundary INSIDE the filter (not
+# appended + deduplicated after: DuckDB's list_distinct does not preserve
+# element order, which silently scrambles the chunk layout)
+_CDC_BOUNDS_SQL = f"""
+list_filter(range({_CDC_W}, length(text) + 1),
+  i -> i = length(text)
+    OR substr(md5(substr(text, CAST(i - {_CDC_W} + 1 AS INT),
+                         {_CDC_W})), 1, 1) = '0')
+"""
+
+
+@query(
+    "chunk_cdc_rolling",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, {_CDC_BOUNDS_SQL} AS bounds
+      FROM documents WHERE length(text) >= {_CDC_W}
+    )
+    SELECT doc_id,
+           CAST(u.j AS INT) AS chunk_idx,
+           CAST(bounds[CAST(u.j AS INT)]
+                - (CASE WHEN u.j = 1 THEN 0
+                        ELSE bounds[CAST(u.j - 1 AS INT)] END)
+                AS BIGINT) AS chunk_len,
+           md5(substr(text,
+                 CAST(CASE WHEN u.j = 1 THEN 1
+                           ELSE bounds[CAST(u.j - 1 AS INT)] + 1 END AS INT),
+                 CAST(bounds[CAST(u.j AS INT)]
+                   - (CASE WHEN u.j = 1 THEN 0
+                           ELSE bounds[CAST(u.j - 1 AS INT)] END) AS INT)))
+             AS chunk_md5
+    FROM b, LATERAL unnest(range(1, len(bounds) + 1)) AS u(j)
+    """,
+)
+def chunk_cdc_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC family): chunk
+    boundaries are placed where a rolling {w}-char window's digest starts
+    with a zero nibble (expected chunk ~16 + 16 chars), so boundaries
+    move WITH the content — inserting one character early in a document
+    shifts every fixed-stride window (dedup_exact_substring's known
+    blind spot) but leaves all later CDC boundaries, and therefore all
+    later chunk digests, intact. This is the chunking that makes
+    shifted/near-identical documents share chunk hashes for downstream
+    exact dedup or delta storage.
+
+    Plan: pure per-row expressions — boundary detection, slicing, and
+    chunk digests are one codegen projection plus a posexplode; ZERO
+    shuffles (the cross-doc groupBy on chunk_md5 is downstream's job,
+    and it shuffles 16-byte digests, never text). Cost is one md5 per
+    character position, embarrassingly parallel and linear in corpus
+    bytes; production swaps the md5 probe for a Gear/Rabin rolling hash
+    (same plan, cheaper per position). Deterministic across engines —
+    the oracle recomputes boundaries bit-identically."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= _CDC_W
+    )
+    bounds = F.expr(
+        f"filter(sequence({_CDC_W}, length(text)),"
+        f" i -> i = length(text)"
+        f"  OR substring(md5(substring(text,"
+        f"      CAST(i - {_CDC_W} + 1 AS INT), {_CDC_W})), 1, 1) = '0')"
+    )
+    b = docs.select("doc_id", "text", bounds.alias("bounds"))
+    chunks = F.expr(
+        """explode(transform(sequence(1, size(bounds)), j -> named_struct(
+             'chunk_idx', CAST(j AS INT),
+             'start', CAST(IF(j = 1, 1,
+                element_at(bounds, CAST(j - 1 AS INT)) + 1) AS INT),
+             'len', CAST(element_at(bounds, CAST(j AS INT))
+                - IF(j = 1, 0,
+                     element_at(bounds, CAST(j - 1 AS INT))) AS INT))))"""
+    )
+    return b.select("doc_id", "text", chunks.alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.len").cast("bigint").alias("chunk_len"),
+        F.md5(
+            F.expr("substring(text, c.start, c.len)")
+        ).alias("chunk_md5"),
+    )
+
+
+chunk_cdc_rolling.__doc__ = chunk_cdc_rolling.__doc__.format(w=_CDC_W)
+
+
+_CONT_T = 0.6  # containment threshold on the smaller shingle set
+_CONT_F = 10  # candidate shingles must appear in 2..F corpus docs
+
+
+@query(
+    "simjoin_containment",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    ex AS (
+      SELECT doc_id, unnest(sh_set) AS shingle FROM shingled
+    ),
+    rare AS (
+      SELECT shingle FROM ex GROUP BY shingle
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_CONT_F}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN rare r ON a.shingle = r.shingle
+                JOIN ex b ON b.shingle = a.shingle
+                         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+                 / len(sa.sh_set), 6) AS cont_a_in_b,
+           ROUND(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+                 / len(sb.sh_set), 6) AS cont_b_in_a
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+          / LEAST(len(sa.sh_set), len(sb.sh_set)) >= {_CONT_T}
+    """,
+)
+def simjoin_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT similarity join: |A∩B| / min(|A|,|B|) >= {t} over
+    3-gram shingle sets — the asymmetric relation Jaccard structurally
+    misses (a short document quoted inside a long one has tiny Jaccard
+    but containment ~1), which is exactly the quote/excerpt/boilerplate
+    incorporation a training-data audit must find. Both directional
+    containments are reported so downstream can tell "A is inside B"
+    from "B is inside A". The mutated fixture corpus (each doc plus its
+    80%-prefix truncation) guarantees real containment pairs.
+
+    Blocking: candidates must share a shingle appearing in 2..{f} corpus
+    docs. Frequency >= 2 is lossless pruning (a singleton shingle cannot
+    witness a pair); the <= {f} cap drops pairs whose ONLY shared
+    shingles are corpus-hot boilerplate — a deliberate precision trade
+    the oracle mirrors exactly (both engines compute the same candidate
+    set, so the comparison stays a proof of plan equivalence, and the
+    docstring owns the heuristic). Scale: the shingle exchange carries
+    (shingle, doc_id) pairs once — same budget as dedup_exact_substring
+    — the frequency cap bounds every shingle's candidate fan-out at
+    {f}²/2 pairs, and verification joins fetch only candidate docs'
+    shingle sets."""
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh_set").alias("shingle"))
+    rare = (
+        ex.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _CONT_F))
+        .select("shingle")
+    )
+    probed = ex.join(rare, "shingle")
+    cand = (
+        probed.alias("a")
+        .join(
+            probed.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            inter / F.least(F.size("set_a"), F.size("set_b")) >= _CONT_T
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.size("set_a"), 6).alias("cont_a_in_b"),
+            F.round(inter / F.size("set_b"), 6).alias("cont_b_in_a"),
+        )
+    )
+
+
+simjoin_containment.__doc__ = simjoin_containment.__doc__.format(
+    t=_CONT_T, f=_CONT_F
+)

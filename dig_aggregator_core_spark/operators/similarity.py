@@ -587,3 +587,105 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_lsh_multiprobe.__doc__ = ann_lsh_multiprobe.__doc__.format(m=_MAXBITS)
+
+
+@query(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH {_VECS_SQL},
+    sig AS (SELECT *, {_SIGNS_SQL} AS signs FROM vecs),
+    b AS (SELECT {_NBITS_SQL} AS nb FROM sig),
+    keyed AS (SELECT s.vec_id, s.v, s.nrm, s.label,
+                     substr(s.signs, 1, b.nb) AS bucket
+              FROM sig s, b),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.label AS q_label, c.label AS n_label,
+             {_COS_SQL} AS cos
+      FROM (SELECT * FROM keyed WHERE {_QUERY_FILTER}) q
+      JOIN keyed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+                  AND c.label <> q.label
+    )
+    SELECT query_id, neighbor_id, q_label, n_label,
+           ROUND(cos, 6) AS cosine, CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOPK}
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT label
+    — the negatives that sit closest to the decision boundary and teach
+    an embedding model the most (the in-batch-negatives upgrade every
+    retrieval training recipe ships). Highest-cosine-but-wrong-label is
+    precisely what LSH bucketing surfaces: hard negatives are near the
+    query by construction, so bucket-confined scoring loses only the
+    easy (far) negatives nobody wants.
+
+    Plan shape: identical to ann_lsh_adaptive — one corpus hash pass,
+    equi-join on the occupancy-adaptive bucket, the label inequality
+    rides the join as a residual filter (no extra shuffle), heap top-k
+    per query. At training scale this runs once per epoch over the whole
+    query set; per-bucket work stays constant because the bucket width
+    tracks corpus size."""
+    vecs = (
+        _vecs(spark, sf_dir)
+        .withColumn("signs", F.expr(_SIGNS_SPARK))
+    )
+    nb = vecs.agg(
+        F.expr(
+            f"GREATEST(4, LEAST({_MAXBITS},"
+            " CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0)) AS INT)))"
+        ).alias("nb")
+    )
+    keyed = vecs.crossJoin(F.broadcast(nb)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "label",
+        F.expr("substring(signs, 1, nb)").alias("bucket"),
+    )
+    q = keyed.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("label").alias("q_label"),
+        "bucket",
+    )
+    c = keyed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("label").alias("n_label"),
+        F.col("bucket").alias("cbucket"),
+    )
+    scored = q.join(
+        c,
+        (q.bucket == c.cbucket)
+        & (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("n_label") != F.col("q_label")),
+    ).withColumn(
+        "cos",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_label",
+            "n_label",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

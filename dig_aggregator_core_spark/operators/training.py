@@ -695,3 +695,128 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     return spark.createDataFrame(rules, "round int, pair string, n bigint")
+
+
+_FFD_CAP = 200  # bin capacity (tokens); fixture docs are 10-99 tokens
+
+# DuckDB 1.0's list_reduce drops LIST fields inside STRUCT accumulators
+# (verified empirically: a struct acc's list field resets each step), so
+# the oracle folds over a FLAT BIGINT list encoding the packer state:
+#   [n_bins, rem_1..rem_n, assign_1..assign_k]
+_FFD_BINS = "acc[2:CAST(acc[1] + 1 AS INT)]"
+_FFD_ASSIGN = "acc[CAST(acc[1] + 2 AS INT):]"
+_FFD_P = (
+    f"COALESCE(list_position(list_transform({_FFD_BINS},"
+    " b -> b >= x[1]), true), 0)"
+)
+_FFD_STEP = f"""CASE WHEN {_FFD_P} = 0
+  THEN [acc[1] + 1] || {_FFD_BINS} || [{_FFD_CAP} - x[1]]
+       || {_FFD_ASSIGN} || [acc[1] + 1]
+  ELSE [acc[1]] || {_FFD_BINS}[1:CAST({_FFD_P} - 1 AS INT)]
+       || [{_FFD_BINS}[CAST({_FFD_P} AS INT)] - x[1]]
+       || {_FFD_BINS}[CAST({_FFD_P} + 1 AS INT):]
+       || {_FFD_ASSIGN} || [{_FFD_P}]
+  END"""
+
+
+@query(
+    "pack_bins_ffd",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             list(struct_pack(doc_id := doc_id, len := len)
+                  ORDER BY len DESC, doc_id) AS docs
+      FROM t GROUP BY source
+    ),
+    f AS (
+      SELECT source, docs,
+        list_reduce(
+          list_prepend(CAST([0] AS BIGINT[]),
+                       list_transform(docs, d -> [d.len])),
+          (acc, x) -> {_FFD_STEP}) AS st
+      FROM g
+    )
+    SELECT source,
+           docs[CAST(u.i AS INT)].doc_id AS doc_id,
+           docs[CAST(u.i AS INT)].len AS n_toks,
+           CAST(st[CAST(st[1] + 1 + u.i AS INT)] AS INT) AS bin_idx
+    FROM f, LATERAL unnest(range(1, len(docs) + 1)) AS u(i)
+    """,
+)
+def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing as BIN PACKING, first-fit-decreasing: per source,
+    documents sorted longest-first each land in the first bin with enough
+    remaining token capacity (cap {cap}), opening a new bin when none
+    fits. FFD wastes at most ~22% over optimal (11/9 OPT + 1, a classic
+    guarantee) versus the greedy sequential packer's unbounded padding
+    loss on adversarial length order — this is the packer that minimizes
+    padding tokens in training batches, complementing pack_token_chunks'
+    boundary-splitting packer (which never pads but splits documents).
+
+    Plan shape: ONE shuffle (groupBy source) collects each source's
+    (len, doc_id) pairs — NOT the text — into a sorted array; the FFD
+    fold is a native ``aggregate`` expression over that array, and the
+    per-doc bin assignment re-emerges via posexplode. Per-source state is
+    the metadata pair list (same per-group bound as pack_token_chunks,
+    documented there); the packer itself is sequential per source by
+    definition — FFD is inherently order-dependent — so parallelism
+    comes from the source dimension, exactly how a multi-corpus pipeline
+    shards. Bin ids are 1-based in first-opened order, deterministic."""
+    t = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("len"),
+    )
+    g = t.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("len")).alias("nl"), "doc_id", "len"))
+        ).alias("docs")
+    )
+    fold = F.expr(
+        f"""aggregate(
+          docs,
+          named_struct('bins', CAST(array() AS ARRAY<BIGINT>),
+                       'assign', CAST(array() AS ARRAY<INT>)),
+          (acc, d) -> IF(
+            COALESCE(array_position(transform(acc.bins, b -> b >= d.len),
+                                    true), 0) = 0,
+            named_struct(
+              'bins', concat(acc.bins, array({_FFD_CAP} - d.len)),
+              'assign', concat(acc.assign,
+                               array(CAST(size(acc.bins) + 1 AS INT)))),
+            named_struct(
+              'bins', concat(
+                slice(acc.bins, 1,
+                  CAST(array_position(transform(acc.bins, b -> b >= d.len),
+                                      true) - 1 AS INT)),
+                array(element_at(acc.bins,
+                  CAST(array_position(transform(acc.bins, b -> b >= d.len),
+                                      true) AS INT)) - d.len),
+                slice(acc.bins,
+                  CAST(array_position(transform(acc.bins, b -> b >= d.len),
+                                      true) + 1 AS INT),
+                  CAST(size(acc.bins)
+                    - array_position(transform(acc.bins, b -> b >= d.len),
+                                     true) AS INT))),
+              'assign', concat(acc.assign,
+                array(CAST(array_position(transform(acc.bins,
+                  b -> b >= d.len), true) AS INT))))))"""
+    ).alias("st")
+    f = g.select("source", "docs", fold)
+    return f.select(
+        "source",
+        F.expr(
+            "explode(transform(sequence(1, size(docs)), i -> named_struct("
+            " 'doc_id', element_at(docs, i).doc_id,"
+            " 'n_toks', element_at(docs, i).len,"
+            " 'bin_idx', element_at(st.assign, i))))"
+        ).alias("r"),
+    ).select("source", "r.doc_id", "r.n_toks", "r.bin_idx")
+
+
+pack_bins_ffd.__doc__ = pack_bins_ffd.__doc__.format(cap=_FFD_CAP)

@@ -75,6 +75,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "semdedup_clusters": "metadata-sized seed-centroid table broadcast for assignment",
         "ann_lsh_adaptive": "1-row bucket-bit-count frame broadcast onto the corpus",
         "ann_lsh_multiprobe": "1-row bucket-bit-count frame broadcast onto the corpus",
+        "ann_hard_negatives": "1-row bucket-bit-count frame broadcast onto the corpus",
+        "knn_centroid_label_eval": "labels x dim centroid table broadcast for scoring",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
