@@ -109,6 +109,11 @@ HEADLINE = [
     "attribution_last_touch",
     "knn_centroid_label_eval",
     "stream_cohort_retention",
+    "user_activity_streaks",
+    "timeseries_anomaly_rolling",
+    "mixture_temperature_reweight",
+    "scan_jsonl_corrupt_recovery",
+    "stream_attribution_last_touch",
 ]
 
 

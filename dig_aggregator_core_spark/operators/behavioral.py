@@ -19,7 +19,7 @@ training-data extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -306,4 +306,68 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("lt.event_id")).alias("touch_id"),
         F.when(in_window, F.col("lt.event_type")).alias("touch_type"),
         F.when(in_window, F.col("us") - F.col("lt.us")).alias("gap_us"),
+    )
+
+
+_STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         CAST(day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS INT)
+              AS DATE) AS island
+  FROM d
+),
+s AS (
+  SELECT user_id, island,
+         CAST(COUNT(*) AS BIGINT) AS streak_days,
+         MIN(day) AS streak_start
+  FROM r GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(streak_days) AS BIGINT) AS longest_streak,
+       strftime(MIN(streak_start), '%Y-%m-%d') AS first_day
+FROM s GROUP BY user_id
+"""
+
+
+@query("user_activity_streaks", oracle=_STREAK_ORACLE)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, consecutive-day activity streaks via
+    the classic day - row_number() island key (consecutive days share a
+    constant difference), reporting streak count and longest streak —
+    the engagement metric behind every "N-day streak" product surface
+    and a canonical SQL pattern the engine must express.
+
+    Plan: the distinct (user, day) reduction, the ordering window, and
+    both aggregates all key on user_id, so Spark reuses ONE exchange for
+    the entire chain (the window and the final groupBy are
+    partition-local after the distinct's shuffle). Per-user state is
+    bounded by distinct active days, the cohort bound. Everything is
+    codegen; dates stay DATE arithmetic (tz-proof: to_date on the naive
+    reading of ts, mirrored by DuckDB's CAST AS DATE)."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("island"),
+    )
+    s = r.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_days").alias("longest_streak"),
+        F.date_format(F.min("streak_start"), "yyyy-MM-dd").alias(
+            "first_day"
+        ),
     )

@@ -557,3 +557,69 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_chunk_overlap.__doc__ = doc_chunk_overlap.__doc__.format(
     w=_CHUNK_W, s=_CHUNK_S, o=_CHUNK_W - _CHUNK_S
 )
+
+
+_TEMP_ALPHA = 0.7  # mixture temperature (0 = uniform, 1 = proportional)
+
+
+@query(
+    "mixture_temperature_reweight",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    t AS (
+      SELECT SUM(n_docs) AS total,
+             SUM(POW(CAST(n_docs AS DOUBLE), {_TEMP_ALPHA})) AS z
+      FROM c
+    )
+    SELECT c.source, c.n_docs,
+           ROUND(CAST(c.n_docs AS DOUBLE) / t.total, 6) AS p_raw,
+           ROUND(POW(CAST(c.n_docs AS DOUBLE), {_TEMP_ALPHA}) / t.z, 6)
+             AS p_temp,
+           ROUND((POW(CAST(c.n_docs AS DOUBLE), {_TEMP_ALPHA}) / t.z)
+                 / (CAST(c.n_docs AS DOUBLE) / t.total), 6)
+             AS epoch_boost
+    FROM c, t
+    """,
+)
+def mixture_temperature_reweight(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual/multi-source
+    sampling rule from XLM-R / mT5: q_i ∝ p_i^α with α={a}): per source,
+    the raw corpus share, the temperature-flattened sampling share, and
+    the epoch boost (q_i/p_i — how many times more often a small source's
+    docs are seen than proportional sampling would show them). This is
+    the report that sets the sampling weights mixture_weighted_sample
+    then executes.
+
+    Plan: ONE corpus scan reduced map-side to |sources| counts; the
+    normalizers are a 1-row frame (Σn, Σn^α) broadcast back onto the
+    sources-sized frame — the same metadata-join shape as
+    epoch_shard_assignment. Rounding to 6dp absorbs the one
+    non-deterministic step (the 20-term double sums' order)."""
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    t = c.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), _TEMP_ALPHA)).alias("z"),
+    )
+    q = F.pow(F.col("n_docs").cast("double"), _TEMP_ALPHA) / F.col("z")
+    p = F.col("n_docs").cast("double") / F.col("total")
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.round(p, 6).alias("p_raw"),
+        F.round(q, 6).alias("p_temp"),
+        F.round(q / p, 6).alias("epoch_boost"),
+    )
+
+
+mixture_temperature_reweight.__doc__ = (
+    mixture_temperature_reweight.__doc__.format(a=_TEMP_ALPHA)
+)

@@ -488,3 +488,71 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("score"), 6).alias("total_score"),
     )
+
+
+_CORRUPT_ORACLE = """
+SELECT CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS good_chars
+FROM documents
+"""
+
+
+@query("scan_jsonl_corrupt_recovery", oracle=_CORRUPT_ORACLE)
+def scan_jsonl_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant JSONL ingest: PERMISSIVE-mode parsing with a
+    columnNameOfCorruptRecord column, the production posture for raw
+    crawl/log JSON where some fraction of lines is always mangled — the
+    job must quarantine bad lines into the corrupt column and keep
+    going, never FAILFAST-abort a 100 TB read for one truncated record
+    (and never silently DROPMALFORMED them: the corrupt count is a
+    data-quality metric someone alerts on).
+
+    The fixture derives a JSONL from the documents table with every
+    doc_id % 7 == 0 line deliberately truncated (closing brace cut), so
+    the expected good/corrupt split is recomputable exactly from the
+    source table — same oracle independence as scan_binaryfile_ingest.
+    The scratch write is a distributed df.write.text; the scan under
+    test reads it back with an explicit schema (schema inference would
+    scan twice at 100 TB) and aggregates good rows, corrupt rows, and a
+    checksum-ish payload sum that proves good-row fields parse intact."""
+    path = _scratch("jsonl_corrupt")
+    docs = load(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            # cut the closing brace -> malformed JSON line
+            F.expr(
+                "substring(to_json(named_struct("
+                " 'doc_id', doc_id, 'n_chars', n_chars)), 1,"
+                " length(to_json(named_struct("
+                " 'doc_id', doc_id, 'n_chars', n_chars))) - 1)"
+            ),
+        )
+        .otherwise(
+            F.to_json(F.struct("doc_id", "n_chars"))
+        )
+        .alias("value")
+    )
+    docs.write.mode("overwrite").text(path)
+    scanned = (
+        spark.read.schema(
+            "doc_id bigint, n_chars bigint, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return scanned.agg(
+        F.sum(F.col("_bad").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.col("_bad").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("good_chars"),
+    )

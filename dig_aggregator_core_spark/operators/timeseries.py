@@ -265,3 +265,102 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4)
         .alias("close"),
     )
+
+
+_ANOM_WIN_US = 7 * 86_400_000_000  # 7-day trailing window
+_ANOM_MIN_N = 5  # leave-one-out peer count required to score
+_ANOM_K = 2.0  # flag beyond k sigma
+
+# values quantize to integer 1e-4 units BEFORE the window sums: integer
+# sums are exact, so both engines compute bit-identical moments no matter
+# what order the frame accumulates in (double window-sums differed in the
+# last ulp and flipped 4th-decimal roundings on ~1% of rows). The outputs
+# are then emitted UNROUNDED: every derivation from the exact integers is
+# a deterministic IEEE op, so the doubles match bit-for-bit — rounding
+# would REINTRODUCE divergence (integer/denominator quotients often land
+# exactly on half-way points, where Spark rounds HALF_UP and DuckDB
+# half-even)
+_ANOM_ORACLE = f"""
+WITH w AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS xi,
+         SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER fr AS s,
+         SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)
+             * CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER fr AS q,
+         COUNT(*) OVER fr AS n
+  FROM events
+  WINDOW fr AS (PARTITION BY user_id
+                ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                RANGE BETWEEN {_ANOM_WIN_US} PRECEDING AND CURRENT ROW)
+),
+loo AS (
+  SELECT event_id, user_id, xi,
+         CAST(n - 1 AS BIGINT) AS n_prior,
+         CAST(s - xi AS DOUBLE) / (n - 1) AS m,
+         CAST(q - xi * xi AS DOUBLE) / (n - 1)
+           - (CAST(s - xi AS DOUBLE) / (n - 1))
+             * (CAST(s - xi AS DOUBLE) / (n - 1)) AS var
+  FROM w WHERE n - 1 >= {_ANOM_MIN_N}
+)
+SELECT event_id, user_id, n_prior,
+       m / 10000 AS roll_mean,
+       (xi - m) / sqrt(GREATEST(var, 1e-6)) AS z,
+       CAST(abs(xi - m) > {_ANOM_K} * sqrt(GREATEST(var, 1e-6)) AS BOOLEAN)
+         AS is_anomaly
+FROM loo
+"""
+
+
+@query("timeseries_anomaly_rolling", oracle=_ANOM_ORACLE)
+def timeseries_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: each event scored against its user's
+    trailing 7-day LEAVE-ONE-OUT mean/stddev — a point > {k} sigma from
+    its own recent history is flagged (the monitoring primitive behind
+    metric alerting and data-quality gates on ingest volume). The
+    leave-one-out correction matters: including the candidate point in
+    its own baseline dilutes exactly the outliers being hunted.
+
+    Plan: ONE user_id shuffle; sum, sum-of-squares, and count share a
+    single RANGE event-time frame (one window pass, same exchange), and
+    the leave-one-out algebra — n'=n-1, m'=(S-x)/n', var'=(Q-x²)/n'-m'²
+    — is pure per-row arithmetic on those three running aggregates, so
+    no second window and no self-join against the history. Events with
+    fewer than {n} in-window peers are unscored (cold-start rows every
+    real detector excludes). The variance floor (1e-12) guards constant
+    histories against a negative-epsilon sqrt."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "xi", F.floor(F.col("value") * 10000 + 0.5).cast("bigint")
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy(_epoch_us("ts"))
+        .rangeBetween(-_ANOM_WIN_US, Window.currentRow)
+    )
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "xi",
+        F.sum("xi").over(fr).alias("s"),
+        F.sum(F.col("xi") * F.col("xi")).over(fr).alias("q"),
+        F.count(F.lit(1)).over(fr).alias("n"),
+    ).filter(F.col("n") - 1 >= _ANOM_MIN_N)
+    m = (F.col("s") - F.col("xi")).cast("double") / (F.col("n") - 1)
+    var = (
+        (F.col("q") - F.col("xi") * F.col("xi")).cast("double")
+        / (F.col("n") - 1)
+        - m * m
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(1e-6)))
+    return w.select(
+        "event_id",
+        "user_id",
+        (F.col("n") - 1).cast("bigint").alias("n_prior"),
+        (m / 10000).alias("roll_mean"),
+        ((F.col("xi") - m) / sd).alias("z"),
+        (F.abs(F.col("xi") - m) > _ANOM_K * sd).alias("is_anomaly"),
+    )
+
+
+timeseries_anomaly_rolling.__doc__ = timeseries_anomaly_rolling.__doc__.format(
+    k=_ANOM_K, n=_ANOM_MIN_N
+)

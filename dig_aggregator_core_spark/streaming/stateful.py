@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.behavioral import _ATTR_ORACLE as _BATCH_ATTR_ORACLE
 from ..operators.behavioral import _COHORT_ORACLE as _BATCH_COHORT_ORACLE
 from ..registry import query
 from ..tables import load, ntz_as_utc_instant
@@ -858,3 +859,98 @@ def stream_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plain COUNT is the distinct-user count — no Expand
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+_ATTR_STATE = "us bigint, eid bigint, typ string"
+_ATTR_OUT = (
+    "purchase_id bigint, user_id bigint, touch_id bigint,"
+    " touch_type string, gap_us bigint"
+)
+
+
+def _attr_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Online last-touch attribution: O(1) state per user (the latest
+    view/click as (us, event_id, type)); each purchase is attributed the
+    moment it is processed, so every purchase row is emitted in exactly
+    ONE micro-batch — no cross-batch re-emission to collapse. In-batch
+    event-time order is enforced by an explicit (us, event_id) sort
+    (matching the batch operator's strictly-preceding lexicographic tie
+    rule); cross-batch order is the EWMA's documented replay caveat."""
+    from ..operators.behavioral import _ATTR_LOOKBACK_US
+
+    last = state.get if state.exists else (None, None, None)
+    out: list[tuple] = []
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        for us, eid, et in (
+            batch.sort_values(["us", "event_id"], kind="mergesort")[
+                ["us", "event_id", "event_type"]
+            ].itertuples(index=False, name=None)
+        ):
+            if et == "purchase":
+                if (
+                    last[0] is not None
+                    and last[0] >= us - _ATTR_LOOKBACK_US
+                ):
+                    out.append(
+                        (int(eid), key[0], last[1], last[2], int(us) - last[0])
+                    )
+                else:
+                    out.append((int(eid), key[0], None, None, None))
+            else:
+                last = (int(us), int(eid), et)
+    state.update(last)
+    yield pd.DataFrame(
+        {
+            "purchase_id": pd.array([r[0] for r in out], dtype="Int64"),
+            "user_id": pd.array([r[1] for r in out], dtype="Int64"),
+            "touch_id": pd.array([r[2] for r in out], dtype="Int64"),
+            "touch_type": pd.array(
+                [r[3] for r in out], dtype="object"
+            ),
+            "gap_us": pd.array([r[4] for r in out], dtype="Int64"),
+        }
+    )
+
+
+@query("stream_attribution_last_touch", oracle=_BATCH_ATTR_ORACLE)
+def stream_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution running ONLINE: the state store keeps only
+    each user's most recent view/click (three scalars), and every
+    arriving purchase is attributed immediately — the streaming twin of
+    operators/behavioral.attribution_last_touch, sharing its oracle
+    verbatim. Contrast the batch form's window over full history: here a
+    billion-user stream holds 24ish bytes per user and attribution
+    latency is one micro-batch.
+
+    Each purchase emits in exactly one batch (the one that delivers it),
+    so update-mode output needs no final-emission collapse."""
+    stream = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            "event_type",
+        )
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _attr_fn,
+        outputStructType=_ATTR_OUT,
+        stateStructType=_ATTR_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")

@@ -365,3 +365,94 @@ def test_cohort_state_carries_across_batches(spark, sf_dir):
         if any(d <= bound for d in ds) and any(d > bound for d in ds)
     ]
     assert crossers, "fixture split produced no cross-batch users"
+
+
+def test_attribution_state_carries_across_batches(spark, sf_dir):
+    """Two-file replay for online attribution: a purchase in batch 2 must
+    credit a touch from batch 1 — the last-touch state has to round-trip
+    through the store. Expected values come from the batch operator."""
+    from dig_aggregator_core_spark.operators.behavioral import (
+        attribution_last_touch,
+    )
+    from dig_aggregator_core_spark.streaming.stateful import (
+        _ATTR_OUT,
+        _ATTR_STATE,
+        _attr_fn,
+    )
+    from dig_aggregator_core_spark.tables import ntz_epoch_us
+
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", "multibatch_attr"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            ntz_epoch_us("ts").alias("us"),
+            "event_id",
+            "event_type",
+        )
+    )
+    # split at the median us so plenty of touch->purchase pairs straddle
+    bound = sorted(r["us"] for r in ev.select("us").collect())[
+        ev.count() // 2
+    ]
+    first = ev.filter(F.col("us") <= bound)
+    second = ev.filter(F.col("us") > bound)
+    assert first.count() > 0 and second.count() > 0
+
+    for i, half in enumerate((first, second)):
+        tmp = os.path.join(base, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(data_dir, f"{chr(97 + i)}.parquet")
+        shutil.copy(os.path.join(tmp, part), dest)
+        ts_file = time.time() - (10 - i)
+        os.utime(dest, (ts_file, ts_file))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _attr_fn,
+        outputStructType=_ATTR_OUT,
+        stateStructType=_ATTR_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = "multibatch_attr_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+
+    got = {
+        r["purchase_id"]: (r["touch_id"], r["touch_type"], r["gap_us"])
+        for r in spark.table(sink).collect()
+    }
+    expected = {
+        r["purchase_id"]: (r["touch_id"], r["touch_type"], r["gap_us"])
+        for r in attribution_last_touch(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # at least one purchase in batch 2 attributed to a batch-1 touch
+    ev_us = {r["event_id"]: r["us"] for r in ev.collect()}
+    crossers = [
+        p
+        for p, (tid, _t, _g) in expected.items()
+        if tid is not None and ev_us[p] > bound and ev_us[tid] <= bound
+    ]
+    assert crossers, "fixture split produced no cross-batch attributions"

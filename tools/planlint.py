@@ -77,6 +77,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "ann_lsh_multiprobe": "1-row bucket-bit-count frame broadcast onto the corpus",
         "ann_hard_negatives": "1-row bucket-bit-count frame broadcast onto the corpus",
         "knn_centroid_label_eval": "labels x dim centroid table broadcast for scoring",
+        "mixture_temperature_reweight": "1-row normalizer frame onto the sources frame",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
