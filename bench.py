@@ -114,6 +114,7 @@ HEADLINE = [
     "mixture_temperature_reweight",
     "scan_jsonl_corrupt_recovery",
     "stream_attribution_last_touch",
+    "scd2_point_in_time",
 ]
 
 

@@ -514,3 +514,63 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("count_skew"),
     )
+
+
+_PIT_PROBES = ("2020-06-01", "2021-06-01")
+
+_PIT_ORACLE = f"""
+WITH scd AS ({_SCD2_ORACLE})
+SELECT probe,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       ROUND(SUM(acctbal), 4) AS total_bal
+FROM scd, (VALUES {", ".join(f"(TIMESTAMP '{p}')" for p in _PIT_PROBES)})
+       AS p(probe_ts),
+     LATERAL (SELECT strftime(probe_ts, '%Y-%m-%d') AS probe) l
+WHERE valid_from <= probe_ts
+  AND (valid_to IS NULL OR valid_to > probe_ts)
+GROUP BY probe
+"""
+
+
+@query("scd2_point_in_time", oracle=_PIT_ORACLE)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read over the SCD2 dimension: for each
+    probe timestamp, the set of versions whose [valid_from, valid_to)
+    interval contains it — the AS OF query that makes SCD2 history worth
+    storing (feature-store training reads join facts to the dimension AS
+    OF the fact time to avoid label leakage). Two probes straddling the
+    merge timestamp prove the read actually time-travels: the early
+    probe sees the pre-merge state (no inserted keys, old balances), the
+    late one sees the post-merge state.
+
+    Plan: the interval predicate is a map-side filter over the versioned
+    dimension — per probe, one pass, no window and no self-join (the
+    closed-interval encoding means validity is decidable per row). The
+    probe set rides along as an exploded literal array, so both probes
+    share ONE scan of the dimension; the reduce keys on the tiny probe
+    dimension. At 100 TB, partitioning the SCD2 table by is_current
+    makes the common latest-state probe prune to the current partition.
+    """
+    scd = scd2_merge(spark, sf_dir)
+    probed = scd.select(
+        "acctbal",
+        "valid_from",
+        "valid_to",
+        F.explode(
+            F.array(
+                *[F.lit(p).cast("timestamp") for p in _PIT_PROBES]
+            )
+        ).alias("probe_ts"),
+    ).filter(
+        (F.col("valid_from") <= F.col("probe_ts"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > F.col("probe_ts"))
+        )
+    )
+    return probed.groupBy(
+        F.date_format("probe_ts", "yyyy-MM-dd").alias("probe")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.sum("acctbal"), 4).alias("total_bal"),
+    )

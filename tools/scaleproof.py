@@ -55,6 +55,19 @@ OPS = [
     "ann_lsh_buckets",
     "ann_lsh_adaptive",
     "kmeans_embeddings",
+    # r5 additions
+    "ann_lsh_multiprobe",
+    "ann_hard_negatives",
+    "decontam_source_matrix",
+    "pack_bins_ffd",
+    "chunk_cdc_rolling",
+    "simjoin_containment",
+    "attribution_last_touch",
+    "knn_centroid_label_eval",
+    "user_activity_streaks",
+    "timeseries_anomaly_rolling",
+    "mixture_temperature_reweight",
+    "dedup_cluster_representative",
 ]
 
 
