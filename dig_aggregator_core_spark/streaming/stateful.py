@@ -527,31 +527,44 @@ def _events_with_flush_sentinel(spark: SparkSession, sf_dir: str) -> str:
     )
     done = os.path.join(out, "_done")
     if not os.path.exists(done):
-        ev = load(spark, sf_dir, "events")
-        sent = (
-            ev.agg(F.max("ts").alias("ts"))
-            .crossJoin(spark.range(2))
-            .select(
-                (-1 - F.col("id")).alias("event_id"),
-                F.expr("ts + INTERVAL 30 DAYS").alias("ts"),
-                F.lit(-1).cast("bigint").alias("user_id"),
-                F.when(F.col("id") == 0, F.lit("click"))
-                .otherwise(F.lit("purchase"))
-                .alias("event_type"),
-                F.lit(0.0).alias("value"),
-                F.lit("{}").alias("props"),
-            )
-        )
-        shutil.rmtree(out, ignore_errors=True)
-        data_dir = os.path.join(out, "events.parquet")
-        ev.coalesce(4).write.mode("overwrite").parquet(data_dir)
-        # the sentinel goes in its OWN, later file: the file source must
-        # deliver it in a LATER micro-batch (maxFilesPerTrigger below) so
-        # the watermark advances past the real data's expiration while
-        # the query is still running — in a single batch the final
-        # watermark update has no subsequent batch to flush evictions
-        sent.coalesce(1).write.mode("append").parquet(data_dir)
-        open(done, "w").close()
+        # exclusive flock for the build: two processes keyed to the SAME
+        # fingerprint must not interleave rmtree/write; the loser re-checks
+        # _done under the lock and reuses the winner's build
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, ".lock"), "a") as lockf:
+            try:
+                import fcntl
+
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+            except ImportError:  # pragma: no cover - non-POSIX
+                pass
+            if not os.path.exists(done):
+                ev = load(spark, sf_dir, "events")
+                sent = (
+                    ev.agg(F.max("ts").alias("ts"))
+                    .crossJoin(spark.range(2))
+                    .select(
+                        (-1 - F.col("id")).alias("event_id"),
+                        F.expr("ts + INTERVAL 30 DAYS").alias("ts"),
+                        F.lit(-1).cast("bigint").alias("user_id"),
+                        F.when(F.col("id") == 0, F.lit("click"))
+                        .otherwise(F.lit("purchase"))
+                        .alias("event_type"),
+                        F.lit(0.0).alias("value"),
+                        F.lit("{}").alias("props"),
+                    )
+                )
+                data_dir = os.path.join(out, "events.parquet")
+                shutil.rmtree(data_dir, ignore_errors=True)
+                ev.coalesce(4).write.mode("overwrite").parquet(data_dir)
+                # the sentinel goes in its OWN, later file: the file source
+                # must deliver it in a LATER micro-batch (maxFilesPerTrigger
+                # below) so the watermark advances past the real data's
+                # expiration while the query is still running — in a single
+                # batch the final watermark update has no subsequent batch
+                # to flush evictions
+                sent.coalesce(1).write.mode("append").parquet(data_dir)
+                open(done, "w").close()
     return os.path.join(out, "events.parquet")
 
 
