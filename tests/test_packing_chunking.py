@@ -39,20 +39,21 @@ def _ffd_reference(lens_sorted: list[tuple[int, int]]) -> dict[int, int]:
 def test_ffd_matches_python_reference_and_respects_capacity(spark, sf_dir):
     rows = pack_bins_ffd(spark, sf_dir).collect()
     docs = {
-        (r["source"], r["doc_id"]): (r["n_toks"], r["bin_idx"]) for r in rows
+        (r["source"], r["shard"], r["doc_id"]): (r["n_toks"], r["bin_idx"])
+        for r in rows
     }
-    by_source: dict[str, list[tuple[int, int]]] = {}
-    for (src, doc_id), (n_toks, _b) in docs.items():
-        by_source.setdefault(src, []).append((doc_id, n_toks))
-    for src, pairs in by_source.items():
+    by_group: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for (src, shard, doc_id), (n_toks, _b) in docs.items():
+        by_group.setdefault((src, shard), []).append((doc_id, n_toks))
+    for grp, pairs in by_group.items():
         ordered = sorted(pairs, key=lambda p: (-p[1], p[0]))
         expected = _ffd_reference(ordered)
-        got = {d: docs[(src, d)][1] for d, _l in pairs}
-        assert got == expected, src
-    # capacity invariant
-    fill: dict[tuple[str, int], int] = {}
-    for (src, _d), (n_toks, b) in docs.items():
-        fill[(src, b)] = fill.get((src, b), 0) + n_toks
+        got = {d: docs[(*grp, d)][1] for d, _l in pairs}
+        assert got == expected, grp
+    # capacity invariant per (source, shard, bin)
+    fill: dict[tuple[str, int, int], int] = {}
+    for (src, shard, _d), (n_toks, b) in docs.items():
+        fill[(src, shard, b)] = fill.get((src, shard, b), 0) + n_toks
     over = {k: v for k, v in fill.items() if v > _FFD_CAP}
     assert not over, over
 
