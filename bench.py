@@ -115,6 +115,9 @@ HEADLINE = [
     "scan_jsonl_corrupt_recovery",
     "stream_attribution_last_touch",
     "scd2_point_in_time",
+    "fn_url_parse",
+    "text_cooccurrence_pmi",
+    "stats_chi2_independence",
 ]
 
 

@@ -357,3 +357,61 @@ def bootstrap_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 bootstrap_confidence.__doc__ = bootstrap_confidence.__doc__.format(
     b=_BOOT_B, lo=max(1, int(0.05 * _BOOT_B)), hi=int(0.95 * _BOOT_B)
 )
+
+
+_CHI2_ORACLE = """
+WITH o AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM documents GROUP BY lang, source
+),
+r AS (SELECT lang, SUM(observed) AS row_n FROM o GROUP BY lang),
+c AS (SELECT source, SUM(observed) AS col_n FROM o GROUP BY source),
+n AS (SELECT SUM(observed) AS total FROM o)
+SELECT o.lang, o.source, o.observed,
+       ROUND(CAST(r.row_n * c.col_n AS DOUBLE) / n.total, 6) AS expected,
+       ROUND(POW(o.observed - CAST(r.row_n * c.col_n AS DOUBLE) / n.total, 2)
+             / (CAST(r.row_n * c.col_n AS DOUBLE) / n.total), 6)
+         AS chi2_contrib
+FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+"""
+
+
+@query("stats_chi2_independence", oracle=_CHI2_ORACLE)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence audit of the lang x source contingency
+    grid: per cell, the observed count, the independence-expected count
+    (row_total x col_total / N), and the cell's chi-squared contribution
+    — the data-audit that catches a scraper feeding one language
+    disproportionately from one source (a classic silent bias in crawl
+    corpora). Per-CELL output keeps every number a deterministic
+    function of exact integer counts (summing the statistic across cells
+    would reintroduce engine-dependent float accumulation order);
+    downstream sums the contributions for the test statistic.
+
+    Plan: one corpus scan reduced to the contingency grid; the row /
+    column / total marginals re-aggregate the METADATA-SIZED grid, not
+    the corpus, and join back onto it (grid-sized joins, AQE broadcasts
+    them). At 100 TB the corpus is touched exactly once."""
+    o = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    r = o.groupBy("lang").agg(F.sum("observed").alias("row_n"))
+    c = o.groupBy("source").agg(F.sum("observed").alias("col_n"))
+    n = o.agg(F.sum("observed").alias("total"))
+    e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("total")
+    return (
+        o.join(r, "lang")
+        .join(c, "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            F.round(e, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("observed") - e, 2) / e, 6
+            ).alias("chi2_contrib"),
+        )
+    )

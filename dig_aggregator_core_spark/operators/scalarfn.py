@@ -371,3 +371,58 @@ def fn_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_exact"),
         F.max(dec).cast("double").alias("max_exact"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' ||
+             CAST(doc_id AS VARCHAR) || '?lang=' || lang ||
+             '&v=' || CAST(doc_id % 5 AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+):', 1) AS protocol
+    FROM u
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via Spark's dedicated `parse_url` (HOST / PATH /
+    QUERY-key / PROTOCOL extraction) — the scalar family every
+    crawl-derived corpus pipeline leans on (url_domain_blocklist does the
+    policy join; this is the parsing layer under it). URLs are
+    synthesized deterministically from the documents table so the oracle
+    can re-derive the exact same strings and parse them with plain
+    regexes — proving Spark's specialized parser agrees with the
+    grammar, not just with itself.
+
+    Per-row codegen expressions only: zero shuffle, linear scan,
+    embarrassingly parallel at any scale."""
+    u = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&v="),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+    )

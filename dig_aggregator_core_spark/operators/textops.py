@@ -677,3 +677,121 @@ def entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.k").alias("n_distinct_chars"),
         (ent >= 3.0).alias("keep"),
     )
+
+
+_PMI_W = 3  # co-occurrence window (token distance)
+_PMI_MIN = 5  # min pair count to report
+
+_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+pairs AS (
+  SELECT LEAST(toks[CAST(u.i AS INT)], toks[CAST(u.i + d.d AS INT)]) AS a,
+         GREATEST(toks[CAST(u.i AS INT)], toks[CAST(u.i + d.d AS INT)]) AS b
+  FROM t,
+       LATERAL unnest(range(1, len(toks) + 1)) AS u(i),
+       LATERAL unnest(range(1, {_PMI_W} + 1)) AS d(d)
+  WHERE u.i + d.d <= len(toks)
+),
+pc AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_xy FROM pairs GROUP BY a, b
+),
+uni AS (
+  SELECT unnest(toks) AS tok FROM t
+),
+uc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok
+),
+tot AS (
+  SELECT (SELECT SUM(c) FROM uc) AS n_tok,
+         (SELECT SUM(c_xy) FROM pc) AS n_pairs
+)
+SELECT pc.a, pc.b, pc.c_xy,
+       ROUND(ln((CAST(pc.c_xy AS DOUBLE) / tot.n_pairs)
+                / ((CAST(ua.c AS DOUBLE) / tot.n_tok)
+                   * (CAST(ub.c AS DOUBLE) / tot.n_tok))), 6) AS pmi
+FROM pc
+JOIN uc ua ON ua.tok = pc.a
+JOIN uc ub ON ub.tok = pc.b
+CROSS JOIN tot
+WHERE pc.c_xy >= {_PMI_MIN}
+"""
+
+
+@query("text_cooccurrence_pmi", oracle=_PMI_ORACLE)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed token co-occurrence with pointwise mutual information —
+    the corpus statistic under word2vec/GloVe-era embeddings and still
+    the standard collocation detector ("new york" vs chance): token
+    pairs within {w} positions, order-normalized, PMI =
+    ln(P(x,y) / (P(x)P(y))) from exact integer counts (both engines
+    derive the double from the same integers, so only the final ln/round
+    touches floating point).
+
+    Scale shape: the pair explosion is {w} structs per token position —
+    a LINEAR blowup (contrast all-pairs-within-doc, which is quadratic
+    in document length); the pair shuffle partial-aggregates map-side
+    (hot pairs collapse early). Two unigram-count joins key on the
+    token; the two scalar totals ride a 1-row broadcast. Reported pairs
+    filter to count >= {m}, the usual significance floor."""
+    # Spark's sequence(1, n) DESCENDS when n < 1 instead of being empty,
+    # so both sequence bounds must be guaranteed >= start: docs with < 2
+    # tokens are excluded (no pair exists), the outer index stops at
+    # size-1, and the inner distance bound least(W, size-i) is then >= 1
+    t = (
+        load(spark, sf_dir, "documents")
+        .select(F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    pair_expr = F.expr(
+        f"""flatten(transform(sequence(1, size(toks) - 1), i ->
+              transform(sequence(1, least({_PMI_W}, size(toks) - i)), d ->
+                named_struct(
+                  'a', least(element_at(toks, CAST(i AS INT)),
+                             element_at(toks, CAST(i + d AS INT))),
+                  'b', greatest(element_at(toks, CAST(i AS INT)),
+                                element_at(toks, CAST(i + d AS INT)))))))"""
+    )
+    pc = (
+        t.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    uc = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uc.agg(F.sum("c").alias("n_tok")).crossJoin(
+        pc.agg(F.sum("c_xy").alias("n_pairs"))
+    )
+    ua = uc.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uc.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    return (
+        pc.filter(F.col("c_xy") >= _PMI_MIN)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.col("n_pairs"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("n_tok"))
+                        * (F.col("c_b").cast("double") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+text_cooccurrence_pmi.__doc__ = text_cooccurrence_pmi.__doc__.format(
+    w=_PMI_W, m=_PMI_MIN
+)

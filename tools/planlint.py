@@ -78,6 +78,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "ann_hard_negatives": "1-row bucket-bit-count frame broadcast onto the corpus",
         "knn_centroid_label_eval": "labels x dim centroid table broadcast for scoring",
         "mixture_temperature_reweight": "1-row normalizer frame onto the sources frame",
+        "text_cooccurrence_pmi": "1-row (n_tok, n_pairs) totals frame broadcast",
+        "stats_chi2_independence": "1-row grand-total frame onto the contingency grid",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
