@@ -118,6 +118,7 @@ HEADLINE = [
     "fn_url_parse",
     "text_cooccurrence_pmi",
     "stats_chi2_independence",
+    "stream_anomaly_zscore",
 ]
 
 

@@ -967,3 +967,137 @@ def stream_attribution_last_touch(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "update")
+
+
+_ZANOM_MIN_N = 5
+_ZANOM_K = 2.0
+_ZANOM_STATE = "n bigint, s bigint, q bigint"
+_ZANOM_OUT = (
+    "event_id bigint, user_id bigint, n_prior bigint,"
+    " mean_prior double, z double, is_anomaly boolean"
+)
+
+# the oracle replays the same prior-only cumulative moments with a
+# ROWS window; values quantize to integer 1e-4 units on BOTH sides, so
+# every emitted double is a deterministic function of exact integers
+# (the timeseries_anomaly_rolling lesson applied to the streaming twin)
+_ZANOM_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS xi,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, xi,
+         COUNT(*) OVER fr AS n,
+         SUM(xi) OVER fr AS s,
+         SUM(xi * xi) OVER fr AS q
+  FROM e
+  WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, CAST(n AS BIGINT) AS n_prior,
+       (CAST(s AS DOUBLE) / n) / 10000 AS mean_prior,
+       (xi - CAST(s AS DOUBLE) / n)
+         / sqrt(GREATEST(CAST(q AS DOUBLE) / n
+                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                1e-6)) AS z,
+       abs(xi - CAST(s AS DOUBLE) / n)
+         > {_ZANOM_K} * sqrt(GREATEST(CAST(q AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 1e-6))
+         AS is_anomaly
+FROM w WHERE n >= {_ZANOM_MIN_N}
+"""
+
+
+def _zanom_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Online z-score anomaly scoring with exact-integer running moments
+    (n, sum, sum-of-squares of the 1e-4-quantized value): each event is
+    scored against the PRIOR events only, then folded into the state —
+    so every event emits in exactly one batch and the moments match the
+    batch ROWS-window replay bit-for-bit (integer sums are exact in any
+    accumulation order)."""
+    n, s, q = state.get if state.exists else (0, 0, 0)
+    out: list[tuple] = []
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        for eid, xi in (
+            batch.sort_values(["us", "event_id"], kind="mergesort")[
+                ["event_id", "xi"]
+            ].itertuples(index=False, name=None)
+        ):
+            xi = int(xi)
+            if n >= _ZANOM_MIN_N:
+                m = s / n
+                var = q / n - m * m
+                sd = max(var, 1e-6) ** 0.5
+                z = (xi - m) / sd
+                out.append(
+                    (
+                        int(eid),
+                        key[0],
+                        n,
+                        m / 10000,
+                        z,
+                        abs(xi - m) > _ZANOM_K * sd,
+                    )
+                )
+            n, s, q = n + 1, s + xi, q + xi * xi
+    state.update((n, s, q))
+    yield pd.DataFrame(
+        {
+            "event_id": pd.array([r[0] for r in out], dtype="Int64"),
+            "user_id": pd.array([r[1] for r in out], dtype="Int64"),
+            "n_prior": pd.array([r[2] for r in out], dtype="Int64"),
+            "mean_prior": pd.array([r[3] for r in out], dtype="float64"),
+            "z": pd.array([r[4] for r in out], dtype="float64"),
+            "is_anomaly": pd.array([r[5] for r in out], dtype="boolean"),
+        }
+    )
+
+
+@query("stream_anomaly_zscore", oracle=_ZANOM_ORACLE)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online anomaly detection: each event scored against its user's
+    full PRIOR history via three exact-integer running moments in the
+    state store — the alerting primitive running at ingest latency (the
+    batch twin, timeseries_anomaly_rolling, scores against a trailing
+    window instead; this is the cumulative form whose state is O(1)
+    regardless of history length). Cold-start events (< {n} priors) are
+    unscored, matching every production detector.
+
+    Exactness: the value quantizes to integer 1e-4 units before any
+    accumulation, so Python's running (n, s, q), Spark's state
+    round-trip, and the oracle's SQL window sums all produce identical
+    integers — the emitted doubles are then the same deterministic IEEE
+    expressions on both engines. Each event emits in exactly one batch;
+    no update-mode collapse is needed."""
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 10000 + 0.5).cast("bigint").alias("xi"),
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _zanom_fn,
+        outputStructType=_ZANOM_OUT,
+        stateStructType=_ZANOM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")
+
+
+stream_anomaly_zscore.__doc__ = stream_anomaly_zscore.__doc__.format(
+    n=_ZANOM_MIN_N
+)
