@@ -1038,9 +1038,14 @@ def _zanom_fn(
         ):
             xi = int(xi)
             if n >= _ZANOM_MIN_N:
+                import math
+
                 m = s / n
                 var = q / n - m * m
-                sd = max(var, 1e-6) ** 0.5
+                # math.sqrt, NOT ** 0.5: pow(x, 0.5) is not guaranteed
+                # bit-identical to the correctly-rounded sqrt, and the
+                # engines' sqrt IS — one fixture row diverged in the ulp
+                sd = math.sqrt(max(var, 1e-6))
                 z = (xi - m) / sd
                 out.append(
                     (

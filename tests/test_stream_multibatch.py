@@ -456,3 +456,112 @@ def test_attribution_state_carries_across_batches(spark, sf_dir):
         if tid is not None and ev_us[p] > bound and ev_us[tid] <= bound
     ]
     assert crossers, "fixture split produced no cross-batch attributions"
+
+
+def test_zscore_anomaly_state_carries_across_batches(spark, sf_dir):
+    """Two-file replay for the online z-score: an event in batch 2 must be
+    scored against moments accumulated in batch 1. Expected values come
+    from a batch prior-only ROWS window over the same quantized ints."""
+    from pyspark.sql import Window
+
+    from dig_aggregator_core_spark.streaming.stateful import (
+        _ZANOM_MIN_N,
+        _ZANOM_OUT,
+        _ZANOM_STATE,
+        _zanom_fn,
+    )
+    from dig_aggregator_core_spark.tables import ntz_epoch_us
+
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", "multibatch_zanom"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        ntz_epoch_us("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 10000 + 0.5).cast("bigint").alias("xi"),
+    )
+    bound = sorted(r["us"] for r in ev.select("us").collect())[
+        ev.count() // 2
+    ]
+    first = ev.filter(F.col("us") <= bound)
+    second = ev.filter(F.col("us") > bound)
+    assert first.count() > 0 and second.count() > 0
+
+    for i, half in enumerate((first, second)):
+        tmp = os.path.join(base, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(data_dir, f"{chr(97 + i)}.parquet")
+        shutil.copy(os.path.join(tmp, part), dest)
+        ts_file = time.time() - (10 - i)
+        os.utime(dest, (ts_file, ts_file))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _zanom_fn,
+        outputStructType=_ZANOM_OUT,
+        stateStructType=_ZANOM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = "multibatch_zanom_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+
+    got = {
+        r["event_id"]: (r["n_prior"], r["mean_prior"], r["z"], r["is_anomaly"])
+        for r in spark.table(sink).collect()
+    }
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "us",
+        "xi",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("xi").over(fr).alias("s"),
+        F.sum(F.col("xi") * F.col("xi")).over(fr).alias("q"),
+    ).filter(F.col("n") >= _ZANOM_MIN_N)
+    m = F.col("s").cast("double") / F.col("n")
+    var = F.col("q").cast("double") / F.col("n") - m * m
+    sd = F.sqrt(F.greatest(var, F.lit(1e-6)))
+    expected = {
+        r["event_id"]: (r["n"], r["mean_prior"], r["z"], r["is_anomaly"])
+        for r in w.select(
+            "event_id",
+            "n",
+            (m / 10000).alias("mean_prior"),
+            ((F.col("xi") - m) / sd).alias("z"),
+            (F.abs(F.col("xi") - m) > 2.0 * sd).alias("is_anomaly"),
+        ).collect()
+    }
+    assert got == expected
+    # events in batch 2 scored with n_prior larger than their batch-2-only
+    # history prove the moments round-tripped the store
+    ev_rows = {r["event_id"]: r["us"] for r in ev.collect()}
+    crossers = [
+        e
+        for e, (n, _m, _z, _a) in expected.items()
+        if ev_rows[e] > bound and n >= _ZANOM_MIN_N
+    ]
+    assert crossers
