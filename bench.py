@@ -119,6 +119,7 @@ HEADLINE = [
     "text_cooccurrence_pmi",
     "stats_chi2_independence",
     "stream_anomaly_zscore",
+    "asof_join_nearest",
 ]
 
 

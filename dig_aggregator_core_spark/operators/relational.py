@@ -573,3 +573,116 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
     )
+
+
+_NEAREST_TOL_US = 12 * 3600 * 1_000_000  # 12-hour match tolerance
+
+_NEAREST_ORACLE = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+),
+b AS (
+  SELECT c.event_id, c.user_id, c.us, p.us AS bus
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.us >= p.us
+),
+f AS (
+  SELECT c.event_id, p.us AS fus
+  FROM clicks c ASOF LEFT JOIN purchases p
+    ON c.user_id = p.user_id AND c.us <= p.us
+)
+SELECT b.event_id AS click_id, b.user_id,
+  CASE
+    WHEN b.bus IS NOT NULL AND b.us - b.bus <= {_NEAREST_TOL_US}
+     AND (f.fus IS NULL OR b.us - b.bus <= f.fus - b.us)
+      THEN b.us - b.bus
+    WHEN f.fus IS NOT NULL AND f.fus - b.us <= {_NEAREST_TOL_US}
+      THEN f.fus - b.us
+  END AS gap_us,
+  CASE
+    WHEN b.bus IS NOT NULL AND b.us - b.bus <= {_NEAREST_TOL_US}
+     AND (f.fus IS NULL OR b.us - b.bus <= f.fus - b.us)
+      THEN 'backward'
+    WHEN f.fus IS NOT NULL AND f.fus - b.us <= {_NEAREST_TOL_US}
+      THEN 'forward'
+  END AS direction
+FROM b JOIN f ON f.event_id = b.event_id
+"""
+
+
+@query("asof_join_nearest", oracle=_NEAREST_ORACLE)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    direction='nearest'): each click matches its temporally closest
+    same-user purchase within a 12-hour tolerance — backward preferred
+    on exact ties — reporting the signed-direction and exact gap. The
+    backward-only form (asof_join) answers "state as of t"; nearest
+    answers "which reading belongs to this event", the sensor/trade
+    alignment semantics.
+
+    Same union+window engine as asof_join — NO range-join explosion:
+    one user_id shuffle, a backward running `last(ignorenulls)` and a
+    forward running `first(ignorenulls)` over the SAME sort (two frames,
+    one window exchange), then a per-row nearest decision. Equal-ts
+    purchases sort before clicks, so backward includes gap-0 matches
+    and wins the tie exactly as the oracle's CASE does. Gaps are exact
+    integer microseconds — no float anywhere."""
+    from ..tables import ntz_epoch_us
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        ntz_epoch_us("ts").alias("us"),
+        F.lit(None).cast("bigint").alias("pus"),
+        F.lit(1).alias("kind"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", ntz_epoch_us("ts").alias("us"))
+        .distinct()
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "us",
+            F.col("us").alias("pus"),
+            F.lit(0).alias("kind"),
+        )
+    )
+    merged = clicks.unionByName(purchases)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scored = (
+        merged.withColumn(
+            "bus", F.last("pus", ignorenulls=True).over(wb)
+        )
+        .withColumn("fus", F.first("pus", ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    gb = F.col("us") - F.col("bus")
+    gf = F.col("fus") - F.col("us")
+    back_ok = F.col("bus").isNotNull() & (gb <= _NEAREST_TOL_US)
+    back_wins = back_ok & (F.col("fus").isNull() | (gb <= gf))
+    fwd_ok = F.col("fus").isNotNull() & (gf <= _NEAREST_TOL_US)
+    return scored.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.when(back_wins, gb).when(fwd_ok, gf).alias("gap_us"),
+        F.when(back_wins, F.lit("backward"))
+        .when(fwd_ok, F.lit("forward"))
+        .alias("direction"),
+    )
