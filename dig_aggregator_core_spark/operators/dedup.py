@@ -1333,24 +1333,28 @@ def simjoin_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets."""
     sh = _shingled(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("sh_set").alias("shingle"))
-    rare = (
+    # candidates in ONE shingle-keyed aggregation: each rare shingle's
+    # doc set (bounded at F) emits its within-set pairs as an array
+    # expression — no exploded-shingle self-join (which would shuffle the
+    # shingle stream twice and recompute the explode on both sides).
+    # Pair fan-out per shingle is at most F*(F-1)/2 by the df cap.
+    ds = (
         ex.groupBy("shingle")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= _CONT_F))
-        .select("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _CONT_F))
     )
-    probed = ex.join(rare, "shingle")
     cand = (
-        probed.alias("a")
-        .join(
-            probed.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ds.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ds) - 1), i ->"
+                    " transform(sequence(CAST(i + 1 AS INT), size(ds)), j ->"
+                    "  named_struct('doc_a', element_at(ds, CAST(i AS INT)),"
+                    "               'doc_b', element_at(ds, CAST(j AS INT))))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     sa = sh.select(
