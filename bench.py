@@ -120,6 +120,8 @@ HEADLINE = [
     "stats_chi2_independence",
     "stream_anomaly_zscore",
     "asof_join_nearest",
+    "privacy_k_anonymity",
+    "incremental_join_maintenance",
 ]
 
 

@@ -647,3 +647,68 @@ def approx_top_k_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("item"),
         F.col("e.count").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def incremental_join_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta algebra
+    V' = V ∪ (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB): the stored view absorbs
+    both sides' new rows by joining only the DELTAS against the old
+    snapshots, never re-joining the old halves (whose join is already in
+    V). This is incremental_agg_merge's idea lifted from algebraic
+    aggregates to the join operator itself — together they make any
+    aggregate-over-join pipeline refreshable by touching only the day's
+    deltas. The oracle pins maintained == full recompute.
+
+    Epochs are deterministic splits: orders by orderkey parity, customer
+    by custkey mod 3. Scale shape: the three delta joins each have at
+    least one DELTA side (small by definition — AQE broadcasts it), so
+    the maintenance cost is O(|Δ|) joins plus a union with the stored
+    view; the final reduce keys on the tiny segment dimension. The full
+    A ⋈ B re-join never runs after epoch 1."""
+    import os
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 2 == 0)
+    a_delta = orders.filter(F.col("o_orderkey") % 2 == 1)
+    b_old = cust.filter(F.col("c_custkey") % 3 != 0)
+    b_delta = cust.filter(F.col("c_custkey") % 3 == 0)
+
+    join = lambda a, b: a.join(  # noqa: E731
+        b, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_totalprice", "c_mktsegment")
+
+    stored_path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", "join_view_state"
+    )
+    # epoch 1: the stored view = old ⋈ old
+    join(a_old, b_old).write.mode("overwrite").parquet(stored_path)
+    stored = spark.read.parquet(stored_path)
+    # epoch 2: deltas only — the old x old join is NOT recomputed
+    maintained = (
+        stored.unionByName(join(a_delta, b_old))
+        .unionByName(join(a_old, b_delta))
+        .unionByName(join(a_delta, b_delta))
+    )
+    return maintained.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice").cast("double"), 4).alias("total"),
+    )

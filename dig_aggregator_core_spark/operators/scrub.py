@@ -146,3 +146,59 @@ def url_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("kept_chars"),
         )
     )
+
+
+_KANON_K = 5  # re-identification threshold
+
+_KANON_ORACLE = f"""
+WITH q AS (
+  SELECT lang, source,
+         CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS grp
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT
+  CASE WHEN grp >= {_KANON_K} THEN 'k_anonymous' ELSE 'at_risk' END
+    AS status,
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(grp) AS BIGINT) AS n_rows,
+  CAST(MIN(grp) AS BIGINT) AS min_class_size
+FROM q GROUP BY 1
+"""
+
+
+@query("privacy_k_anonymity", oracle=_KANON_ORACLE)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (lang, source,
+    coarse length bucket): every equivalence class smaller than k={k}
+    is a re-identification risk — the check a privacy review runs before
+    releasing a dataset, and the quantitative basis for deciding which
+    columns to generalize or suppress (pii_redact handles the direct
+    identifiers; this catches the INDIRECT ones). Reports class and row
+    counts on each side of the threshold plus the smallest class.
+
+    Plan: one scan reduced to the quasi-identifier grid (partial agg
+    absorbs map-side), then a 2-row reduction over the grid — the
+    second exchange carries |classes| rows, metadata-sized at any
+    corpus scale."""
+    q = (
+        load(spark, sf_dir, "documents")
+        .groupBy(
+            "lang",
+            "source",
+            (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("grp"))
+    )
+    return q.groupBy(
+        F.when(F.col("grp") >= _KANON_K, F.lit("k_anonymous"))
+        .otherwise(F.lit("at_risk"))
+        .alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("grp").alias("n_rows"),
+        F.min("grp").alias("min_class_size"),
+    )
+
+
+privacy_k_anonymity.__doc__ = privacy_k_anonymity.__doc__.format(k=_KANON_K)
