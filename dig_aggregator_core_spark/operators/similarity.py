@@ -689,3 +689,186 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+_RERANK_R = 3 * _TOPK  # coarse shortlist size per query
+
+_QUANT_SQL = """
+    qz AS (
+      SELECT s.vec_id, s.v, s.nrm,
+             substr(s.signs, 1, b.nb) AS bucket,
+             list_transform(s.v, x -> CAST(round((x * 127.0) /
+               greatest(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(s.v, y -> abs(y))),
+                 (acc, y) -> greatest(acc, y)), 1e-30)) AS INT)) AS qvec
+      FROM sig s, b)
+"""
+
+
+@query(
+    "ann_rerank_quantized",
+    oracle=f"""
+    WITH {_VECS_SQL},
+    sig AS (SELECT *, {_SIGNS_SQL} AS signs FROM vecs),
+    b AS (SELECT {_NBITS_SQL} AS nb FROM sig),
+    {_QUANT_SQL},
+    probes AS (
+      SELECT k.vec_id AS query_id, k.v AS qv, k.nrm AS qn, k.qvec AS qq,
+             {_flip_sql('k.bucket', 't.i')} AS pbucket
+      FROM (SELECT * FROM qz WHERE {_QUERY_FILTER}) k
+      CROSS JOIN (SELECT unnest(range(0, {_MAXBITS + 1})) AS i) t
+      WHERE t.i <= length(k.bucket)
+    ),
+    coarse AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, p.qv, p.qn,
+             c.v AS cv, c.nrm AS cn,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(p.qq) + 1),
+                 i -> CAST(p.qq[i] AS BIGINT) * CAST(c.qvec[i] AS BIGINT))),
+               (acc, x) -> acc + x) AS qdot
+      FROM probes p
+      JOIN qz c ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
+    ),
+    shortlist AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY qdot DESC, neighbor_id) AS crank
+        FROM coarse
+      ) WHERE crank <= {_RERANK_R}
+    ),
+    rer AS (
+      SELECT query_id, neighbor_id, qdot,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])),
+               (acc, x) -> acc + x) / (qn * cn) AS cos
+      FROM shortlist
+    )
+    SELECT query_id, neighbor_id, CAST(qdot AS BIGINT) AS coarse_dot,
+           ROUND(cos, 6) AS cosine, CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM rer
+    ) WHERE rk <= {_TOPK}
+    """,
+)
+def ann_rerank_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (coarse quantized scan -> exact re-rank), the
+    production ANN serving shape (IVF-PQ / ScaNN style, cf. Guo et al.,
+    ICML 2020): stage 1 scores multiprobed LSH-bucket candidates with the
+    symmetric-int8 dot product (quantize_embeddings' exact formula - pure
+    BIGINT math, 4x smaller vectors, SIMD-friendly) and keeps a top-R
+    shortlist (R = {r}); stage 2 rescores ONLY the shortlist with the
+    exact double cosine and emits top-k.
+
+    Scale shape: the expensive float math touches R rows per query
+    instead of every bucket candidate; the corpus is hashed, quantized
+    and bucketed ONCE with per-row codegen expressions; candidate scoring
+    stays bucket-confined (equi-join on the probed bucket). At 100 TB the
+    int8 corpus is the only thing the coarse stage streams, and the
+    shortlist is metadata-sized. Both ranking stages are heap top-k
+    windows keyed by query_id; the integer stage-1 scores make the
+    shortlist bit-identical across engines (no float-order hazard), and
+    stage 2 rounds the rescored cosine to 6dp exactly like the rest of
+    the ANN family so recall is measurable against ann_topk_bruteforce.
+    """
+    vecs = (
+        _vecs(spark, sf_dir)
+        .withColumn("signs", F.expr(_SIGNS_SPARK))
+        .withColumn(
+            "maxabs",
+            F.greatest(
+                F.expr(
+                    "aggregate(transform(v, x -> abs(x)),"
+                    " CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, x))"
+                ),
+                F.lit(1e-30),
+            ),
+        )
+        .withColumn(
+            "qvec",
+            F.expr("transform(v, x -> CAST(round((x * 127.0) / maxabs) AS INT))"),
+        )
+    )
+    nb = vecs.agg(
+        F.expr(
+            f"GREATEST(4, LEAST({_MAXBITS},"
+            " CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0)) AS INT)))"
+        ).alias("nb")
+    )
+    keyed = vecs.crossJoin(F.broadcast(nb)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "qvec",
+        F.expr("substring(signs, 1, nb)").alias("bucket"),
+    )
+    probes = (
+        keyed.filter(F.expr(_QUERY_FILTER))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("qvec").alias("qq"),
+            "bucket",
+            F.explode(F.expr("sequence(0, length(bucket))")).alias("i"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "qq",
+            F.expr(_flip_sql("bucket", "i")).alias("pbucket"),
+        )
+    )
+    c = keyed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("qvec").alias("cq"),
+        F.col("bucket").alias("cbucket"),
+    )
+    coarse = probes.join(
+        c,
+        (probes.pbucket == c.cbucket)
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn(
+        "qdot",
+        F.expr(
+            "aggregate(zip_with(qq, cq,"
+            " (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)),"
+            " 0L, (acc, x) -> acc + x)"
+        ),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    shortlist = coarse.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= _RERANK_R
+    )
+    rer = shortlist.withColumn(
+        "cos",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("qdot").alias("coarse_dot"),
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+ann_rerank_quantized.__doc__ = ann_rerank_quantized.__doc__.format(
+    r=_RERANK_R
+)

@@ -860,3 +860,107 @@ def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 pack_bins_ffd.__doc__ = pack_bins_ffd.__doc__.format(
     cap=_FFD_CAP, sh=_FFD_SHARD
 )
+
+
+# Ordered BPE merge table for tokenizer_bpe_apply, encoded 'left right'.
+# WELL-FORMED by construction: any rule whose side is a composite token
+# appears after the rules that create that composite ('th e' after 't h',
+# 'sc an' after 's c'/'a n', ...) — the invariant every learned merge
+# list satisfies (a pair can only be counted once its parts exist), and
+# the property that makes rule-by-rule exhaustive application equal to
+# true priority-order BPE: a rule's merges can only create pairs for
+# LATER rules, never re-enable an earlier one.
+_BPE_MERGES = [
+    "t h", "th e", "a n", "s c", "sc an", "e r", "o r", "or t",
+    "i n", "in d", "a t", "s t", "st r",
+]
+_BPE_MERGES_SPARK = (
+    "array(" + ", ".join(f"'{m}'" for m in _BPE_MERGES) + ")"
+)
+_BPE_MERGES_DUCK = (
+    "[" + ", ".join(f"'{m}'" for m in _BPE_MERGES) + "]"
+)
+
+@query(
+    "tokenizer_bpe_apply",
+    oracle=f"""
+    WITH enc AS (
+      SELECT doc_id, n_chars,
+        list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+          w -> list_reduce(
+            list_prepend(
+              array_to_string(list_transform(range(1, length(w) + 1),
+                i -> substr(w, CAST(i AS INT), 1)), '~'),
+              {_BPE_MERGES_DUCK}),
+            (acc, mg) -> list_reduce(
+              list_prepend('', string_split(acc, '~')),
+              (a, t) -> CASE WHEN a = '' THEN t
+                WHEN t = split_part(mg, ' ', 2)
+                 AND (a = split_part(mg, ' ', 1)
+                      OR right(a, length(split_part(mg, ' ', 1)) + 1)
+                         = '~' || split_part(mg, ' ', 1))
+                THEN a || t ELSE a || '~' || t END))) AS ew
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ew) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(ew,
+             e -> len(string_split(e, '~')))) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ew[1] AS first_word_tokens,
+           md5(array_to_string(ew, ' ')) AS tok_digest
+    FROM enc
+    """,
+)
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with an ordered merge table — the apply half of the
+    tokenizer pair (tokenizer_bpe_merges trains; this encodes), i.e. what
+    actually tokenizes a corpus before packing (Sennrich et al., ACL
+    2016). Each word is split to characters, then every merge rule is
+    applied as one greedy left-to-right non-overlapping pass, in priority
+    order. Because the merge table is well-formed (composite tokens only
+    appear in rules AFTER the rules that create them — true of any
+    learned list), rule-by-rule exhaustive application is exactly
+    priority-order BPE: a merge can only enable later rules.
+
+    Spark shape: the entire encoder is ONE codegen projection — a
+    per-word fold over a 13-element literal merge array whose inner step
+    re-splits and re-joins the token string (fold state stays a scalar
+    string, so both engines' higher-order folds accept it; cf. the
+    pack_bins_ffd accumulator lesson). Zero shuffle, zero Python, no
+    per-row state: embarrassingly parallel at 100 TB, and the natural
+    upstream of pack_token_chunks. Work per word is O(|merges| x |word|).
+    Emits per-doc token counts plus an md5 digest of the full token
+    stream ('~' within words, ' ' between) so the oracle pins the exact
+    token sequences, not just counts."""
+    d = load(spark, sf_dir, "documents")
+    enc = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "transform(filter(split(text, ' '), w -> w <> ''), w ->"
+            " aggregate("
+            f"  {_BPE_MERGES_SPARK},"
+            "  array_join(transform(sequence(1, length(w)),"
+            "    i -> substring(w, CAST(i AS INT), 1)), '~'),"
+            "  (acc, mg) -> aggregate("
+            "    split(acc, '~'),"
+            "    '',"
+            "    (a, t) -> CASE WHEN a = '' THEN t"
+            "      WHEN t = split_part(mg, ' ', 2)"
+            "       AND (a = split_part(mg, ' ', 1)"
+            "            OR right(a, length(split_part(mg, ' ', 1)) + 1)"
+            "               = concat('~', split_part(mg, ' ', 1)))"
+            "      THEN concat(a, t) ELSE concat(a, '~', t) END)))"
+        ).alias("ew"),
+    )
+    return enc.select(
+        "doc_id",
+        F.size("ew").cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(ew, 0L, (s, e) -> s + size(split(e, '~')))"
+        ).alias("n_tokens"),
+        "n_chars",
+        F.element_at("ew", 1).alias("first_word_tokens"),
+        F.md5(F.array_join("ew", " ")).alias("tok_digest"),
+    )

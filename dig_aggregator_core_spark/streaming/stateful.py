@@ -1106,3 +1106,94 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 stream_anomaly_zscore.__doc__ = stream_anomaly_zscore.__doc__.format(
     n=_ZANOM_MIN_N
 )
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over documents.parquet — the shape of a corpus
+    arriving continuously from a crawler/ingest bus rather than sitting
+    complete in a lake."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+_DECONTAM_NGRAM_STREAM = 5  # keep identical to curation.DECONTAM_NGRAM
+
+
+@query(
+    "stream_decontam",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - {_DECONTAM_NGRAM_STREAM - 2}),
+               i -> list_aggregate(list_slice(t, CAST(i AS INT),
+                 CAST(i + {_DECONTAM_NGRAM_STREAM - 1} AS INT)),
+                 'string_agg', ' '))))
+               AS shingle
+      FROM toks WHERE len(t) >= {_DECONTAM_NGRAM_STREAM}
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING benchmark decontamination — decontam_ngram_overlap's
+    semantics applied as documents arrive: the benchmark shingle set is a
+    STATIC batch relation (eval sets are small and fixed), each
+    micro-batch of incoming docs explodes its shingles and probes the
+    benchmark via a broadcast stream-static join, and the per-doc shared
+    count aggregates in complete mode. This is the shape a live ingest
+    pipeline wants: contamination flagged at arrival time, not in a
+    nightly batch sweep.
+
+    Scale notes: the static side broadcasts once (re-resolved per batch,
+    no stream state kept for it); the stream side's raw text is never
+    shuffled — only (doc_id, matched shingle) pairs reach the aggregate,
+    and doc_id is near-unique so map-side partials absorb the count. The
+    groupBy state is bounded by the number of CONTAMINATED docs, not the
+    corpus. The oracle is the batch decontam SQL: streaming and batch
+    answers must be identical once the stream drains (AvailableNow)."""
+    n = _DECONTAM_NGRAM_STREAM
+    toks = F.split(F.col("text"), " ")
+    shingles_expr = F.explode(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}),"
+                f" i -> array_join(slice(t, CAST(i AS INT), {n}), ' '))"
+            )
+        )
+    ).alias("shingle")
+
+    bench = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select(shingles_expr)
+        .distinct()
+    )
+    stream_sh = (
+        _documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select("doc_id", shingles_expr)
+    )
+    flagged = (
+        stream_sh.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+    return _run_to_memory(flagged, "complete")
