@@ -27,7 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -415,3 +415,103 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contrib"),
         )
     )
+
+
+_KS_BIN_W = 0.25  # value-bin width for the binned KS statistic
+
+
+@query(
+    "stats_ks_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type = 'click' AS is_a,
+             CAST(floor(value / {_KS_BIN_W}) AS BIGINT) AS bin
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    h AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM ev GROUP BY bin
+    ),
+    t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM h
+    ),
+    c AS (
+      SELECT bin,
+             CAST(SUM(ca) OVER (ORDER BY bin) AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY bin) AS BIGINT) AS cum_b
+      FROM h
+    ),
+    d AS (
+      SELECT c.bin, t.n_a, t.n_b,
+             abs(CAST(c.cum_a AS DOUBLE) / t.n_a
+                 - CAST(c.cum_b AS DOUBLE) / t.n_b) AS diff
+      FROM c, t
+    )
+    SELECT n_a, n_b, ROUND(diff, 6) AS ks_stat, bin AS ks_bin
+    FROM d ORDER BY diff DESC, bin LIMIT 1
+    """,
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the 'click'
+    and 'view' value distributions — the nonparametric distribution-shift
+    gate (complements stats_chi2_independence's categorical test and
+    profile_drift's moment deltas): D = max over bins of
+    |ECDF_a - ECDF_b|, with the bin where the gap peaks for diagnosis.
+
+    Scale shape: the exact per-row KS needs a GLOBAL sort of both
+    samples — the one shape this suite avoids — so this computes the KS
+    of the width-{w} BINNED distributions: one scan reduces to
+    |bins| rows map-side (groupBy bin), and the ECDF cumulation + argmax
+    run as a window over the metadata-sized bin histogram (documented
+    deliberate global window over ~2k rows, like tokenizer_bpe_merges'
+    vocab table). Binned D equals true D evaluated at bin boundaries
+    (D_binned <= D_true, exact for the binned distributions both engines
+    see identically — integer counts, one double division at the end)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            (F.col("event_type") == "click").alias("is_a"),
+            F.floor(F.col("value") / _KS_BIN_W).cast("long").alias("bin"),
+        )
+    )
+    h = ev.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cb"),
+    )
+    t = h.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "bin",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    d = c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("n_a")
+            - F.col("cum_b").cast("double") / F.col("n_b")
+        ).alias("diff"),
+    )
+    pick = Window.orderBy(F.col("diff").desc(), F.col("bin"))
+    return (
+        d.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "n_a",
+            "n_b",
+            F.round("diff", 6).alias("ks_stat"),
+            F.col("bin").alias("ks_bin"),
+        )
+    )
+
+
+stats_ks_drift.__doc__ = stats_ks_drift.__doc__.format(w=_KS_BIN_W)

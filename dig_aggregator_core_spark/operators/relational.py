@@ -686,3 +686,100 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(fwd_ok, F.lit("forward"))
         .alias("direction"),
     )
+
+
+_RL_BAND = 2000  # acctbal blocking-band width (dollars)
+
+
+@query(
+    "record_linkage_score",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS seg,
+             c_acctbal AS bal, right(c_name, 2) AS nd,
+             CAST(floor(c_acctbal / {_RL_BAND}.0) AS BIGINT) AS band
+      FROM customer
+    ),
+    p AS (
+      SELECT a.k AS a_key, b.k AS b_key,
+             CAST(round(abs(a.bal - b.bal) * 100) AS BIGINT) AS bal_diff_cents,
+             a.nd = b.nd AS same_name_suffix
+      FROM c a JOIN c b
+        ON a.nk = b.nk AND a.seg = b.seg AND a.band = b.band
+       AND a.k < b.k
+    )
+    SELECT a_key, b_key, bal_diff_cents, same_name_suffix,
+           ROUND((CASE WHEN bal_diff_cents <= 2000 THEN 2.5
+                       WHEN bal_diff_cents <= 20000 THEN 1.2
+                       ELSE -0.6 END)
+                 + (CASE WHEN same_name_suffix THEN 1.5 ELSE -0.2 END),
+                 1) AS score,
+           ((CASE WHEN bal_diff_cents <= 2000 THEN 2.5
+                  WHEN bal_diff_cents <= 20000 THEN 1.2
+                  ELSE -0.6 END)
+            + (CASE WHEN same_name_suffix THEN 1.5 ELSE -0.2 END))
+             >= 2.0 AS is_match
+    FROM p
+    """,
+)
+def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage in the Fellegi-Sunter shape
+    (JASA 1969): BLOCK candidate pairs on coarse keys, compute a
+    per-field agreement vector for each pair, sum literal log-odds-style
+    agreement weights into a match score, and threshold. Fields here:
+    graded account-balance proximity (compared in exact integer CENTS so
+    no float boundary flips an agreement tier cross-engine) and a
+    name-suffix surrogate; blocking is (nation, segment, a 2000-dollar
+    balance band).
+
+    Scale shape: the blocking key is the ONLY shuffle key and the pair
+    generation is a self-equi-join within blocks — never all-pairs. The
+    balance band bounds block size the way dedup_minhash_lsh's bands do
+    (the recall trade: a true match straddling a band boundary is lost,
+    the standard blocking tradeoff — production stacks a second pass
+    blocked on another key, exactly like multi-band LSH). Scoring is one
+    codegen projection over candidate pairs. Emits every candidate pair
+    with its agreement vector, score, and match flag (threshold 2.0) so
+    the downstream reviewer sees near-misses too."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        F.expr("right(c_name, 2)").alias("nd"),
+        F.floor(F.col("c_acctbal") / float(_RL_BAND)).cast("long").alias(
+            "band"
+        ),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.nk") == F.col("b.nk"))
+        & (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.k") < F.col("b.k")),
+    ).select(
+        F.col("a.k").alias("a_key"),
+        F.col("b.k").alias("b_key"),
+        F.expr("CAST(round(abs(a.bal - b.bal) * 100) AS BIGINT)").alias(
+            "bal_diff_cents"
+        ),
+        (F.col("a.nd") == F.col("b.nd")).alias("same_name_suffix"),
+    )
+    w_bal = (
+        F.when(F.col("bal_diff_cents") <= 2000, F.lit(2.5))
+        .when(F.col("bal_diff_cents") <= 20000, F.lit(1.2))
+        .otherwise(F.lit(-0.6))
+    )
+    w_nd = F.when(F.col("same_name_suffix"), F.lit(1.5)).otherwise(
+        F.lit(-0.2)
+    )
+    return p.select(
+        "a_key",
+        "b_key",
+        "bal_diff_cents",
+        "same_name_suffix",
+        F.round(w_bal + w_nd, 1).alias("score"),
+        ((w_bal + w_nd) >= 2.0).alias("is_match"),
+    )

@@ -202,3 +202,135 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 privacy_k_anonymity.__doc__ = privacy_k_anonymity.__doc__.format(k=_KANON_K)
+
+
+# Deterministic messy-URL synthesis for dedup_url_canonicalize: four
+# surface variants per canonical target, keyed by doc_id % 4 — uppercase
+# scheme/host + default port, trailing slash, utm_* tracking params, and
+# a fragment. Shared string so Spark and the oracle build byte-identical
+# inputs.
+_URL_MESSY_CASES = (
+    "CASE CAST({d} % 4 AS INT)"
+    " WHEN 0 THEN 'https://' || {s} || '.example.com/docs/'"
+    "   || CAST({d} % 8 AS {vc}) || '?lang=' || {l}"
+    " WHEN 1 THEN 'HTTPS://' || upper({s}) || '.Example.COM:443/docs/'"
+    "   || CAST({d} % 8 AS {vc}) || '/?lang=' || {l}"
+    " WHEN 2 THEN 'https://' || {s} || '.example.com/docs/'"
+    "   || CAST({d} % 8 AS {vc}) || '?utm_source=feed&lang=' || {l}"
+    "   || '#sec2'"
+    " ELSE 'https://' || {s} || '.example.com/docs/'"
+    "   || CAST({d} % 8 AS {vc}) || '/?lang=' || {l}"
+    "   || '&utm_campaign=x' END"
+)
+
+@query(
+    "dedup_url_canonicalize",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             {_URL_MESSY_CASES.format(d="doc_id", s="source", l="lang", vc="VARCHAR")}
+               AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS nofrag,
+             regexp_replace(lower(regexp_extract(
+               regexp_replace(url, '#.*$', ''),
+               '^[A-Za-z]+://[^/]+', 0)), ':443$', '') AS sh,
+             substr(regexp_replace(url, '#.*$', ''),
+               length(regexp_extract(regexp_replace(url, '#.*$', ''),
+                 '^[A-Za-z]+://[^/]+', 0)) + 1) AS rest
+      FROM u
+    ),
+    k AS (
+      SELECT doc_id, sh,
+             regexp_replace(regexp_extract(rest, '^[^?]*', 0),
+               '/+$', '') AS pth,
+             CASE WHEN strpos(rest, '?') > 0
+                  THEN list_filter(string_split(
+                         substr(rest, strpos(rest, '?') + 1), '&'),
+                         p -> NOT starts_with(p, 'utm_'))
+                  ELSE [] END AS kept
+      FROM c
+    ),
+    canon AS (
+      SELECT doc_id,
+             sh || pth || CASE WHEN len(kept) > 0
+               THEN '?' || array_to_string(kept, '&') ELSE '' END
+               AS canonical_url
+      FROM k
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first dedup pass of every
+    web-crawl corpus (before any content hashing): normalize each
+    document's URL (strip fragments, lowercase scheme+host, drop the
+    default :443 port, strip trailing slashes, remove utm_* tracking
+    params while preserving the remaining param order) and group by the
+    canonical form; groups of >= 2 are re-crawls of the same resource,
+    keep_doc (min doc_id) the canonical copy. URLs are synthesized
+    deterministically from the documents table in four messy surface
+    variants so the oracle builds byte-identical inputs and the
+    canonicalizer provably collapses all four.
+
+    Scale shape: canonicalization is a pure codegen regex/array chain
+    (RE2-safe patterns, no lookaround, so the same regex runs on both
+    engines); the ONLY shuffle is the groupBy on the canonical key —
+    exact-dedup shape, same as dedup_exact's digest groupBy. No text,
+    no joins, linear at any corpus size."""
+    u = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            _URL_MESSY_CASES.format(d="doc_id", s="source", l="lang", vc="STRING")
+        ).alias("url"),
+    )
+    c = u.select(
+        "doc_id",
+        F.expr("regexp_replace(url, '#.*$', '')").alias("nofrag"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "regexp_replace(lower(regexp_extract(nofrag,"
+            " '^[A-Za-z]+://[^/]+', 0)), ':443$', '')"
+        ).alias("sh"),
+        F.expr(
+            "substr(nofrag, length(regexp_extract(nofrag,"
+            " '^[A-Za-z]+://[^/]+', 0)) + 1)"
+        ).alias("rest"),
+    )
+    k = c.select(
+        "doc_id",
+        "sh",
+        F.expr(
+            "regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '')"
+        ).alias("pth"),
+        F.expr(
+            "CASE WHEN instr(rest, '?') > 0"
+            " THEN filter(split(substr(rest, instr(rest, '?') + 1), '&'),"
+            "             p -> NOT startswith(p, 'utm_'))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END"
+        ).alias("kept"),
+    )
+    canon = k.select(
+        "doc_id",
+        F.expr(
+            "sh || pth || CASE WHEN size(kept) > 0"
+            " THEN '?' || array_join(kept, '&') ELSE '' END"
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -574,3 +574,115 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.round(F.sum("acctbal"), 4).alias("total_bal"),
     )
+
+
+@query(
+    "quality_drift_by_source",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(w) AS BIGINT) AS n_tok,
+             CAST(round(CAST(len(list_distinct(w)) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) * 1000000.0) AS BIGINT) AS ttr_u
+      FROM (SELECT source, n_chars,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents)
+    ),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sc,
+             CAST(SUM(n_tok) AS BIGINT) AS stk,
+             CAST(SUM(ttr_u) AS BIGINT) AS sttr
+      FROM per GROUP BY source
+    ),
+    g AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+             CAST(SUM(sc) AS BIGINT) AS tsc,
+             CAST(SUM(stk) AS BIGINT) AS tstk,
+             CAST(SUM(sttr) AS BIGINT) AS tsttr
+      FROM s
+    )
+    SELECT source, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / tn, 6) AS share,
+           ROUND(CAST(sc AS DOUBLE) / n_docs, 6) AS mean_chars,
+           ROUND(abs(CAST(sc AS DOUBLE) / n_docs
+                 - CAST(tsc AS DOUBLE) / tn), 6) AS chars_drift,
+           ROUND(CAST(stk AS DOUBLE) / n_docs, 6) AS mean_tokens,
+           ROUND(abs(CAST(stk AS DOUBLE) / n_docs
+                 - CAST(tstk AS DOUBLE) / tn), 6) AS tokens_drift,
+           ROUND(CAST(sttr AS DOUBLE) / n_docs / 1000000.0, 6) AS mean_ttr,
+           ROUND(abs(CAST(sttr AS DOUBLE) / n_docs
+                 - CAST(tsttr AS DOUBLE) / tn) / 1000000.0, 6) AS ttr_drift
+    FROM s, g
+    """,
+)
+def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-quality drift grid — the report a training-data
+    audit ships per ingest source: volume share, mean length, mean token
+    count, and mean type-token ratio, each with its absolute drift from
+    the whole-corpus baseline (threshold the *_drift columns to catch a
+    source whose crawler started emitting boilerplate or truncated docs).
+    Generalizes profile_drift (two fixed halves) to the source dimension.
+
+    Plan: ONE corpus scan. The per-source sums are sufficient statistics,
+    so the GLOBAL baseline is re-aggregated from the per-source partials
+    (a second aggregate over |sources| rows, broadcast back as one row) —
+    the corpus is never scanned or shuffled twice. Per-doc type-token
+    ratios are quantized to integer 1e-6 units BEFORE summing so the sums
+    are exact integers on both engines (the timeseries_anomaly_rolling
+    float-summation lesson); every division afterwards is written in the
+    same order in Spark and the oracle."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"),
+    )
+    per = d.select(
+        "source",
+        "n_chars",
+        F.size("w").cast("long").alias("n_tok"),
+        F.expr(
+            "CAST(round(CAST(size(array_distinct(w)) AS DOUBLE)"
+            " / CAST(size(w) AS DOUBLE) * 1000000.0) AS BIGINT)"
+        ).alias("ttr_u"),
+    )
+    s = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sc"),
+        F.sum("n_tok").alias("stk"),
+        F.sum("ttr_u").alias("sttr"),
+    )
+    g = s.agg(
+        F.sum("n_docs").alias("tn"),
+        F.sum("sc").alias("tsc"),
+        F.sum("stk").alias("tstk"),
+        F.sum("sttr").alias("tsttr"),
+    )
+    sc_d = F.col("sc").cast("double")
+    stk_d = F.col("stk").cast("double")
+    sttr_d = F.col("sttr").cast("double")
+    return s.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("tn"), 6).alias(
+            "share"
+        ),
+        F.round(sc_d / F.col("n_docs"), 6).alias("mean_chars"),
+        F.round(
+            F.abs(sc_d / F.col("n_docs") - F.col("tsc").cast("double") / F.col("tn")),
+            6,
+        ).alias("chars_drift"),
+        F.round(stk_d / F.col("n_docs"), 6).alias("mean_tokens"),
+        F.round(
+            F.abs(stk_d / F.col("n_docs") - F.col("tstk").cast("double") / F.col("tn")),
+            6,
+        ).alias("tokens_drift"),
+        F.round(sttr_d / F.col("n_docs") / F.lit(1000000.0), 6).alias(
+            "mean_ttr"
+        ),
+        F.round(
+            F.abs(sttr_d / F.col("n_docs") - F.col("tsttr").cast("double") / F.col("tn"))
+            / F.lit(1000000.0),
+            6,
+        ).alias("ttr_drift"),
+    )

@@ -1197,3 +1197,92 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_ngrams"))
     )
     return _run_to_memory(flagged, "complete")
+
+
+def _cdc_apply(spark: SparkSession, stream: DataFrame, checkpoint: str | None = None) -> DataFrame | None:
+    """foreachBatch CDC-apply engine for stream_cdc_upsert: per epoch,
+    reduce the batch to one last-writer row per touched key, merge with
+    the state table, write state version v+1 (read-current/write-next).
+    Returns the final state DataFrame (None if the source was empty)."""
+    out_dir = tempfile.mkdtemp(prefix="cdc_state_")
+    state = {"df": None, "v": 0}
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        agg = batch.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "value", "event_type")).alias(
+                "mx"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        if state["df"] is None:
+            merged = agg
+        else:
+            merged = (
+                state["df"]
+                .unionByName(agg)
+                .groupBy("user_id")
+                .agg(F.max("mx").alias("mx"), F.sum("n").alias("n"))
+            )
+        state["v"] += 1
+        path = os.path.join(out_dir, f"v{state['v']}")
+        merged.write.mode("overwrite").parquet(path)
+        state["df"] = batch.sparkSession.read.parquet(path)
+
+    writer = stream.writeStream.foreachBatch(apply_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return state["df"]
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, value, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    SELECT user_id, ROUND(value, 4) AS last_value,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM latest WHERE rk = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the event stream is a change feed keyed by
+    user_id (each event upserts the user's value; event_type='error' is a
+    tombstone), applied through foreachBatch into a materialized state
+    table — the ingestion half of a CDC pipeline (Debezium-style apply),
+    and the streaming twin of merge_upsert_delete. Last-writer-wins is by
+    (ts, event_id), so arrival order across micro-batches never matters:
+    replaying the feed in any batch partitioning converges to the same
+    table (the two-file replay test pins this).
+
+    Per epoch: the batch reduces MAP-SIDE to one argmax row per touched
+    user (max of a (ts, event_id, value, type) struct — lexicographic
+    struct max IS the last-writer rule), then full-outer-merges with the
+    state table and writes a NEW state version (read-current/write-next,
+    the same single-writer versioning as plans/ledger.py). State size is
+    O(live keys), batch work is O(touched keys); nothing rescans history.
+    Tombstoned keys stay in state (so a late pre-tombstone change cannot
+    resurrect them) and are excluded at read — exactly how Delta/Hudi
+    treat deletes before vacuum."""
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    final = _cdc_apply(spark, stream)
+    if final is None:  # empty source
+        return spark.createDataFrame(
+            [], "user_id bigint, last_value double, n_changes bigint"
+        )
+    return (
+        final.filter(F.col("mx.event_type") != "error")
+        .select(
+            "user_id",
+            F.round(F.col("mx.value"), 4).alias("last_value"),
+            F.col("n").cast("long").alias("n_changes"),
+        )
+    )

@@ -565,3 +565,72 @@ def test_zscore_anomaly_state_carries_across_batches(spark, sf_dir):
         if ev_rows[e] > bound and n >= _ZANOM_MIN_N
     ]
     assert crossers
+
+
+def test_cdc_upsert_state_carries_across_batches(spark, sf_dir):
+    """stream_cdc_upsert's merge must converge across micro-batches: two
+    files (one batch each under maxFilesPerTrigger=1) must produce the
+    same final table as the single-batch run, including tombstones
+    arriving in a DIFFERENT batch than the change they shadow."""
+    from dig_aggregator_core_spark.streaming.stateful import _cdc_apply
+
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", "multibatch_cdc"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    # split by event_id PARITY — both halves span the full time range, so
+    # batch order deliberately does NOT match event-time order and the
+    # (ts, event_id) last-writer rule must resolve cross-batch conflicts
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    for i, half in enumerate((first, second)):
+        tmp = os.path.join(base, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(data_dir, f"{chr(97 + i)}.parquet")
+        shutil.copy(os.path.join(tmp, part), dest)
+        ts_file = time.time() - (10 - i)
+        os.utime(dest, (ts_file, ts_file))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    final = _cdc_apply(spark, stream, checkpoint=os.path.join(base, "chk"))
+    got = {
+        r["user_id"]: (round(r["last_value"], 4), r["n_changes"])
+        for r in final.filter(F.col("mx.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("mx.value").alias("last_value"),
+            F.col("n").cast("long").alias("n_changes"),
+        )
+        .collect()
+    }
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    expected_df = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_changes",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+        )
+        .filter((F.col("rk") == 1) & (F.col("event_type") != "error"))
+    )
+    expected = {
+        r["user_id"]: (round(r["value"], 4), r["n_changes"])
+        for r in expected_df.collect()
+    }
+    assert got == expected
+    assert len(got) > 0
