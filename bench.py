@@ -122,6 +122,19 @@ HEADLINE = [
     "asof_join_nearest",
     "privacy_k_anonymity",
     "incremental_join_maintenance",
+    # late-r5 additions: two-stage retrieval, the tokenizer apply half,
+    # streaming decontam + CDC apply, the audit trio, URL canon dedup
+    "ann_rerank_quantized",
+    "tokenizer_bpe_apply",
+    "stream_decontam",
+    "quality_drift_by_source",
+    "stats_ks_drift",
+    "record_linkage_score",
+    "stream_cdc_upsert",
+    "dedup_url_canonicalize",
+    "eval_calibration_bins",
+    "eval_auc_binned",
+    "negative_sampling_recsys",
 ]
 
 

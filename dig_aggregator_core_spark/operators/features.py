@@ -515,3 +515,173 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 stats_ks_drift.__doc__ = stats_ks_drift.__doc__.format(w=_KS_BIN_W)
+
+
+# Shared deterministic scorer for the eval ops: a clamped linear ramp of
+# doc length plus a small type-token-ratio term. Every operation is an
+# exactly-rounded IEEE primitive (no exp/log), so the score doubles are
+# bit-identical across engines — which keeps micro-unit quantization and
+# bin assignment deterministic (a logistic link would differ in the last
+# ulp between java.lang.Math.exp and libm and could flip a bin edge).
+_EVAL_SCORE = (
+    "least(1.0, greatest(0.0,"
+    " (CAST(n_chars AS DOUBLE) - 64.0) / 896.0))"
+    " * 0.875 + "
+    "(CAST({nd} AS DOUBLE) / CAST({n} AS DOUBLE)) * 0.125"
+)
+_EVAL_LABEL = "n_chars >= 256"
+
+
+def _eval_scored_sql(distinct_fn: str, len_fn: str, split_fn: str, filt: str) -> str:
+    nd = f"{len_fn}({distinct_fn}(w))"
+    n = f"{len_fn}(w)"
+    return f"""
+      SELECT CAST(round(({_EVAL_SCORE.format(nd=nd, n=n)}) * 1000000.0)
+               AS BIGINT) AS su,
+             CASE WHEN {_EVAL_LABEL} THEN 1 ELSE 0 END AS pos
+      FROM (SELECT n_chars,
+                   {filt}({split_fn}(text, ' '), x -> x <> '') AS w
+            FROM documents)
+    """
+
+
+@query(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH scored AS ({_eval_scored_sql("list_distinct", "len", "string_split", "list_filter")}),
+    b AS (
+      SELECT LEAST(9, CAST(su // 100000 AS BIGINT)) AS bin, su, pos
+      FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+           ROUND(CAST(SUM(su) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS mean_score
+    FROM b GROUP BY bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration table (reliability diagram): bucket a
+    quality score into 10 bins and compare each bin's mean predicted
+    score with its observed positive rate — the eval a production
+    quality-filter ships before its threshold is trusted (cf. the
+    calibration analyses in Guo et al., ICML 2017). Scores are quantized
+    to integer micro-units BEFORE any aggregation, so bin assignment and
+    bin means are exact integer math on both engines.
+
+    Scale: one scan reduced map-side to 10 bins; nothing else moves."""
+    d = load(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"),
+    )
+    scored = d.select(
+        F.expr(
+            "CAST(round(("
+            + _EVAL_SCORE.format(
+                nd="size(array_distinct(w))", n="size(w)"
+            )
+            + ") * 1000000.0) AS BIGINT)"
+        ).alias("su"),
+        F.expr(f"CASE WHEN {_EVAL_LABEL} THEN 1 ELSE 0 END").alias("pos"),
+    )
+    b = scored.select(
+        F.least(F.lit(9), (F.col("su") / 100000).cast("long")).alias("bin"),
+        "su",
+        "pos",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.round(
+            F.sum("pos").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pos_rate"),
+        F.round(
+            F.sum("su").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mean_score"),
+    )
+
+
+@query(
+    "eval_auc_binned",
+    oracle=f"""
+    WITH scored AS ({_eval_scored_sql("list_distinct", "len", "string_split", "list_filter")}),
+    h AS (
+      SELECT su, CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(1 - pos) AS BIGINT) AS ng
+      FROM scored GROUP BY su
+    ),
+    c AS (
+      SELECT su, p, ng,
+             CAST(COALESCE(SUM(ng) OVER (ORDER BY su
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumneg
+      FROM h
+    ),
+    t AS (
+      SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(ng) AS BIGINT) AS n_neg,
+             CAST(SUM(2 * cumneg * p + p * ng) AS BIGINT) AS num2
+      FROM c
+    )
+    SELECT n_pos, n_neg,
+           ROUND(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM t
+    """,
+)
+def eval_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the quality score against the binary label via the
+    rank-sum (Mann-Whitney) identity, computed EXACTLY on the
+    micro-unit score histogram: AUC = (sum over distinct scores of
+    2*cumneg_below*pos + pos*neg) / (2*P*N), where the pos*neg term is
+    the tie correction (ties count half). The entire numerator is
+    integer arithmetic — one double division at the end — so both
+    engines agree bit-for-bit.
+
+    Scale: the corpus reduces map-side to the distinct-score histogram
+    (bounded by the score's micro-unit support, NOT the row count); the
+    cumulative + reduction run over that metadata-sized table (same
+    deliberate single-partition window as stats_ks_drift). This is how
+    AUC is computed at 100 TB: histogram first, never a global rank."""
+    d = load(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"),
+    )
+    scored = d.select(
+        F.expr(
+            "CAST(round(("
+            + _EVAL_SCORE.format(
+                nd="size(array_distinct(w))", n="size(w)"
+            )
+            + ") * 1000000.0) AS BIGINT)"
+        ).alias("su"),
+        F.expr(f"CASE WHEN {_EVAL_LABEL} THEN 1 ELSE 0 END").alias("pos"),
+    )
+    h = scored.groupBy("su").agg(
+        F.sum("pos").alias("p"),
+        F.sum(1 - F.col("pos")).alias("ng"),
+    )
+    wc = Window.orderBy("su").rowsBetween(Window.unboundedPreceding, -1)
+    c = h.select(
+        "su",
+        "p",
+        "ng",
+        F.coalesce(F.sum("ng").over(wc), F.lit(0)).alias("cumneg"),
+    )
+    t = c.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("ng").alias("n_neg"),
+        F.sum(
+            2 * F.col("cumneg") * F.col("p") + F.col("p") * F.col("ng")
+        ).alias("num2"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("num2").cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

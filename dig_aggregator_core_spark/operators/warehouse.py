@@ -15,7 +15,7 @@ exactly this co-partitioned join shape.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -625,9 +625,9 @@ def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generalizes profile_drift (two fixed halves) to the source dimension.
 
     Plan: ONE corpus scan. The per-source sums are sufficient statistics,
-    so the GLOBAL baseline is re-aggregated from the per-source partials
-    (a second aggregate over |sources| rows, broadcast back as one row) —
-    the corpus is never scanned or shuffled twice. Per-doc type-token
+    so the GLOBAL baseline comes from an unpartitioned window over the
+    |sources|-row aggregate (metadata-sized single-partition exchange) —
+    an agg + crossJoin would fork the lineage and scan the corpus twice. Per-doc type-token
     ratios are quantized to integer 1e-6 units BEFORE summing so the sums
     are exact integers on both engines (the timeseries_anomaly_rolling
     float-summation lesson); every division afterwards is written in the
@@ -652,16 +652,24 @@ def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("stk"),
         F.sum("ttr_u").alias("sttr"),
     )
-    g = s.agg(
-        F.sum("n_docs").alias("tn"),
-        F.sum("sc").alias("tsc"),
-        F.sum("stk").alias("tstk"),
-        F.sum("sttr").alias("tsttr"),
+    # global baseline as an unpartitioned window over the |sources|-row
+    # aggregate — re-uses the partials WITHOUT a second lineage branch
+    # (an agg + crossJoin here would make Spark recompute the scan on
+    # both branches: two corpus scans; the window keeps it at one scan
+    # plus a metadata-sized single-partition exchange)
+    wg = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = (
+        s.withColumn("tn", F.sum("n_docs").over(wg))
+        .withColumn("tsc", F.sum("sc").over(wg))
+        .withColumn("tstk", F.sum("stk").over(wg))
+        .withColumn("tsttr", F.sum("sttr").over(wg))
     )
     sc_d = F.col("sc").cast("double")
     stk_d = F.col("stk").cast("double")
     sttr_d = F.col("sttr").cast("double")
-    return s.crossJoin(F.broadcast(g)).select(
+    return s.select(
         "source",
         "n_docs",
         F.round(F.col("n_docs").cast("double") / F.col("tn"), 6).alias(

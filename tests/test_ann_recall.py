@@ -58,3 +58,20 @@ def test_multiprobe_is_superset_of_single_probe_candidates(spark):
         # both sets have the same size k, so displacement is the only
         # legal difference; the query key set itself must match
         assert q in multi_all
+
+
+def test_rerank_recall_tracks_multiprobe(spark):
+    """The two-stage rerank scores the SAME multiprobed candidate pool,
+    so with R = 3k the exact re-rank can lose at most the true neighbors
+    that fall outside the coarse top-R — int8 quantization is a mild
+    perturbation, so recall must stay within a small margin of the
+    full-precision multiprobe and above the same absolute floor."""
+    from dig_aggregator_core_spark.operators.similarity import (
+        ann_rerank_quantized,
+    )
+
+    exact = _topk_sets(ann_topk_bruteforce(spark, SF_DIR))
+    multi = _recall(_topk_sets(ann_lsh_multiprobe(spark, SF_DIR)), exact)
+    rerank = _recall(_topk_sets(ann_rerank_quantized(spark, SF_DIR)), exact)
+    assert rerank >= multi - 0.05, (rerank, multi)
+    assert rerank >= 0.35, rerank

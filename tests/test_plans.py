@@ -307,3 +307,45 @@ def test_bootstrap_generation_stays_mapside(spark, sf_dir):
     # under-partitioned-scan spread guard
     assert "Generate" in plan and "explode" in plan
     assert n_shuffles(plan) <= 3
+
+
+def test_bpe_apply_shuffle_free(spark, sf_dir):
+    # the whole encoder is one projection over the scan — any Exchange or
+    # Python node means someone broke the codegen fold
+    plan = plan_of("tokenizer_bpe_apply", spark, sf_dir)
+    assert n_shuffles(plan) == 0
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ann_rerank_bucket_confined(spark, sf_dir):
+    # the coarse stage must stay an equi-join on the probed bucket key;
+    # the only nested-loop is the 1-row bit-count broadcast
+    plan = plan_of("ann_rerank_quantized", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # exactly the two 1-row bit-count broadcasts (query side + corpus
+    # side), counted by detail header so tree rendering doesn't double
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin$", plan, re.M)) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_drift_single_scan(spark, sf_dir):
+    # global baseline re-aggregates the per-source partials: documents
+    # is scanned exactly once
+    plan = plan_of("quality_drift_by_source", spark, sf_dir)
+    assert plan.count("documents.parquet") == 1
+
+
+def test_record_linkage_blocked_equi_join(spark, sf_dir):
+    # pair generation must be an equi-join on the blocking key, never a
+    # cartesian pair enumeration
+    plan = plan_of("record_linkage_score", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_canonicalize_single_shuffle(spark, sf_dir):
+    # exact-dedup shape: one groupBy exchange on the canonical key, and
+    # the canonicalizer itself is pure projection (no Python, no joins)
+    plan = plan_of("dedup_url_canonicalize", spark, sf_dir)
+    assert n_shuffles(plan) == 1
+    assert "EvalPython" not in plan and "Join" not in plan

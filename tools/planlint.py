@@ -77,6 +77,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "ann_rerank_quantized": "1-row bucket-bit-count frame broadcast onto the corpus",
         "quality_drift_by_source": "1-row global-baseline frame re-aggregated from per-source partials",
         "stats_ks_drift": "1-row sample-totals frame joined onto the bin histogram",
+        "negative_sampling_recsys": "1-row catalog-count frame broadcast for hash-draws",
         "ann_lsh_multiprobe": "1-row bucket-bit-count frame broadcast onto the corpus",
         "ann_hard_negatives": "1-row bucket-bit-count frame broadcast onto the corpus",
         "knn_centroid_label_eval": "labels x dim centroid table broadcast for scoring",
