@@ -135,6 +135,9 @@ HEADLINE = [
     "eval_calibration_bins",
     "eval_auc_binned",
     "negative_sampling_recsys",
+    "attribution_multi_touch",
+    "forecast_residuals_backtest",
+    "stream_quality_drift",
 ]
 
 

@@ -371,3 +371,105 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_day"
         ),
     )
+
+
+_MT_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+t AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+pairs AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         t.event_id AS touch_id, t.event_type AS touch_type, t.us AS tus
+  FROM p JOIN t ON t.user_id = p.user_id
+    AND (t.us < p.us OR (t.us = p.us AND t.event_id < p.event_id))
+    AND t.us >= p.us - {_ATTR_LOOKBACK_US}
+),
+rk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY tus, touch_id) AS k,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n
+  FROM pairs
+)
+SELECT purchase_id, user_id, touch_id, touch_type,
+       CAST(k AS INT) AS touch_rank, CAST(n AS BIGINT) AS n_touches,
+       ROUND(CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN k = 1 OR k = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END, 6) AS credit
+FROM rk
+"""
+
+
+@query("attribution_multi_touch", oracle=_MT_ORACLE)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every purchase
+    splits its credit across ALL in-window preceding view/click touches —
+    40% to the first touch, 40% to the last, the middle 20% shared
+    equally — the industry-standard refinement of last-touch (which
+    attribution_last_touch keeps as the cheap single-credit form). A
+    single touch takes 100%, a pair 50/50; credits per purchase sum to
+    exactly 1 by construction. Weights are exact rationals (no decay
+    exponentials), so both engines compute identical doubles.
+
+    Plan: the pair generation is an equi-join on user_id with the
+    strictly-preceding + lookback predicate applied in-join; it emits
+    exactly the credited (purchase, touch) pairs — the report IS that
+    size, so unlike last-touch there is no cheaper window form. Ranking
+    and counting then key on purchase_id. Shuffles: user_id (join),
+    purchase_id (window) — both bounded keys. At 100 TB the lookback
+    bounds per-pair fan-out; a per-purchase touch cap (keep last K by
+    rank) is the standard guard if a bot user floods the window."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ntz_epoch_us("ts").alias("us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("pus"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user_id"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("us").alias("tus"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("t_user_id") == F.col("user_id"))
+        & (
+            (F.col("tus") < F.col("pus"))
+            | (
+                (F.col("tus") == F.col("pus"))
+                & (F.col("touch_id") < F.col("purchase_id"))
+            )
+        )
+        & (F.col("tus") >= F.col("pus") - _ATTR_LOOKBACK_US),
+    ).select("purchase_id", "user_id", "touch_id", "touch_type", "tus")
+    wk = Window.partitionBy("purchase_id").orderBy("tus", "touch_id")
+    wn = Window.partitionBy("purchase_id")
+    rk = pairs.withColumn("k", F.row_number().over(wk)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("k") == 1) | (F.col("k") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return rk.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        F.col("k").cast("int").alias("touch_rank"),
+        F.col("n").cast("long").alias("n_touches"),
+        F.round(credit, 6).alias("credit"),
+    )

@@ -364,3 +364,96 @@ def timeseries_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 timeseries_anomaly_rolling.__doc__ = timeseries_anomaly_rolling.__doc__.format(
     k=_ANOM_K, n=_ANOM_MIN_N
 )
+
+
+_HOUR_US = 3600 * 1_000_000
+_SEASON_HOURS = 24  # seasonal-naive lag: same hour yesterday
+
+
+@query(
+    "forecast_residuals_backtest",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US} AS hr,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.hr, a.cents AS actual, f.cents AS forecast
+      FROM hourly a JOIN hourly f
+        ON f.event_type = a.event_type
+       AND f.hr = a.hr - {_SEASON_HOURS}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(CAST(SUM(abs(actual - forecast)) AS DOUBLE)
+                 / COUNT(*) / 100.0, 6) AS mae,
+           ROUND(CAST(SUM(actual - forecast) AS DOUBLE)
+                 / COUNT(*) / 100.0, 6) AS bias
+    FROM j GROUP BY event_type
+    """,
+)
+def forecast_residuals_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each (event_type, hour)
+    bucket's total from the same hour {s} hours earlier and report MAE
+    and bias of the residuals per type — the baseline every forecasting
+    pipeline must beat (and the cheapest drift alarm: a bias jump means
+    the daily seasonality broke). Values are quantized to integer cents
+    BEFORE the bucket sums so every aggregate is exact cross-engine;
+    the final divisions are written identically on both sides.
+
+    Plan: one scan reduces to the (type, hour) bucket grid map-side;
+    the forecast lookup is an EQUI-join of the grid to itself on
+    (type, hour - {s}) — alignment by real time, so gaps in the series
+    simply produce no evaluation row (a lag() window would silently
+    compare misaligned rows across gaps). Both join sides are the
+    metadata-sized grid, never raw events; residual stats reduce the
+    joined grid to |types| rows."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (ntz_epoch_us("ts") / _HOUR_US).cast("long").alias("hr"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    a = hourly.alias("a")
+    f_ = hourly.select(
+        F.col("event_type").alias("f_type"),
+        (F.col("hr") + _SEASON_HOURS).alias("f_hr"),
+        F.col("cents").alias("forecast"),
+    )
+    j = a.join(
+        f_,
+        (F.col("f_type") == F.col("event_type"))
+        & (F.col("f_hr") == F.col("hr")),
+    ).select(
+        "event_type",
+        "hr",
+        F.col("cents").alias("actual"),
+        "forecast",
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(
+            F.sum(F.abs(F.col("actual") - F.col("forecast"))).cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sum(F.col("actual") - F.col("forecast")).cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            6,
+        ).alias("bias"),
+    )
+
+
+forecast_residuals_backtest.__doc__ = (
+    forecast_residuals_backtest.__doc__.format(s=_SEASON_HOURS)
+)

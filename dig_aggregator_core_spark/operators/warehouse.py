@@ -576,9 +576,7 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quality_drift_by_source",
-    oracle="""
+QUALITY_DRIFT_ORACLE = """
     WITH per AS (
       SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
              CAST(len(w) AS BIGINT) AS n_tok,
@@ -614,8 +612,10 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(abs(CAST(sttr AS DOUBLE) / n_docs
                  - CAST(tsttr AS DOUBLE) / tn) / 1000000.0, 6) AS ttr_drift
     FROM s, g
-    """,
-)
+"""
+
+
+@query("quality_drift_by_source", oracle=QUALITY_DRIFT_ORACLE)
 def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus-quality drift grid — the report a training-data
     audit ships per ingest source: volume share, mean length, mean token
@@ -632,12 +632,19 @@ def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers on both engines (the timeseries_anomaly_rolling
     float-summation lesson); every division afterwards is written in the
     same order in Spark and the oracle."""
-    d = load(spark, sf_dir, "documents").select(
+    s = quality_drift_sums(load(spark, sf_dir, "documents"))
+    return quality_drift_finalize(s)
+
+
+def quality_drift_sums(docs: DataFrame) -> DataFrame:
+    """Per-source sufficient statistics for the quality-drift grid
+    (count, char/token sums, integer-micro-unit TTR sum) — shared with
+    the streaming twin, whose complete-mode aggregation this is."""
+    per = docs.select(
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"),
-    )
-    per = d.select(
+    ).select(
         "source",
         "n_chars",
         F.size("w").cast("long").alias("n_tok"),
@@ -646,17 +653,21 @@ def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(size(w) AS DOUBLE) * 1000000.0) AS BIGINT)"
         ).alias("ttr_u"),
     )
-    s = per.groupBy("source").agg(
+    return per.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sc"),
         F.sum("n_tok").alias("stk"),
         F.sum("ttr_u").alias("sttr"),
     )
-    # global baseline as an unpartitioned window over the |sources|-row
-    # aggregate — re-uses the partials WITHOUT a second lineage branch
-    # (an agg + crossJoin here would make Spark recompute the scan on
-    # both branches: two corpus scans; the window keeps it at one scan
-    # plus a metadata-sized single-partition exchange)
+
+
+def quality_drift_finalize(s: DataFrame) -> DataFrame:
+    """Drift projection over the per-source sums: the global baseline is
+    an unpartitioned window over the |sources|-row aggregate, re-using
+    the partials WITHOUT a second lineage branch (an agg + crossJoin
+    would make Spark recompute the scan on both branches — two corpus
+    scans; the window keeps it at one scan plus a metadata-sized
+    single-partition exchange)."""
     wg = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

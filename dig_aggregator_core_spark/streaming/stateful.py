@@ -30,6 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.behavioral import _ATTR_ORACLE as _BATCH_ATTR_ORACLE
 from ..operators.behavioral import _COHORT_ORACLE as _BATCH_COHORT_ORACLE
+from ..operators.warehouse import QUALITY_DRIFT_ORACLE as _QUALITY_DRIFT_ORACLE
 from ..registry import query
 from ..tables import load, ntz_as_utc_instant
 
@@ -1286,3 +1287,28 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_changes"),
         )
     )
+
+
+@query("stream_quality_drift", oracle=_QUALITY_DRIFT_ORACLE)
+def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-source quality drift — quality_drift_by_source's
+    grid maintained as documents arrive: the per-source sufficient
+    statistics (count, char/token sums, micro-unit TTR sum) aggregate in
+    complete mode (streaming-legal: one groupBy, integer sums), and the
+    drift projection — which needs ALL sources' partials for the global
+    baseline — runs as a batch finalize over the |sources|-row sink
+    table after the stream drains. That split is the point: the corpus
+    is reduced incrementally (state = one row per source), and only the
+    metadata-sized grid ever leaves the stream; a drift dashboard
+    re-runs the finalize per refresh without touching the corpus.
+
+    The oracle is the batch grid SQL — streaming and batch must agree
+    exactly once the stream drains (AvailableNow)."""
+    from ..operators.warehouse import (
+        quality_drift_finalize,
+        quality_drift_sums,
+    )
+
+    sums = quality_drift_sums(_documents_stream(spark, sf_dir))
+    grid = _run_to_memory(sums, "complete")
+    return quality_drift_finalize(grid)
