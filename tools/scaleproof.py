@@ -114,6 +114,13 @@ def generate(spark, k: int, out: str) -> None:
     emb.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet")
     )
+    # the TPC-H tables aren't on the scaled axes — link them unscaled so
+    # ops that join them (e.g. negative_sampling_recsys) still run
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
 
 
 def time_ops(spark, sf_dir: str) -> dict[str, float]:
