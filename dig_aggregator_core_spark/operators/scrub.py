@@ -223,6 +223,51 @@ _URL_MESSY_CASES = (
     "   || '&utm_campaign=x' END"
 )
 
+def canonicalize_urls(df: DataFrame) -> DataFrame:
+    """Append `canonical_url` derived from a `url` column: strip the
+    fragment, lowercase scheme+host and drop the default :443 port,
+    strip trailing slashes from the path, and remove utm_* params while
+    preserving remaining param order. Pure RE2-safe codegen (no
+    lookaround) — the property suite pins idempotence
+    (canonicalize(canonicalize(u)) == canonicalize(u)) on random messy
+    URLs."""
+    c = df.withColumn(
+        "nofrag", F.expr("regexp_replace(url, '#.*$', '')")
+    ).withColumn(
+        "sh",
+        F.expr(
+            "regexp_replace(lower(regexp_extract(nofrag,"
+            " '^[A-Za-z]+://[^/?#]+', 0)), ':443$', '')"
+        ),
+    ).withColumn(
+        "rest",
+        F.expr(
+            "substr(nofrag, length(regexp_extract(nofrag,"
+            " '^[A-Za-z]+://[^/?#]+', 0)) + 1)"
+        ),
+    ).withColumn(
+        "pth",
+        F.expr(
+            "regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '')"
+        ),
+    ).withColumn(
+        "kept",
+        F.expr(
+            "CASE WHEN instr(rest, '?') > 0"
+            " THEN filter(split(substr(rest, instr(rest, '?') + 1), '&'),"
+            "             p -> NOT startswith(p, 'utm_'))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END"
+        ),
+    ).withColumn(
+        "canonical_url",
+        F.expr(
+            "sh || pth || CASE WHEN size(kept) > 0"
+            " THEN '?' || array_join(kept, '&') ELSE '' END"
+        ),
+    )
+    return c.drop("nofrag", "sh", "rest", "pth", "kept")
+
+
 @query(
     "dedup_url_canonicalize",
     oracle=f"""
@@ -237,10 +282,10 @@ _URL_MESSY_CASES = (
              regexp_replace(url, '#.*$', '') AS nofrag,
              regexp_replace(lower(regexp_extract(
                regexp_replace(url, '#.*$', ''),
-               '^[A-Za-z]+://[^/]+', 0)), ':443$', '') AS sh,
+               '^[A-Za-z]+://[^/?#]+', 0)), ':443$', '') AS sh,
              substr(regexp_replace(url, '#.*$', ''),
                length(regexp_extract(regexp_replace(url, '#.*$', ''),
-                 '^[A-Za-z]+://[^/]+', 0)) + 1) AS rest
+                 '^[A-Za-z]+://[^/?#]+', 0)) + 1) AS rest
       FROM u
     ),
     k AS (
@@ -292,40 +337,7 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             _URL_MESSY_CASES.format(d="doc_id", s="source", l="lang", vc="STRING")
         ).alias("url"),
     )
-    c = u.select(
-        "doc_id",
-        F.expr("regexp_replace(url, '#.*$', '')").alias("nofrag"),
-    ).select(
-        "doc_id",
-        F.expr(
-            "regexp_replace(lower(regexp_extract(nofrag,"
-            " '^[A-Za-z]+://[^/]+', 0)), ':443$', '')"
-        ).alias("sh"),
-        F.expr(
-            "substr(nofrag, length(regexp_extract(nofrag,"
-            " '^[A-Za-z]+://[^/]+', 0)) + 1)"
-        ).alias("rest"),
-    )
-    k = c.select(
-        "doc_id",
-        "sh",
-        F.expr(
-            "regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '')"
-        ).alias("pth"),
-        F.expr(
-            "CASE WHEN instr(rest, '?') > 0"
-            " THEN filter(split(substr(rest, instr(rest, '?') + 1), '&'),"
-            "             p -> NOT startswith(p, 'utm_'))"
-            " ELSE CAST(array() AS ARRAY<STRING>) END"
-        ).alias("kept"),
-    )
-    canon = k.select(
-        "doc_id",
-        F.expr(
-            "sh || pth || CASE WHEN size(kept) > 0"
-            " THEN '?' || array_join(kept, '&') ELSE '' END"
-        ).alias("canonical_url"),
-    )
+    canon = canonicalize_urls(u).select("doc_id", "canonical_url")
     return (
         canon.groupBy("canonical_url")
         .agg(
