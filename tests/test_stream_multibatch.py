@@ -634,3 +634,99 @@ def test_cdc_upsert_state_carries_across_batches(spark, sf_dir):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_ewma_state_survives_query_restart(spark, sf_dir):
+    """Checkpointed state-store RECOVERY: run the stateful EWMA to idle
+    on half the events, STOP the query, add the second half, and start a
+    NEW query on the SAME checkpoint. The second run must resume from
+    the stored per-user state (not refold history — file A is never
+    re-read) and the final emissions must equal the batch recurrence
+    over the whole history. This is the restart contract a production
+    deployment relies on; the in-run multibatch test above can't see it."""
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", "restart_ewma"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    chk = os.path.join(base, "chk")
+    os.makedirs(data_dir, exist_ok=True)
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    bound = (
+        ev.select("ts")
+        .orderBy("ts")
+        .limit(ev.count() // 2)
+        .agg(F.max("ts").alias("b"))
+        .collect()[0]["b"]
+    )
+    halves = (
+        ev.filter(F.col("ts") <= F.lit(bound)),
+        ev.filter(F.col("ts") > F.lit(bound)),
+    )
+
+    emitted: list = []
+
+    def run_once() -> None:
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        stream = spark.readStream.schema(ev.schema).parquet(data_dir)
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            _ewma_fn,
+            outputStructType=_EWMA_OUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+        def sink(batch, epoch_id):
+            emitted.extend(batch.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for i, half in enumerate(halves):
+        tmp = os.path.join(base, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(
+            os.path.join(tmp, part),
+            os.path.join(data_dir, f"{chr(97 + i)}.parquet"),
+        )
+        run_once()  # run 1: file a only; run 2: resumes, sees only file b
+
+    got: dict = {}
+    for r in emitted:  # later emissions (higher n_events) overwrite earlier
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], r["ewma"])
+    expected_df = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", F.col("value").alias("v")))
+            ).alias("pairs")
+        )
+        .select(
+            "user_id",
+            F.size("pairs").alias("n_events"),
+            F.round(
+                F.expr(
+                    "aggregate(slice(pairs, 2, size(pairs) - 1), "
+                    "element_at(pairs, 1).v, "
+                    "(acc, p) -> 0.3D * p.v + 0.7D * acc)"
+                ),
+                6,
+            ).alias("ewma"),
+        )
+    )
+    expected = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in expected_df.collect()
+    }
+    assert got == expected
