@@ -138,6 +138,11 @@ HEADLINE = [
     "attribution_multi_touch",
     "forecast_residuals_backtest",
     "stream_quality_drift",
+    # r5 continuation: the data-selection family (DSIR, curriculum,
+    # token-budget waterfilling)
+    "dsir_importance_select",
+    "curriculum_order",
+    "token_budget_allocation",
 ]
 
 

@@ -68,6 +68,7 @@ def load_all() -> None:
         scans,
         scrub,
         search,
+        selection,
         similarity,
         textops,
         timeseries,

@@ -349,3 +349,38 @@ def test_url_canonicalize_single_shuffle(spark, sf_dir):
     plan = plan_of("dedup_url_canonicalize", spark, sf_dir)
     assert n_shuffles(plan) == 1
     assert "EvalPython" not in plan and "Join" not in plan
+
+
+def test_dsir_scoring_pass_is_mapside_fold(spark, sf_dir):
+    # the per-doc scoring pass must be a codegen array fold against the
+    # broadcast literal ratio map — no join, no Python, and the only
+    # shuffle in the whole plan is the B-bounded bucket-stats aggregation
+    # consumed by the driver-side collect (which is not part of THIS
+    # plan), so the returned DataFrame's plan has zero shuffles beyond
+    # the threshold aggregate's single-partition exchange
+    plan = plan_of("dsir_importance_select", spark, sf_dir)
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row threshold frame
+    # scoring + threshold: documents scanned exactly twice (score pass +
+    # threshold pass), never more
+    assert plan.count("documents.parquet") == 2
+
+
+def test_curriculum_no_global_sort(spark, sf_dir):
+    # curriculum order must NEVER be a corpus-wide sort: the only Sort
+    # nodes are inside (phase, shard)-partitioned windows
+    plan = plan_of("curriculum_order", spark, sf_dir)
+    for m in re.finditer(r"^\(\d+\) Sort$\n(?:^\[.*$\n)*?^Arguments: (.*)$", plan, re.M):
+        assert "global=false" in m.group(1) or "false" in m.group(1)
+    assert "row_number" in plan
+
+
+def test_token_budget_windows_are_metadata_sized(spark, sf_dir):
+    # the waterfilling windows run over the |sources|-row aggregate; the
+    # doc-side work is one broadcast join + one per-source window —
+    # documents scanned exactly twice (source totals + selection pass)
+    plan = plan_of("token_budget_allocation", spark, sf_dir)
+    assert plan.count("documents.parquet") == 2
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

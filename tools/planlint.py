@@ -84,6 +84,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "mixture_temperature_reweight": "1-row normalizer frame onto the sources frame",
         "text_cooccurrence_pmi": "1-row (n_tok, n_pairs) totals frame broadcast",
         "stats_chi2_independence": "1-row grand-total frame onto the contingency grid",
+        "dsir_importance_select": "1-row selection-threshold frame broadcast onto scored docs",
+        "curriculum_order": "1-row difficulty-quartile-cuts frame broadcast",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
@@ -102,6 +104,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "epoch_shard_assignment": "within-shard hash order is emitted for determinism proof",
         "window_running_distinct": "ordered seam splice over the running window",
         "timeseries_gapfill": "day-spine window is one-row-per-day by construction",
+        "token_budget_allocation": "waterfilling windows run over the |sources|-row aggregate",
     },
 }
 
