@@ -143,6 +143,9 @@ HEADLINE = [
     "dsir_importance_select",
     "curriculum_order",
     "token_budget_allocation",
+    "ann_index_persist",
+    "stream_stream_full_outer_join",
+    "stream_dedup_within_watermark",
 ]
 
 

@@ -872,3 +872,157 @@ def ann_rerank_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_rerank_quantized.__doc__ = ann_rerank_quantized.__doc__.format(
     r=_RERANK_R
 )
+
+
+# ------------------------------------------------- persisted bucket index
+
+
+def _persisted_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per source-content fingerprint) a scratch parquet ANN
+    index: the corpus with norms, PARTITIONED BY the sign-LSH bucket, so
+    query-time bucket predicates prune whole directories at the file
+    listing — the parquet-native form of a vector index shard map.
+
+    The partition value is prefixed ('b0101') because Spark's partition
+    inference would otherwise parse '0101' as the integer 101 and corrupt
+    the key. Cache discipline is _events_with_flush_sentinel's: content
+    fingerprint in the path, flock around the build, _done written last.
+    """
+    import fcntl
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sig = "0"
+    try:
+        paths = (
+            [
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if not f.startswith((".", "_"))
+            ]
+            if os.path.isdir(src)
+            else [src]
+        )
+        stats = [os.stat(p) for p in paths]
+        sig = "%d_%d" % (
+            sum(s.st_size for s in stats),
+            max((s.st_mtime_ns for s in stats), default=0),
+        )
+    except OSError:
+        pass
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        "ann_index_%s_%s"
+        % (re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/")), sig),
+    )
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, ".lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(done):
+                vecs = _vecs(spark, sf_dir).withColumn(
+                    "pbucket", F.concat(F.lit("b"), F.expr(_BUCKET_SPARK))
+                )
+                data_dir = os.path.join(out, "index.parquet")
+                shutil.rmtree(data_dir, ignore_errors=True)
+                vecs.write.partitionBy("pbucket").mode("overwrite").parquet(
+                    data_dir
+                )
+                open(done, "w").close()
+    return os.path.join(out, "index.parquet")
+
+
+@query(
+    "ann_index_persist",
+    oracle=f"""
+    WITH {_VECS_SQL},
+    keyed AS (SELECT *, {_BUCKET_SQL} AS bucket FROM vecs),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.bucket AS bucket, {_COS_SQL} AS cos
+      FROM (SELECT * FROM keyed WHERE {_QUERY_FILTER}) q
+      JOIN keyed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine,
+           CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOPK}
+    """,
+)
+def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a PERSISTED index: build once (corpus + norms written as
+    parquet partitioned by LSH bucket), then serve queries by reading
+    ONLY the partitions the query buckets name — `PartitionFilters` on
+    the index scan, so an index over 100 TB of vectors reads just the
+    probed shards, not the corpus. This is the offline-index/online-query
+    split every production retrieval system ships; results are identical
+    to ann_lsh_buckets (same bucketing, same scoring), which the shared
+    oracle pins.
+
+    The query buckets are collected first (bounded by 2^bits = 16 here —
+    metadata-sized, the k-centroids class of collect) and inlined as an
+    IN-list literal, which is what turns the filter into STATIC partition
+    pruning at the file listing rather than a post-scan filter. The
+    within-bucket scoring join then proceeds exactly as the non-persisted
+    op. Index maintenance at scale is append-new-partitions +
+    sink_compacted_write on hot buckets."""
+    idx_path = _persisted_index_path(spark, sf_dir)
+    queries = (
+        _vecs(spark, sf_dir)
+        .filter(F.expr(_QUERY_FILTER))
+        .withColumn("bucket", F.expr(_BUCKET_SPARK))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "bucket",
+        )
+    )
+    probe_buckets = sorted(
+        r["bucket"] for r in queries.select("bucket").distinct().collect()
+    )
+    index = (
+        spark.read.parquet(idx_path)
+        .filter(
+            F.col("pbucket").isin([f"b{b}" for b in probe_buckets])
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            F.expr("substring(pbucket, 2)").alias("cbucket"),
+        )
+    )
+    scored = queries.join(
+        index,
+        (F.col("bucket") == F.col("cbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn(
+        "cos",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -1312,3 +1312,109 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = quality_drift_sums(_documents_stream(spark, sf_dir))
     grid = _run_to_memory(sums, "complete")
     return quality_drift_finalize(grid)
+
+
+@query(
+    "stream_stream_full_outer_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           COALESCE(c.user_id, p.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-2 AS BIGINT), CAST(-1 AS BIGINT)
+    """,
+)
+def stream_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the completion of the
+    inner/left trio: unmatched rows from BOTH sides emit with nulls, and
+    each side's null decision is governed by the OTHER side's watermark
+    (a purchase is orphaned only once the click watermark has passed its
+    join window, and vice versa). Under AvailableNow the flush sentinel
+    advances both watermarks past the fixture so the drained result
+    equals the batch FULL JOIN, which the oracle pins (the run-to-idle
+    parity argument from the left-outer op, applied symmetrically).
+
+    State is the inner join's buffered-rows-per-side keyed by user_id;
+    full-outer adds only the two deferred null-emission paths. The
+    sentinel pair matches itself and contributes exactly one
+    deterministic row (-1, -2, -1), appended verbatim in the oracle —
+    filtering it out here would push the predicate into both scans and
+    kill the flush (see stream_stream_left_outer_join)."""
+    path = _events_with_flush_sentinel(spark, sf_dir)
+    clicks = (
+        _scratch_events_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        _scratch_events_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")
+        ),
+        "fullOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+    )
+    return _run_to_memory(joined, "append")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day
+    FROM events
+    """,
+)
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark (the Spark 3.5+
+    API): unlike dropDuplicates, whose state never expires without a
+    watermark column IN the key, this variant evicts each key's state
+    once the watermark passes its first-seen event time + the delay — the
+    production shape for "at-least-once upstream, dedup within a bounded
+    horizon" pipelines where keys must not accumulate forever.
+
+    Key here is (user_id, event_type, day); emitting only the key columns
+    makes the kept-row choice irrelevant, and with the fixture's span
+    inside the 30-day horizon no key can re-emit, so the drained result
+    is exactly the distinct key set the batch oracle pins. The day column
+    round-trips through the tz-proof NTZ embedding (tables.py) so both
+    engines derive the same naive date."""
+    from ..tables import instant_as_ntz
+
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withColumn(
+            "day", F.date_format(instant_as_ntz("ts"), "yyyy-MM-dd")
+        )
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+    return _run_to_memory(deduped, "append")

@@ -384,3 +384,13 @@ def test_token_budget_windows_are_metadata_sized(spark, sf_dir):
     assert plan.count("documents.parquet") == 2
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ann_index_persist_prunes_partitions(spark, sf_dir):
+    # the index scan must carry a static PartitionFilters IN-list over the
+    # bucket partition column — directory-level pruning, not a post-scan
+    # filter; that is the entire point of persisting the index
+    plan = plan_of("ann_index_persist", spark, sf_dir)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "index scan lost its PartitionFilters"
+    assert "pbucket" in m.group(1) and "IN (b" in m.group(1)
