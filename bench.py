@@ -146,6 +146,9 @@ HEADLINE = [
     "ann_index_persist",
     "stream_stream_full_outer_join",
     "stream_dedup_within_watermark",
+    "split_leakage_audit",
+    "minhash_estimate_error",
+    "corpus_datacard",
 ]
 
 

@@ -1382,3 +1382,196 @@ def simjoin_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 simjoin_containment.__doc__ = simjoin_containment.__doc__.format(
     t=_CONT_T, f=_CONT_F
 )
+
+
+# ------------------------------------------------- audits over the family
+
+_SPLIT_SQL = (
+    "CASE WHEN CAST(('0x' || substring(md5(CAST({id} AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 100 < 80 THEN 'train'"
+    " WHEN CAST(('0x' || substring(md5(CAST({id} AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_spark(col: str) -> F.Column:
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        F.when(h % 100 < 80, "train")
+        .when(h % 100 < 90, "val")
+        .otherwise("test")
+    )
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingled a JOIN shingled b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+            / (len(a.sh_set) + len(b.sh_set)
+               - len(list_intersect(a.sh_set, b.sh_set))) >= 0.5
+    ),
+    sp AS (
+      SELECT {_SPLIT_SQL.format(id='doc_a')} AS sa,
+             {_SPLIT_SQL.format(id='doc_b')} AS sb
+      FROM pairs
+    )
+    SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           least(sa, sb) <> greatest(sa, sb) AS leaked
+    FROM sp GROUP BY 1, 2, 4
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test contamination audit: how many near-duplicate pairs
+    straddle split boundaries? A near-dup of a test document sitting in
+    train silently inflates eval scores (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" failure
+    mode), so a release gate needs this grid at zero leaked pairs — or a
+    cluster-aware split (sample_group_kfold's leakage-proof device).
+
+    Composition, not new machinery: the near-dup pairs are EXACTLY
+    dedup_ngram_jaccard's output (same blocked join, same >= 0.5
+    threshold), and each side's split is the same hash expression as
+    sample_train_val_test — a pure column function of doc_id, so no join
+    against a split table is needed. The only work on top of the pair op
+    is one metadata-sized aggregation over (split, split). The oracle
+    recomputes pairs via the unblocked quadratic reference, so a hash
+    match re-proves the blocking lossless AND pins the split arithmetic."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    sp = pairs.select(
+        _split_spark("doc_a").alias("sa"),
+        _split_spark("doc_b").alias("sb"),
+    )
+    return (
+        sp.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("leaked"),
+        )
+    )
+
+
+@query(
+    "minhash_estimate_error",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_MINHASH_SQL}
+    SELECT c.doc_a, c.doc_b,
+           CAST((
+             {" + ".join(f"CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END" for i in range(_N_HASH))}
+           ) * {1_000_000 // _N_HASH} AS BIGINT) AS est_micro,
+           CAST((len(list_intersect(sa.sh_set, sb.sh_set)) * 1000000)
+                // (len(sa.sh_set) + len(sb.sh_set)
+                    - len(list_intersect(sa.sh_set, sb.sh_set)))
+                AS BIGINT) AS exact_micro
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash family: over the LSH
+    candidate pairs, compare the signature-agreement Jaccard estimate
+    (matching hashes / 8) against the exact shingle-set Jaccard — the
+    measurement that justifies (or indicts) a chosen signature width
+    before a 100 TB dedup run burns compute on it. E[est] = J with
+    stderr sqrt(J(1-J)/8); with 8 hashes the estimate is coarse (steps
+    of 1/8), which is exactly what the audit makes visible.
+
+    Both values are emitted in exact integer micro-units: est_micro =
+    matches * 125000 (1/8 is exact), exact_micro = (|A∩B| * 1e6) DIV
+    |A∪B| — no float rounding anywhere, so the cross-engine hash is
+    exact. The audit reuses the minhash op's signature fold (narrow map,
+    no shuffle) and its band-bucket candidate join; the only additions
+    are two signature re-joins, both hash joins on doc_id."""
+    sh = _shingled(spark, sf_dir)
+    mh = sh.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.expr(f"transform(sh_set, s -> md5(concat('{i}|', s)))")
+            ).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ],
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.col(f"h{2 * b}"),
+                        F.col(f"h{2 * b + 1}"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ma = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_N_HASH)],
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_N_HASH)],
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_N_HASH)
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches * (1_000_000 // _N_HASH))
+            .cast("bigint")
+            .alias("est_micro"),
+            F.expr(
+                "CAST((size(array_intersect(set_a, set_b)) * 1000000)"
+                " DIV (size(set_a) + size(set_b)"
+                " - size(array_intersect(set_a, set_b))) AS BIGINT)"
+            ).alias("exact_micro"),
+        )
+    )

@@ -705,3 +705,60 @@ def quality_drift_finalize(s: DataFrame) -> DataFrame:
             6,
         ).alias("ttr_drift"),
     )
+
+
+@query(
+    "corpus_datacard",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS total_tokens,
+           CAST((SUM(len(string_split(text, ' '))) * 1000000) // COUNT(*)
+                AS BIGINT) AS avg_tokens_micro,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datacard — the summary grid a dataset release
+    ships (Gebru et al. "Datasheets for Datasets" family): volume, language
+    breadth, exact-duplicate count, and token statistics per source, in
+    ONE scan of the corpus.
+
+    The two exact COUNT(DISTINCT) columns pay one Expand (x3 rows through
+    the first aggregate) exactly as table_profile does, and the same
+    documented 100 TB twin applies: swap approx_count_distinct /
+    hll sketches for the distinct columns (table_profile_approx's shape)
+    when the grid feeds a dashboard instead of a release gate. All other
+    columns are plain sums — integer end-to-end (avg as micro-units via
+    DIV), so the oracle hash is exact. The shuffle key is `source`
+    (sources are few and the Expand multiplies rows, not keys), with
+    partial aggregation absorbing the corpus map-side."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            toks.alias("n_tokens"),
+            F.md5("text").alias("digest"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.count(F.lit(1)) - F.countDistinct("digest")).alias(
+                "n_dup_docs"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr(
+                "CAST((SUM(n_tokens) * 1000000) DIV COUNT(*) AS BIGINT)"
+            ).alias("avg_tokens_micro"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

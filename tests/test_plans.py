@@ -394,3 +394,27 @@ def test_ann_index_persist_prunes_partitions(spark, sf_dir):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, "index scan lost its PartitionFilters"
     assert "pbucket" in m.group(1) and "IN (b" in m.group(1)
+
+
+def test_corpus_datacard_single_scan(spark, sf_dir):
+    # the release grid must come from ONE corpus scan (Expand for the two
+    # exact distincts is allowed, a second scan is not)
+    plan = plan_of("corpus_datacard", spark, sf_dir)
+    assert plan.count("documents.parquet") == 1
+    assert "Expand" in plan  # exact countDistinct pair, table_profile twin
+
+
+def test_leakage_audit_inherits_blocked_join(spark, sf_dir):
+    # the audit must ride dedup_ngram_jaccard's blocked equi-join — a
+    # regression to a cartesian pair enumeration would be quadratic
+    plan = plan_of("split_leakage_audit", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_error_no_cartesian(spark, sf_dir):
+    # candidates come from the band-bucket equi-join; signature/shingle
+    # re-joins are hash joins on doc_id
+    plan = plan_of("minhash_estimate_error", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
