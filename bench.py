@@ -149,6 +149,9 @@ HEADLINE = [
     "split_leakage_audit",
     "minhash_estimate_error",
     "corpus_datacard",
+    "assoc_rules_pairs",
+    "ann_recall_eval",
+    "fn_html_strip",
 ]
 
 

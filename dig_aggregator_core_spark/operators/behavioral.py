@@ -473,3 +473,115 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_touches"),
         F.round(credit, 6).alias("credit"),
     )
+
+
+@query(
+    "assoc_rules_pairs",
+    oracle="""
+    WITH ue AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ue),
+    per AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_et FROM ue GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ue a JOIN ue b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.et_a, p.et_b, p.n_both, pa.n_et AS n_a, pb.n_et AS n_b,
+           (p.n_both * 1000000) // n.n_users AS support_micro,
+           (p.n_both * 1000000) // pa.n_et AS conf_a_to_b_micro,
+           (p.n_both * 1000000) // pb.n_et AS conf_b_to_a_micro,
+           (p.n_both * n.n_users * 1000000) // (pa.n_et * pb.n_et)
+             AS lift_micro
+    FROM pairs p
+    JOIN per pa ON pa.event_type = p.et_a
+    JOIN per pb ON pb.event_type = p.et_b
+    CROSS JOIN n
+    """,
+)
+def assoc_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over per-user event-type baskets
+    (Agrawal & Srikant's Apriori at the k=2 level, which is where real
+    clickstream analyses live): support, directional confidence, and lift
+    for every unordered event-type pair, in exact integer micro-units.
+
+    Shape for scale: the raw events shuffle ONCE — groupBy(user_id) into
+    a sorted distinct basket array — and the corpus is scanned ONCE:
+    each basket explodes into a single struct stream carrying all three
+    count levels (one ('*','*') marker per user, each single type as
+    (x,'*') and ('*',x), one (x, y) per pair combination — |types|^2/2
+    structs with |types| tiny), so ONE tiny aggregation on (et_a, et_b)
+    yields user totals, item counts, and pair counts together, and the
+    totals attach to the pair rows via windows OVER THE GRID. Earlier
+    drafts that kept the three aggregates as separate consumers of the
+    basket relation forked the lineage and re-scanned events 4x (the
+    quality_drift_by_source lesson); the grid windows are metadata-sized
+    by construction. Everything
+    integer: support/confidence/lift carry micro-unit DIV semantics, so
+    the oracle hash is exact — lift > 1e6 reads "co-occur more than
+    independence predicts"."""
+    baskets = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ets"))
+    )
+    # '*' marker rows let every lookup ride a WINDOW over the tiny grid
+    # instead of joins between filtered branches (which would fork the
+    # lineage and re-run the corpus aggregation once per branch): one
+    # ('*','*') per user, each single as BOTH (x,'*') and ('*',x) so both
+    # partition keys can see it, each pair once
+    items = F.expr(
+        "concat("
+        " array(struct('*' AS et_a, '*' AS et_b)),"
+        " transform(ets, x -> struct(x AS et_a, '*' AS et_b)),"
+        " transform(ets, x -> struct('*' AS et_a, x AS et_b)),"
+        " flatten(transform(ets, (x, i) ->"
+        "   transform(slice(ets, i + 2, size(ets)),"
+        "     y -> struct(x AS et_a, y AS et_b)))))"
+    )
+    grid = (
+        baskets.select(F.explode(items).alias("p"))
+        .groupBy(F.col("p.et_a").alias("et_a"), F.col("p.et_b").alias("et_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_a = Window.partitionBy("et_a")
+    w_b = Window.partitionBy("et_b")
+    annotated = grid.select(
+        "et_a",
+        "et_b",
+        "cnt",
+        F.sum(
+            F.when((F.col("et_a") == "*") & (F.col("et_b") == "*"), F.col("cnt"))
+        )
+        .over(w_all)
+        .alias("n_users"),
+        F.sum(F.when(F.col("et_b") == "*", F.col("cnt")))
+        .over(w_a)
+        .alias("n_a"),
+        F.sum(F.when(F.col("et_a") == "*", F.col("cnt")))
+        .over(w_b)
+        .alias("n_b"),
+    )
+    return annotated.filter(
+        (F.col("et_a") != "*") & (F.col("et_b") != "*")
+    ).select(
+        "et_a",
+        "et_b",
+        F.col("cnt").alias("n_both"),
+        "n_a",
+        "n_b",
+        F.expr("(cnt * 1000000) DIV n_users").alias("support_micro"),
+        F.expr("(cnt * 1000000) DIV n_a").alias("conf_a_to_b_micro"),
+        F.expr("(cnt * 1000000) DIV n_b").alias("conf_b_to_a_micro"),
+        F.expr("(cnt * n_users * 1000000) DIV (n_a * n_b)").alias(
+            "lift_micro"
+        ),
+    )

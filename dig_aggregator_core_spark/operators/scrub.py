@@ -346,3 +346,84 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------- html
+
+# the derived HTML wrapper (fixture plumbing, same expression both
+# engines): headline tag, body paragraph, a script block that must be
+# dropped WITH its content, and entities that must decode
+_HTML_SPARK = (
+    "concat('<html><body><h1>', source, '</h1><p>', text,"
+    " ' &amp; more &lt;stuff&gt;</p>',"
+    " '<script>var x = ', CAST(doc_id AS STRING), ';</script>',"
+    " '</body></html>')"
+)
+_HTML_SQL = (
+    "'<html><body><h1>' || source || '</h1><p>' || text ||"
+    " ' &amp; more &lt;stuff&gt;</p>' ||"
+    " '<script>var x = ' || CAST(doc_id AS VARCHAR) || ';</script>' ||"
+    " '</body></html>'"
+)
+
+
+@query(
+    "fn_html_strip",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
+    s AS (
+      SELECT doc_id, html,
+             regexp_replace(
+               regexp_replace(html, '<script>.*?</script>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g') AS detagged
+      FROM h
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(detagged,
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             ' +', ' ', 'g')) AS cleaned,
+           CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT)
+             AS n_tags
+    FROM s
+    """,
+)
+def fn_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first transform every web-crawl
+    corpus runs (the WET-extraction step of a Common-Crawl-style
+    pipeline): drop <script> blocks WITH their payload, strip remaining
+    tags, decode the basic entities, collapse whitespace. The fixture has
+    no organic HTML, so the wrapper is derived deterministically from
+    (source, text, doc_id) — same expression in both engines (this
+    module's standard plumbing pattern); the strip chain is the operator.
+
+    Engine-portability is the design constraint: every pattern here runs
+    identically under Java regex (Spark) and RE2 (DuckDB) — non-greedy
+    `.*?` for the script payload, `<[^>]+>` for tags, no lookaround
+    anywhere (RE2 has none — the dedup_url_canonicalize rule). Map-only,
+    zero shuffle, whole-stage codegen; n_tags rides the same projection
+    via regexp_count as the audit column."""
+    h = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_SPARK).alias("html")
+    )
+    detagged = F.regexp_replace(
+        F.regexp_replace(F.col("html"), "<script>.*?</script>", " "),
+        "<[^>]+>",
+        " ",
+    )
+    decoded = F.replace(
+        F.replace(
+            F.replace(detagged, F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"),
+            F.lit("<"),
+        ),
+        F.lit("&gt;"),
+        F.lit(">"),
+    )
+    return h.select(
+        "doc_id",
+        F.trim(F.regexp_replace(decoded, " +", " ")).alias("cleaned"),
+        F.expr("regexp_count(html, '<[^>]+>')")
+        .cast("bigint")
+        .alias("n_tags"),
+    )

@@ -1026,3 +1026,85 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH {_VECS_SQL},
+    ex AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rk
+        FROM (SELECT * FROM vecs WHERE {_QUERY_FILTER}) q
+        JOIN vecs c ON c.vec_id <> q.vec_id
+      ) WHERE rk <= {_TOPK}
+    ),
+    keyed AS (SELECT *, {_BUCKET_SQL} AS bucket FROM vecs),
+    ap AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rk
+        FROM (SELECT * FROM keyed WHERE {_QUERY_FILTER}) q
+        JOIN keyed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      ) WHERE rk <= {_TOPK}
+    ),
+    qs AS (SELECT vec_id AS query_id FROM vecs WHERE {_QUERY_FILTER}),
+    h AS (
+      SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(ex.rk) AS INT) AS best
+      FROM ex JOIN ap ON ap.query_id = ex.query_id
+                     AND ap.neighbor_id = ex.neighbor_id
+      GROUP BY 1
+    )
+    SELECT qs.query_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+           h.best AS best_rank,
+           CAST(COALESCE(h.n, 0) * {1_000_000 // _TOPK} AS BIGINT)
+             AS recall_micro
+    FROM qs LEFT JOIN h ON h.query_id = qs.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a first-class operator: per-query
+    recall@k of the bucketed LSH path against the exact brute-force
+    ground truth — the number a team actually watches when they trade
+    index cheapness for recall (tests/test_ann_recall.py pins fixture
+    floors; this op ships the per-query grid itself).
+
+    Pure composition: both sides ARE the registered ops (ann_lsh_buckets
+    and ann_topk_bruteforce), joined on (query_id, neighbor_id); every
+    query appears via a left join from the query set, so empty-bucket
+    queries report recall 0 rather than vanishing. recall_micro =
+    hits * (1e6/k) and best_rank = the best exact rank the approx path
+    recovered — all integer (1e6/5 divides exactly), NULL best_rank for
+    total misses. At scale the expensive side is the ground truth; the
+    standard practice this op supports is evaluating on a sampled query
+    panel (the vec_id % 100 filter IS that panel)."""
+    ex = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rk")
+    )
+    ap = ann_lsh_buckets(spark, sf_dir).select("query_id", "neighbor_id")
+    qs = (
+        _vecs(spark, sf_dir)
+        .filter(F.expr(_QUERY_FILTER))
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    h = (
+        ex.join(ap, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("rk").cast("int").alias("best"),
+        )
+    )
+    return qs.join(h, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.col("best").alias("best_rank"),
+        (F.coalesce(F.col("n"), F.lit(0)) * (1_000_000 // _TOPK))
+        .cast("bigint")
+        .alias("recall_micro"),
+    )

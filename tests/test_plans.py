@@ -418,3 +418,12 @@ def test_minhash_error_no_cartesian(spark, sf_dir):
     plan = plan_of("minhash_estimate_error", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assoc_rules_single_events_shuffle(spark, sf_dir):
+    # raw events shuffle once (basket build); pair counts come from
+    # exploded array combinations of the baskets, never a basket
+    # self-join re-shuffle
+    plan = plan_of("assoc_rules_pairs", spark, sf_dir)
+    assert plan.count("events.parquet") == 1
+    assert "SortMergeJoin" not in plan

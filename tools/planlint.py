@@ -86,6 +86,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "stats_chi2_independence": "1-row grand-total frame onto the contingency grid",
         "dsir_importance_select": "1-row selection-threshold frame broadcast onto scored docs",
         "curriculum_order": "1-row difficulty-quartile-cuts frame broadcast",
+        "ann_recall_eval": "inherits the brute-force ground-truth side (the exact-recall yardstick)",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
