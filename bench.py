@@ -152,6 +152,9 @@ HEADLINE = [
     "assoc_rules_pairs",
     "ann_recall_eval",
     "fn_html_strip",
+    "privacy_l_diversity",
+    "eval_ndcg_at_k",
+    "dedup_span_removal",
 ]
 
 

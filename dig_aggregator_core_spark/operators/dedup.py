@@ -1575,3 +1575,131 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_micro"),
         )
     )
+
+
+_REMOVAL_ORACLE = f"""
+WITH spans AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(substr(text, CAST(i AS INT), {_SUBSTR_W})) AS d
+  FROM documents,
+       LATERAL unnest(range(1, length(text) - {_SUBSTR_W} + 2, {_SUBSTR_S}))
+         AS u(i)
+  WHERE length(text) >= {_SUBSTR_W}
+),
+rep AS (
+  SELECT d, MIN(doc_id) AS first_doc FROM spans
+  GROUP BY d HAVING COUNT(DISTINCT doc_id) > 1
+),
+marked AS (
+  SELECT s.doc_id, s.pos FROM spans s JOIN rep r ON s.d = r.d
+  WHERE s.doc_id > r.first_doc
+),
+starts AS (
+  SELECT doc_id, list_sort(list(DISTINCT pos)) AS ss FROM marked GROUP BY 1
+),
+j AS (
+  SELECT d.doc_id, d.text, starts.ss
+  FROM documents d LEFT JOIN starts USING (doc_id)
+),
+f AS (
+  SELECT doc_id, text,
+         CASE WHEN ss IS NULL THEN NULL ELSE
+           list_reduce(
+             list_prepend(struct_pack(acc := CAST('' AS VARCHAR),
+                                      pos := CAST(1 AS INT)),
+               list_transform(ss, s -> struct_pack(
+                 acc := CAST('' AS VARCHAR), pos := s))),
+             (a, x) -> struct_pack(
+               acc := a.acc ||
+                 substr(text, a.pos, greatest(0, x.pos - a.pos)),
+               pos := greatest(a.pos, x.pos + {_SUBSTR_W})))
+         END AS st
+  FROM j
+),
+g AS (
+  SELECT doc_id, text,
+         CASE WHEN st IS NULL THEN text
+              ELSE st.acc ||
+                substr(text, st.pos, length(text) - st.pos + 1)
+         END AS cleaned
+  FROM f
+)
+SELECT doc_id, cleaned,
+       CAST(length(text) - length(cleaned) AS BIGINT) AS n_removed_chars
+FROM g
+"""
+
+
+@query("dedup_span_removal", oracle=_REMOVAL_ORACLE)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup with RECONSTRUCTION — the step after
+    dedup_exact_substring's report: cross-document repeated windows are
+    REMOVED from every doc except the first (min doc_id) carrier, and
+    the cleaned text is emitted (Lee et al. 2022's substring-removal
+    semantics over the same strided-window approximation of the suffix
+    array). Detection reuses the report op's machinery verbatim:
+    (digest, doc_id, pos) spans, repeated = seen in 2+ docs.
+
+    The rebuild is the interesting part: each doc's marked span starts
+    collapse to ONE sorted int array (collect_set bounded by len/stride),
+    and the cleaned string is a single sequential fold over that array —
+    keep [cursor, start), jump cursor to start+W, with overlapping spans
+    merged by the greatest() cursor monotonicity — so reconstruction is
+    a narrow map: no per-character explode, no second pass. Shuffles:
+    the digest groupBy (narrow pairs, the report op's shape), the marked
+    join back, one groupBy(doc_id), one join to documents.
+
+    ORACLE LESSON (extends the pack_bins_ffd list_reduce finding):
+    DuckDB 1.0's list_reduce mutates the struct accumulator FIELD BY
+    FIELD — a later field's expression reads earlier fields
+    ALREADY-UPDATED ((pos, acc) order computed pos first, then acc saw
+    the new pos and dropped its keep-segment). Order the struct so every
+    field reads only not-yet-assigned fields (acc first, then pos);
+    Spark's named_struct is a pure expression and has no such hazard."""
+    docs = load(spark, sf_dir, "documents")
+    spans = docs.filter(F.length("text") >= _SUBSTR_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_SUBSTR_W} + 1,"
+                f" {_SUBSTR_S}), i -> struct(i AS pos,"
+                f" md5(substring(text, i, {_SUBSTR_W})) AS d))"
+            )
+        ).alias("sp"),
+    ).select("doc_id", F.col("sp.pos").alias("pos"), F.col("sp.d").alias("d"))
+    rep = (
+        spans.groupBy("d")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") > 1)
+        .select("d", "first_doc")
+    )
+    marked = (
+        spans.join(rep, "d")
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .select("doc_id", "pos")
+    )
+    starts = marked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("ss")
+    )
+    j = docs.select("doc_id", "text").join(starts, "doc_id", "left")
+    fold = F.expr(
+        f"aggregate(ss,"
+        f" named_struct('acc', '', 'pos', 1),"
+        f" (a, s) -> named_struct("
+        f"   'acc', concat(a.acc,"
+        f"     substring(text, a.pos, greatest(0, s - a.pos))),"
+        f"   'pos', greatest(a.pos, s + {_SUBSTR_W})),"
+        f" a -> concat(a.acc,"
+        f"   substring(text, a.pos, length(text) - a.pos + 1)))"
+    )
+    cleaned = F.when(F.col("ss").isNull(), F.col("text")).otherwise(fold)
+    return j.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        (F.length("text") - F.length(cleaned))
+        .cast("bigint")
+        .alias("n_removed_chars"),
+    )

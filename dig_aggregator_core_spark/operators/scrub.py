@@ -427,3 +427,61 @@ def fn_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tags"),
     )
+
+
+_LDIV_L = 3  # minimum sensitive-value diversity per class
+
+_LDIV_ORACLE = f"""
+WITH q AS (
+  SELECT source,
+         CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS grp,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS div
+  FROM documents GROUP BY 1, 2
+)
+SELECT
+  CASE WHEN div >= {_LDIV_L} THEN 'l_diverse' ELSE 'at_risk' END
+    AS status,
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(grp) AS BIGINT) AS n_rows,
+  CAST(MIN(div) AS BIGINT) AS min_diversity
+FROM q GROUP BY 1
+"""
+
+
+@query("privacy_l_diversity", oracle=_LDIV_ORACLE)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    necessary complement: a class can be large (k-anonymous) yet leak the
+    sensitive attribute outright if every member SHARES it (the
+    homogeneity attack). Here the quasi-identifier is (source, coarse
+    length bucket) and the sensitive attribute is lang; a class passes
+    when it contains >= l={l} distinct sensitive values.
+
+    Same two-level shape as privacy_k_anonymity: one corpus scan reduced
+    to the quasi-identifier grid — the COUNT(DISTINCT lang) rides the
+    same aggregate as the class size (one Expand, bounded by the grid,
+    not the corpus) — then a 2-row reduction over the grid."""
+    q = (
+        load(spark, sf_dir, "documents")
+        .groupBy(
+            "source",
+            (F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("grp"),
+            F.countDistinct("lang").alias("div"),
+        )
+    )
+    return q.groupBy(
+        F.when(F.col("div") >= _LDIV_L, F.lit("l_diverse"))
+        .otherwise(F.lit("at_risk"))
+        .alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("grp").alias("n_rows"),
+        F.min("div").alias("min_diversity"),
+    )
+
+
+privacy_l_diversity.__doc__ = privacy_l_diversity.__doc__.format(l=_LDIV_L)

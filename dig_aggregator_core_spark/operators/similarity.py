@@ -1108,3 +1108,130 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_micro"),
     )
+
+
+# discount weights round(1e6 / log2(rank+1)) for ranks 1..k, precomputed
+# once in Python and inlined as LITERALS in both engines — the log never
+# runs engine-side, so DCG sums are exact integers (the "no exp/log
+# links" determinism rule)
+_NDCG_W = [1000000, 630930, 500000, 430677, 386853]
+assert len(_NDCG_W) == _TOPK
+
+
+@query(
+    "eval_ndcg_at_k",
+    oracle=f"""
+    WITH {_VECS_SQL},
+    keyed AS (SELECT *, {_BUCKET_SQL} AS bucket FROM vecs),
+    ap AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rk
+        FROM (SELECT * FROM keyed WHERE {_QUERY_FILTER}) q
+        JOIN keyed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      ) WHERE rk <= {_TOPK}
+    ),
+    rels AS (
+      SELECT ap.query_id, ap.rk,
+             CASE WHEN cn.label = qn.label THEN 1 ELSE 0 END AS rel
+      FROM ap
+      JOIN embeddings qn ON qn.vec_id = ap.query_id
+      JOIN embeddings cn ON cn.vec_id = ap.neighbor_id
+    ),
+    agg AS (
+      SELECT query_id,
+             list_sort(list(rel), 'DESC') AS ideal,
+             list(rel ORDER BY rk) AS got
+      FROM rels GROUP BY 1
+    ),
+    w AS (SELECT {list(_NDCG_W)}::BIGINT[] AS wts)
+    SELECT query_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(got) + 1),
+               i -> got[CAST(i AS INT)] * wts[CAST(i AS INT)])),
+             (a, x) -> a + x) AS BIGINT) AS dcg_micro,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(ideal) + 1),
+               i -> ideal[CAST(i AS INT)] * wts[CAST(i AS INT)])),
+             (a, x) -> a + x) AS BIGINT) AS idcg_micro,
+           CAST(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(ideal) + 1),
+               i -> ideal[CAST(i AS INT)] * wts[CAST(i AS INT)])),
+             (a, x) -> a + x) = 0 THEN NULL
+           ELSE (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(got) + 1),
+               i -> got[CAST(i AS INT)] * wts[CAST(i AS INT)])),
+             (a, x) -> a + x) * 1000000)
+             // list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(ideal) + 1),
+               i -> ideal[CAST(i AS INT)] * wts[CAST(i AS INT)])),
+             (a, x) -> a + x)
+           END AS BIGINT) AS ndcg_micro
+    FROM agg, w
+    """,
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the bucketed LSH retrieval with label-match relevance —
+    the ranking-quality eval (Järvelin & Kekäläinen 2002) that
+    complements ann_recall_eval's set-quality number: recall says WHAT
+    was retrieved, NDCG says whether the relevant items sit at the TOP.
+    Relevance is label agreement between query and neighbor (the fixture
+    ground truth the hard-negatives op already uses).
+
+    Determinism discipline: the log2 discounts are precomputed in Python
+    and inlined as integer-micro LITERALS in both engines, so DCG/IDCG
+    are exact BIGINT folds — nDCG is their integer micro-ratio, NULL
+    when the retrieved set holds no relevant item. IDCG here normalizes
+    over the RETRIEVED list re-sorted ideally (the per-list variant; a
+    corpus-ideal IDCG would need each query's full relevant count — one
+    extra tiny aggregate, same plan shape). Composition: the ranking IS
+    ann_lsh_buckets' output; labels attach via two broadcast-sized
+    joins; per-query lists assemble in one user-keyed aggregation."""
+    ap = ann_lsh_buckets(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rk")
+    )
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ql = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    cl = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+    )
+    rels = (
+        ap.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(cl), "neighbor_id")
+        .select(
+            "query_id",
+            "rk",
+            F.when(F.col("q_label") == F.col("c_label"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+    wts = F.array(*[F.lit(w).cast("bigint") for w in _NDCG_W])
+    agg = rels.groupBy("query_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(rk, rel))),"
+               " s -> s.rel)").alias("got"),
+        F.sort_array(F.collect_list("rel"), asc=False).alias("ideal"),
+    )
+    dot = (
+        "aggregate(zip_with({lst}, slice({w}, 1, size({lst})),"
+        " (r, w) -> r * w), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    with_w = agg.withColumn("wts", wts)
+    dcg = F.expr(dot.format(lst="got", w="wts"))
+    idcg = F.expr(dot.format(lst="ideal", w="wts"))
+    return with_w.select(
+        "query_id",
+        dcg.alias("dcg_micro"),
+        idcg.alias("idcg_micro"),
+        F.when(idcg == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr(
+            "(" + dot.format(lst="got", w="wts") + " * 1000000) DIV "
+            + dot.format(lst="ideal", w="wts")
+        ))
+        .alias("ndcg_micro"),
+    )
