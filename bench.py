@@ -155,6 +155,8 @@ HEADLINE = [
     "privacy_l_diversity",
     "eval_ndcg_at_k",
     "dedup_span_removal",
+    "pca_power_component",
+    "sessionize_max_duration",
 ]
 
 

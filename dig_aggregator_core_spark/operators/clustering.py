@@ -255,3 +255,140 @@ def knn_centroid_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+# ------------------------------------------------- PCA (power iteration)
+
+_PCA_ITERS = 3
+_PCA_QSCALE = 127  # int8-style quantization of the input vectors
+_PCA_WDIV = 10_000_000  # rescale of the unnormalized iterate
+_PCA_VSCALE = 1_000_000  # micro-unit scale of the unit iterate
+
+
+def _pca_oracle() -> str:
+    """Chained-CTE replay of the integer power-iteration schedule."""
+    ctes = [
+        "x AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),"
+        f" e -> CAST(ROUND(e * {_PCA_QSCALE}) AS BIGINT)) AS xi"
+        " FROM embeddings)",
+        f"v0 AS (SELECT list_prepend(CAST({_PCA_VSCALE} AS BIGINT),"
+        " list_transform(range(2, 65), i -> CAST(0 AS BIGINT))) AS v)",
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"s{t} AS (SELECT vec_id, xi,"
+            " CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            " list_transform(range(1, 65),"
+            " i -> xi[CAST(i AS INT)] * v[CAST(i AS INT)])),"
+            f" (a, b) -> a + b) AS BIGINT) AS s FROM x, v{t - 1})"
+        )
+        ctes.append(
+            f"w{t} AS (SELECT CAST(pos AS BIGINT) AS pos,"
+            " CAST(CAST(SUM(xi[CAST(pos AS INT)] * s) AS BIGINT)"
+            f" // {_PCA_WDIV} AS BIGINT) AS wr"
+            f" FROM s{t}, LATERAL unnest(range(1, 65)) AS u(pos)"
+            " GROUP BY pos)"
+        )
+        if t < _PCA_ITERS:
+            ctes.append(
+                f"n{t} AS (SELECT CAST(FLOOR(SQRT(CAST(SUM(wr * wr)"
+                f" AS DOUBLE))) AS BIGINT) AS nrm FROM w{t})"
+            )
+            ctes.append(
+                f"v{t} AS (SELECT list((wr * {_PCA_VSCALE}) // nrm"
+                f" ORDER BY pos) AS v FROM w{t}, n{t})"
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT pos, wr,
+           CAST((wr * {_PCA_VSCALE}) //
+             CAST(FLOOR(SQRT(CAST(SUM(CAST(wr AS DECIMAL(38,0)) * wr)
+               OVER () AS DOUBLE))) AS BIGINT) AS BIGINT) AS loading_micro
+    FROM w{_PCA_ITERS}
+    """
+    )
+
+
+@query("pca_power_component", oracle=_pca_oracle())
+def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power iteration
+    ({it} rounds), matrix-free: w <- X^T (X v) — two corpus-wide folds
+    per round, never a materialized covariance (dim^2 would be fine here,
+    but the X^T X v formulation is the one that survives dim in the
+    thousands). The direction a pipeline uses for the all-but-the-top
+    PCA debiasing step (Mu & Viswanath 2018) and as a 1-d projection for
+    stratifying/sharding an embedding corpus.
+
+    Every quantity is an exact integer, which is what makes this
+    iterative float algorithm hash-checkable across engines: inputs
+    quantize to int8-range (the ann_rerank_quantized device), the
+    iterate lives in micro-units, each round rescales by integer
+    division (truncation toward zero — probed IDENTICAL in Spark DIV
+    and DuckDB //), and the only floats are FLOOR(SQRT(exact int)) with
+    both arguments and results pinned by IEEE semantics. The driver
+    collects just the 64-row iterate per round (kmeans' metadata-collect
+    pattern) and the final round runs inside the returned plan, with the
+    norm attached via a window over the 64-row grid (DECIMAL(38,0)
+    squares — wr^2 overflows BIGINT at the x100 scaleproof size).
+
+    Scale: per round, one map-only fold over the corpus (broadcast
+    literal iterate) + one 64-key aggregation; shuffle volume is
+    64 rows x partitions, independent of corpus size."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding,"
+            f" e -> CAST(ROUND(CAST(e AS DOUBLE) * {_PCA_QSCALE}) AS BIGINT))"
+        ).alias("xi"),
+    )
+
+    def w_grid(vlit: list[int]):
+        varr = F.array(*[F.lit(int(x)).cast("bigint") for x in vlit])
+        s = F.expr(
+            "aggregate(zip_with(xi, vlit, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+        return (
+            emb.withColumn("vlit", varr)
+            .withColumn("s", s)
+            .select(F.posexplode("xi").alias("pos0", "val"), "s")
+            .groupBy((F.col("pos0") + 1).cast("bigint").alias("pos"))
+            .agg(
+                F.expr(
+                    f"CAST(CAST(SUM(val * s) AS BIGINT)"
+                    f" DIV {_PCA_WDIV} AS BIGINT)"
+                ).alias("wr")
+            )
+        )
+
+    import math
+
+    v = [_PCA_VSCALE] + [0] * 63
+    for _ in range(_PCA_ITERS - 1):
+        rows = w_grid(v).collect()
+        wr = [r["wr"] for r in sorted(rows, key=lambda r: r["pos"])]
+        nrm = math.floor(math.sqrt(float(sum(w * w for w in wr))))
+        # truncation toward zero, matching Spark DIV / DuckDB //
+        v = [
+            (abs(w) * _PCA_VSCALE // nrm) * (1 if w >= 0 else -1)
+            for w in wr
+        ]
+    nrm_col = F.expr(
+        "CAST(FLOOR(SQRT(CAST(SUM(CAST(wr AS DECIMAL(38,0)) * wr)"
+        " OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        " AS DOUBLE))) AS BIGINT)"
+    )
+    return w_grid(v).select(
+        "pos",
+        "wr",
+        F.expr(
+            f"CAST((wr * {_PCA_VSCALE}) AS BIGINT)"
+        ).alias("_wnum"),
+        nrm_col.alias("_nrm"),
+    ).select(
+        "pos",
+        "wr",
+        F.expr("_wnum DIV _nrm").cast("bigint").alias("loading_micro"),
+    )

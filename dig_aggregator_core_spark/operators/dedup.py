@@ -1408,14 +1408,15 @@ def _split_spark(col: str) -> F.Column:
 @query(
     "split_leakage_audit",
     oracle=f"""
-    WITH {_CORPUS_SQL},
+    WITH {_CORPUS_SQL}, {_MINHASH_SQL},
     pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM shingled a JOIN shingled b
-        ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
-            / (len(a.sh_set) + len(b.sh_set)
-               - len(list_intersect(a.sh_set, b.sh_set))) >= 0.5
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+            / (len(sa.sh_set) + len(sb.sh_set)
+               - len(list_intersect(sa.sh_set, sb.sh_set))) >= 0.5
     ),
     sp AS (
       SELECT {_SPLIT_SQL.format(id='doc_a')} AS sa,
@@ -1437,14 +1438,18 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-aware split (sample_group_kfold's leakage-proof device).
 
     Composition, not new machinery: the near-dup pairs are EXACTLY
-    dedup_ngram_jaccard's output (same blocked join, same >= 0.5
-    threshold), and each side's split is the same hash expression as
-    sample_train_val_test — a pure column function of doc_id, so no join
-    against a split table is needed. The only work on top of the pair op
-    is one metadata-sized aggregation over (split, split). The oracle
-    recomputes pairs via the unblocked quadratic reference, so a hash
-    match re-proves the blocking lossless AND pins the split arithmetic."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    dedup_minhash_lsh's output (band-bucket candidates, exact-Jaccard
+    verified at >= 0.5) — the SCALABLE pair source; the eval-leakage
+    gate runs corpus-wide, so it inherits the LSH path's cost, not the
+    exact blocked join's (swapping the pair source from
+    dedup_ngram_jaccard cut the sf0.1 wall from 21 s to the LSH op's
+    ~1 s — the audit adds only column math). Each side's split is the
+    same hash expression as sample_train_val_test — a pure column
+    function of doc_id, so no join against a split table is needed; the
+    only work on top of the pair op is one metadata-sized aggregation
+    over (split, split). The oracle replays the minhash candidate +
+    verify reference, pinning the pair set AND the split arithmetic."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
     sp = pairs.select(
         _split_spark("doc_a").alias("sa"),
         _split_spark("doc_b").alias("sb"),
@@ -1603,24 +1608,27 @@ j AS (
 ),
 f AS (
   SELECT doc_id, text,
+         -- flat VARCHAR-list accumulator [kept_text, cursor_as_string]:
+         -- struct accumulators are unreliable in multi-group list_reduce
+         -- (see sessionize_max_duration's oracle lesson)
          CASE WHEN ss IS NULL THEN NULL ELSE
            list_reduce(
-             list_prepend(struct_pack(acc := CAST('' AS VARCHAR),
-                                      pos := CAST(1 AS INT)),
-               list_transform(ss, s -> struct_pack(
-                 acc := CAST('' AS VARCHAR), pos := s))),
-             (a, x) -> struct_pack(
-               acc := a.acc ||
-                 substr(text, a.pos, greatest(0, x.pos - a.pos)),
-               pos := greatest(a.pos, x.pos + {_SUBSTR_W})))
+             list_prepend(['', '1'],
+               list_transform(ss, s -> ['', CAST(s AS VARCHAR)])),
+             (a, x) -> [
+               a[1] || substr(text, CAST(a[2] AS INT),
+                 greatest(0, CAST(x[2] AS INT) - CAST(a[2] AS INT))),
+               CAST(greatest(CAST(a[2] AS INT),
+                 CAST(x[2] AS INT) + {_SUBSTR_W}) AS VARCHAR)])
          END AS st
   FROM j
 ),
 g AS (
   SELECT doc_id, text,
          CASE WHEN st IS NULL THEN text
-              ELSE st.acc ||
-                substr(text, st.pos, length(text) - st.pos + 1)
+              ELSE st[1] ||
+                substr(text, CAST(st[2] AS INT),
+                  length(text) - CAST(st[2] AS INT) + 1)
          END AS cleaned
   FROM f
 )
@@ -1650,12 +1658,14 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back, one groupBy(doc_id), one join to documents.
 
     ORACLE LESSON (extends the pack_bins_ffd list_reduce finding):
-    DuckDB 1.0's list_reduce mutates the struct accumulator FIELD BY
-    FIELD — a later field's expression reads earlier fields
-    ALREADY-UPDATED ((pos, acc) order computed pos first, then acc saw
-    the new pos and dropped its keep-segment). Order the struct so every
-    field reads only not-yet-assigned fields (acc first, then pos);
-    Spark's named_struct is a pure expression and has no such hazard."""
+    DuckDB 1.0's list_reduce struct accumulators are unsafe twice over —
+    fields mutate in declaration order (a later field's expression reads
+    earlier fields ALREADY-UPDATED), and under multi-group vectorized
+    evaluation even a correctly-ordered struct fold contaminated across
+    rows (sessionize_max_duration's 68-vs-69 finding). The oracle
+    therefore encodes its (kept_text, cursor) state as a flat
+    VARCHAR list; Spark's named_struct is a pure expression and keeps
+    the readable struct form."""
     docs = load(spark, sf_dir, "documents")
     spans = docs.filter(F.length("text") >= _SUBSTR_W).select(
         "doc_id",

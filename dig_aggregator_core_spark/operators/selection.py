@@ -126,7 +126,15 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scan-twice, quantile_bucketize precedent; at scale the threshold is
     a profile-stage input). Quarter percentiles of integer scores are
     binary-exact on both engines (division by 4)."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents")
+    # md5-per-ngram is CPU-heavy narrow work; a one-file fixture scan
+    # would serialize it on one core (PLANS.md checklist: "CPU-heavy
+    # narrow maps after a small-file scan") — spread only when the scan
+    # itself is under-partitioned
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    docs = docs.select(
         "doc_id",
         "lang",
         F.split(F.col("text"), " ").alias("toks"),

@@ -457,3 +457,80 @@ def forecast_residuals_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 forecast_residuals_backtest.__doc__ = (
     forecast_residuals_backtest.__doc__.format(s=_SEASON_HOURS)
 )
+
+
+_SESS_GAP_US = 30 * 60 * 1_000_000  # inactivity gap
+_SESS_MAXD_US = 4 * 3600 * 1_000_000  # max session duration
+
+
+@query(
+    "sessionize_max_duration",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             list(epoch_us(CAST(ts AS TIMESTAMP)) ORDER BY ts) AS tss,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(list_reduce(
+             list_prepend([CAST(0 AS BIGINT), -1, -1],
+               list_transform(tss, t -> [CAST(0 AS BIGINT), t, t])),
+             (a, x) -> [
+               a[1] + CASE WHEN a[3] < 0
+                     OR x[2] - a[3] > {_SESS_GAP_US}
+                     OR x[2] - a[2] > {_SESS_MAXD_US}
+                   THEN 1 ELSE 0 END,
+               CASE WHEN a[3] < 0
+                     OR x[2] - a[3] > {_SESS_GAP_US}
+                     OR x[2] - a[2] > {_SESS_MAXD_US}
+                   THEN x[2] ELSE a[2] END,
+               x[2]])[1] AS BIGINT) AS n_sessions,
+           n_events
+    FROM seq
+    """,
+)
+def sessionize_max_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH boundary rules real trackers use: a new
+    session starts on a 30-minute inactivity gap OR when the running
+    session exceeds 4 hours from ITS OWN START. The second rule is what
+    makes this a different operator class from sessionize_events: the
+    boundary depends on the current session's start, which depends on
+    all previous boundaries — a sequential recurrence that lag/cumsum
+    windows cannot express, so each user's timeline folds once through a
+    (count, session_start, prev_ts) accumulator over the time-sorted
+    epoch array. One shuffle on user_id; per-user state is O(1) and the
+    fold is codegen, the EWMA family's cost shape.
+
+    ORACLE LESSON (the strongest list_reduce finding yet): a STRUCT
+    accumulator in DuckDB 1.0's list_reduce is wrong under multi-group
+    vectorized evaluation — the same fold over the same list returned 68
+    with an outer user filter but 69 in the full grouped query
+    (cross-row accumulator contamination), while a flat BIGINT-list
+    accumulator ([n, session_start, prev]) matches the Python replay for
+    every user in every context. Encode ALL list_reduce state as a flat
+    list (pack_bins_ffd's device, now mandatory), never a struct."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    us = _epoch_us("ts")
+    seq = ev.select("user_id", us.alias("us")).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("us")).alias("tss"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    fold = F.expr(
+        f"aggregate(tss,"
+        f" named_struct('n', CAST(0 AS BIGINT),"
+        f"              'st', CAST(-1 AS BIGINT),"
+        f"              'pv', CAST(-1 AS BIGINT)),"
+        f" (a, t) -> named_struct("
+        f"   'n', a.n + IF(a.pv < 0 OR t - a.pv > {_SESS_GAP_US}"
+        f"        OR t - a.st > {_SESS_MAXD_US}, 1, 0),"
+        f"   'st', IF(a.pv < 0 OR t - a.pv > {_SESS_GAP_US}"
+        f"        OR t - a.st > {_SESS_MAXD_US}, t, a.st),"
+        f"   'pv', t),"
+        f" a -> a.n)"
+    )
+    return seq.select(
+        "user_id",
+        fold.cast("bigint").alias("n_sessions"),
+        "n_events",
+    )
