@@ -157,6 +157,9 @@ HEADLINE = [
     "dedup_span_removal",
     "pca_power_component",
     "sessionize_max_duration",
+    "event_transition_matrix",
+    "stream_assoc_rules",
+    "graph_label_propagation",
 ]
 
 

@@ -528,8 +528,16 @@ def assoc_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         load(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("ets"))
+        .agg(F.collect_set("event_type").alias("ets"))
     )
+    return assoc_finalize(baskets)
+
+
+def assoc_finalize(baskets: DataFrame) -> DataFrame:
+    """Grid finalize shared with the streaming twin: baskets (user_id,
+    ets array, any order) -> the pair-rule grid. See assoc_rules_pairs
+    for the design discussion."""
+    baskets = baskets.select(F.sort_array(F.col("ets")).alias("ets"))
     # '*' marker rows let every lookup ride a WINDOW over the tiny grid
     # instead of joins between filtered branches (which would fork the
     # lineage and re-run the corpus aggregation once per branch): one

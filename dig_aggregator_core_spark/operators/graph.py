@@ -195,3 +195,168 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tris.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
     ).select("n_edges", "n_triangles")
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, n,
+           CAST((n * 1000000) // SUM(n) OVER (PARTITION BY src)
+                AS BIGINT) AS p_micro,
+           CAST(ROW_NUMBER() OVER (PARTITION BY src
+             ORDER BY n DESC, dst) AS INT) AS dst_rank
+    FROM edges
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the user event stream —
+    the report behind journey Sankeys and the input to Markov-chain
+    attribution: per (src, dst) event-type pair, the transition count,
+    the row-normalized probability (integer micro-units — exact), and
+    the destination's popularity rank within its source.
+
+    Edge extraction is pagerank_transitions' exact shape (one lag window
+    per user, one aggregation to the |types|^2-bounded edge relation);
+    the normalization and ranking are windows OVER THE EDGE GRID —
+    metadata-sized, never the event stream. The tie-break (count desc,
+    then dst name) makes dst_rank deterministic on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_src = Window.partitionBy("src")
+    w_rank = Window.partitionBy("src").orderBy(F.col("n").desc(), "dst")
+    return edges.select(
+        "src",
+        "dst",
+        "n",
+        F.expr("n * 1000000").alias("_num"),
+        F.sum("n").over(w_src).alias("_den"),
+        F.row_number().over(w_rank).cast("int").alias("dst_rank"),
+    ).select(
+        "src",
+        "dst",
+        "n",
+        F.expr("_num DIV _den").alias("p_micro"),
+        "dst_rank",
+    )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Chained-CTE replay of synchronous majority-vote label propagation
+    over the near-dup graph (minhash candidate+verify pairs, undirected),
+    init label = own id, ties -> smallest label, fixed iterations."""
+    from .dedup import _CORPUS_SQL, _MINHASH_SQL
+
+    ctes = [
+        _CORPUS_SQL.strip(),
+        _MINHASH_SQL.strip().rstrip(","),
+        """pairs AS (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+            / (len(sa.sh_set) + len(sb.sh_set)
+               - len(list_intersect(sa.sh_set, sb.sh_set))) >= 0.5
+    )""",
+        """edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    )""",
+        """nodes AS (SELECT DISTINCT u AS node FROM edges)""",
+        """l0 AS (SELECT node, node AS label FROM nodes)""",
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        ctes.append(
+            f"""l{i} AS (
+      SELECT node, label FROM (
+        SELECT e.u AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.u
+                 ORDER BY COUNT(*) DESC, l.label) AS rk
+        FROM edges e JOIN l{i - 1} l ON l.node = e.v
+        GROUP BY e.u, l.label
+      ) WHERE rk = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, CAST(label AS BIGINT) AS community"
+        f" FROM l{_LPA_ITERS}"
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the near-dup graph — the fourth iterative-algorithm
+    family member (CC contraction, k-means, PageRank, now LPA), and a
+    DIFFERENT fixpoint than connected components: each round a node
+    adopts the MAJORITY label among its neighbors (ties to the smallest
+    label), so dense near-dup clusters converge to one community without
+    chaining through weak bridges the way CC's min-label does.
+
+    Determinism: init label = own id; the argmax is count desc then
+    smallest label (pinned on both engines); a FIXED iteration count
+    replaces LPA's usual run-to-quiescence (which is order-dependent and
+    not engine-portable). Spark shape per round: edges join labels (hash
+    join on node id), groupBy (node, label) with partial agg, then the
+    per-node argmax via max_by over (count, -label) — no ranking window
+    over the corpus-sized relation. Edge extraction reuses
+    dedup_minhash_lsh verbatim; at 100 TB the rounds are |edges|-keyed
+    hash joins and nothing else."""
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.min_by(
+                F.col("label"), F.struct(-F.col("cnt"), F.col("label"))
+            ).alias("label")
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("bigint").alias("community"),
+    )

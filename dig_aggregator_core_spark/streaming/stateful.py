@@ -1418,3 +1418,34 @@ def stream_dedup_within_watermark(
         .select("user_id", "event_type", "day")
     )
     return _run_to_memory(deduped, "append")
+
+
+@query("stream_assoc_rules")
+def stream_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules maintained INCREMENTALLY: per-user event-type
+    baskets aggregate in complete mode (collect_set — state is one
+    bounded set per user, the O(1)-per-key family), and the pair-rule
+    grid math (explode combinations, one tiny aggregation, windows over
+    the grid) runs as a batch finalize over the drained sink — the
+    stream-reduce / batch-finalize split stream_quality_drift
+    established. A rules dashboard refreshes by re-running only the
+    finalize; the event stream is never re-read.
+
+    Shares assoc_rules_pairs' finalize verbatim, and its ORACLE verbatim
+    (registered below after import) — streaming and batch must agree
+    exactly once the stream drains."""
+    stream = _events_stream(spark, sf_dir)
+    baskets = stream.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("ets")
+    )
+    drained = _run_to_memory(baskets, "complete")
+    from ..operators.behavioral import assoc_finalize
+
+    return assoc_finalize(drained)
+
+
+# streaming twin shares the batch oracle verbatim
+from ..operators import behavioral as _behavioral  # noqa: E402
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["stream_assoc_rules"] = _ORACLES["assoc_rules_pairs"]

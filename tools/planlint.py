@@ -119,6 +119,7 @@ SHUFFLE_CEILING: dict[str, int] = {
     "dedup_simhash": 14,  # two block-key candidate passes + verify
     "dedup_connected_components": 64,  # large/small-star rounds to fixpoint
     "dedup_minhash_lsh": 14,  # band join + candidate dedup + 2 verifies
+    "graph_label_propagation": 24,  # minhash edge base + 3 vote rounds
     "pipeline_corpus_curation": 12,  # 4 composed stages, one plan
 }
 
