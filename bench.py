@@ -160,6 +160,9 @@ HEADLINE = [
     "event_transition_matrix",
     "stream_assoc_rules",
     "graph_label_propagation",
+    "mm_modality_dispatch",
+    "engagement_dau_wau",
+    "stream_transition_matrix",
 ]
 
 

@@ -593,3 +593,73 @@ def assoc_finalize(baskets: DataFrame) -> DataFrame:
             "lift_micro"
         ),
     )
+
+
+@query(
+    "engagement_dau_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(ts AS DATE) AS d
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT day, d FROM ud),
+    dau AS (
+      SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM ud GROUP BY 1
+    ),
+    wau AS (
+      SELECT s.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM spine s JOIN ud u
+        ON u.d BETWEEN s.d - INTERVAL 6 DAY AND s.d
+      GROUP BY 1
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST((dau.dau * 1000000) // wau.wau AS BIGINT)
+             AS stickiness_micro
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def engagement_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU engagement grid — daily active users, 7-day trailing
+    weekly actives, and the DAU/WAU "stickiness" ratio every growth
+    dashboard tracks. The rolling DISTINCT is the interesting part:
+    COUNT(DISTINCT) cannot ride a window frame, so each (user, day)
+    activity row joins the tiny day spine on a 7-day band (broadcast —
+    the spine is |days| rows) and dedups per (spine day, user). The
+    expensive relation is distinct (user, day) — ONE shuffle of the
+    event stream; everything after is bounded by |users| x 7 x |days|.
+
+    Stickiness is integer micro-units (exact); days are strings so both
+    engines hash identical values (the stream_dedup_within_watermark
+    date-type lesson)."""
+    ev = load(spark, sf_dir, "events")
+    day_str = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    ud = ev.select(
+        "user_id",
+        day_str.alias("day"),
+        F.to_date(F.col("ts")).alias("d"),
+    ).distinct()
+    spine = ud.select("day", "d").distinct()
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    s = spine.select(F.col("day").alias("sday"), F.col("d").alias("sd"))
+    wau = (
+        F.broadcast(s)
+        .join(
+            ud,
+            (F.col("d") >= F.date_sub(F.col("sd"), 6))
+            & (F.col("d") <= F.col("sd")),
+        )
+        .groupBy(F.col("sday").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("CAST((dau * 1000000) DIV wau AS BIGINT)").alias(
+            "stickiness_micro"
+        ),
+    )

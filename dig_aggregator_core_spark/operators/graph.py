@@ -245,6 +245,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    return transition_grid(edges)
+
+
+def transition_grid(edges: DataFrame) -> DataFrame:
+    """Grid finalize shared with the streaming twin: (src, dst, n) edge
+    counts -> probabilities + ranks via windows over the tiny grid."""
     w_src = Window.partitionBy("src")
     w_rank = Window.partitionBy("src").orderBy(F.col("n").desc(), "dst")
     return edges.select(

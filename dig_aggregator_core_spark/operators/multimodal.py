@@ -218,3 +218,113 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             " half_width int, half_height int"
         ),
     )
+
+
+MAGIC_AUDIO = b"FAKA"
+MAGIC_VIDEO = b"FAKV"
+
+
+def attach_mixed_modality(docs: DataFrame) -> DataFrame:
+    """Mixed-modality corpus: each doc becomes an image (doc_id%3=0,
+    'FAKE' header), audio clip (=1, 'FAKA' + uint32 sample count) or
+    video (=2, 'FAKV' + uint16 frames + uint16 fps) — one binary column
+    whose FORMAT varies row to row, the shape a real multimodal lakehouse
+    table has."""
+    image = F.concat(
+        F.lit(MAGIC),
+        F.expr(
+            "unhex(concat(lpad(hex(CAST(n_chars % 640 AS INT)), 4, '0'),"
+            " lpad(hex(CAST(length(text) % 480 AS INT)), 4, '0')))"
+        ),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    audio = F.concat(
+        F.lit(MAGIC_AUDIO),
+        F.expr(
+            "unhex(lpad(hex(CAST(n_chars * 10 AS BIGINT)), 8, '0'))"
+        ),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    video = F.concat(
+        F.lit(MAGIC_VIDEO),
+        F.expr(
+            "unhex(concat(lpad(hex(CAST(n_chars % 100 AS INT)), 4, '0'),"
+            " lpad(hex(24), 4, '0')))"
+        ),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, image)
+        .when(F.col("doc_id") % 3 == 1, audio)
+        .otherwise(video)
+        .alias("payload"),
+    )
+
+
+@query(
+    "mm_modality_dispatch",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN n_chars % 640
+                WHEN 1 THEN n_chars * 10
+                ELSE n_chars % 100 END AS BIGINT) AS dim1,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN length(text) % 480
+                WHEN 1 THEN 0 ELSE 24 END AS BIGINT) AS dim2,
+           CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes
+    FROM documents
+    """,
+)
+def mm_modality_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality routing — the dispatch step in front of every multimodal
+    pipeline: sniff each row's MAGIC BYTES (never trust a filename or a
+    side column), route to the matching per-modality parse branch, and
+    union the branches back under one feature schema. Each branch is a
+    filter + native byte-slicing projection, so Catalyst pushes the
+    magic predicate into all three branch scans and the union is
+    scan-parallel; a real deployment hangs its codec UDFs
+    (mm_decode_features' Arrow path) off exactly these branches.
+
+    The header parses are big-endian byte slices via hex arithmetic —
+    real byte handling, no Python — and the oracle recomputes the fields
+    from the doc columns the payloads were derived from (mm_binary_meta's
+    convention: byte accounting proves the round-trip)."""
+    mixed = attach_mixed_modality(load(spark, sf_dir, "documents"))
+    magic = F.expr("substring(payload, 1, 4)")
+
+    def u16(off: int) -> F.Column:
+        return F.conv(
+            F.hex(F.expr(f"substring(payload, {off}, 2)")), 16, 10
+        ).cast("bigint")
+
+    def u32(off: int) -> F.Column:
+        return F.conv(
+            F.hex(F.expr(f"substring(payload, {off}, 4)")), 16, 10
+        ).cast("bigint")
+
+    image = mixed.filter(magic == F.lit(MAGIC)).select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        u16(5).alias("dim1"),
+        u16(7).alias("dim2"),
+        (F.octet_length("payload") - 8).cast("bigint").alias("body_bytes"),
+    )
+    audio = mixed.filter(magic == F.lit(MAGIC_AUDIO)).select(
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        u32(5).alias("dim1"),
+        F.lit(0).cast("bigint").alias("dim2"),
+        (F.octet_length("payload") - 8).cast("bigint").alias("body_bytes"),
+    )
+    video = mixed.filter(magic == F.lit(MAGIC_VIDEO)).select(
+        "doc_id",
+        F.lit("video").alias("modality"),
+        u16(5).alias("dim1"),
+        u16(7).alias("dim2"),
+        (F.octet_length("payload") - 8).cast("bigint").alias("body_bytes"),
+    )
+    return image.unionByName(audio).unionByName(video)

@@ -1449,3 +1449,88 @@ from ..operators import behavioral as _behavioral  # noqa: E402
 from ..registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["stream_assoc_rules"] = _ORACLES["assoc_rules_pairs"]
+
+
+_TRANS_STATE = "prev_type string, prev_us bigint"
+_TRANS_OUT = "src string, dst string"
+
+
+def _transition_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user transition extractor with O(1) state: carry only the last
+    (event_type, us) across micro-batches; each batch's rows concat +
+    sort by (us, event_id) before folding (the chunk-ordering lesson),
+    emitting one (src, dst) row per consecutive pair — including the
+    cross-batch seam pair from the carried state."""
+    prev_type, _prev_us = state.get if state.exists else (None, None)
+    chunks = [p for p in pdfs if len(p)]
+    out_src: list[str] = []
+    out_dst: list[str] = []
+    if chunks:
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        last_us = None
+        for us, _eid, et in (
+            batch.sort_values(["us", "event_id"], kind="mergesort")[
+                ["us", "event_id", "event_type"]
+            ].itertuples(index=False, name=None)
+        ):
+            if prev_type is not None:
+                out_src.append(prev_type)
+                out_dst.append(et)
+            prev_type, last_us = et, int(us)
+        state.update((prev_type, last_us))
+    yield pd.DataFrame({"src": out_src, "dst": out_dst})
+
+
+@query("stream_transition_matrix")
+def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Markov transition matrix maintained INCREMENTALLY: the lag
+    window that batch edge-extraction uses cannot run on a stream, so
+    consecutive-pair extraction becomes an applyInPandasWithState fold —
+    state is just each user's last (event_type, epoch) and every batch
+    APPENDS its transition delta rows (including the seam pair bridging
+    the previous batch). The grid math (probabilities, ranks) is the
+    batch finalize over the drained delta sink, shared verbatim with
+    event_transition_matrix — as is the ORACLE, so streaming and batch
+    must agree exactly once the stream drains.
+
+    Cross-batch equivalence holds when batches arrive in event-time
+    order per user (exact under AvailableNow replay) — the same
+    documented reorder-buffer limit as the EWMA/funnel folds."""
+    stream = _events_stream(spark, sf_dir)
+    from ..tables import ntz_epoch_us  # noqa: F401  (ts already instant)
+
+    prepared = stream.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    deltas = prepared.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=_TRANS_OUT,
+        stateStructType=_TRANS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _run_to_memory(deltas, "append")
+    from ..operators.graph import transition_grid
+
+    edges = drained.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return transition_grid(edges)
+
+
+# module-level import so a worker unpickling this module resolves the
+# key (the registry's load_all does not run on executors)
+from ..operators import graph as _graph  # noqa: E402
+
+_ORACLES["stream_transition_matrix"] = _ORACLES["event_transition_matrix"]

@@ -87,6 +87,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "dsir_importance_select": "1-row selection-threshold frame broadcast onto scored docs",
         "curriculum_order": "1-row difficulty-quartile-cuts frame broadcast",
         "ann_recall_eval": "inherits the brute-force ground-truth side (the exact-recall yardstick)",
+        "engagement_dau_wau": "7-day band join against the |days|-row broadcast spine",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
