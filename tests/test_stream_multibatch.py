@@ -730,3 +730,99 @@ def test_ewma_state_survives_query_restart(spark, sf_dir):
         for r in expected_df.collect()
     }
     assert got == expected
+
+
+def test_transition_seam_pair_across_batches(spark, sf_dir):
+    """stream_transition_matrix's state must bridge batches: the pair
+    (last event of batch 1, first event of batch 2) per user exists only
+    if the carried (prev_type, prev_us) state survives — a within-batch
+    fold would lose exactly those seam pairs. Compare total transition
+    counts against the batch lag-window reference."""
+    from dig_aggregator_core_spark.streaming.stateful import (
+        _TRANS_OUT,
+        _TRANS_STATE,
+        _transition_fn,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", "multibatch_trans"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(
+            F.to_timestamp(F.col("ts"))
+        ).alias("us")
+        if dict(load(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
+        else F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+        "event_id",
+        "event_type",
+    )
+    bound = (
+        ev.select("us")
+        .orderBy("us")
+        .limit(ev.count() // 2)
+        .agg(F.max("us").alias("b"))
+        .collect()[0]["b"]
+    )
+    first = ev.filter(F.col("us") <= bound)
+    second = ev.filter(F.col("us") > bound)
+    assert first.count() > 0 and second.count() > 0
+    for i, half in enumerate((first, second)):
+        tmp = os.path.join(base, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(data_dir, f"{chr(97 + i)}.parquet")
+        shutil.copy(os.path.join(tmp, part), dest)
+        ts_file = time.time() - (10 - i)
+        os.utime(dest, (ts_file, ts_file))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=_TRANS_OUT,
+        stateStructType=_TRANS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = "multibatch_trans_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in spark.table(sink)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ref = {
+        (r["src"], r["dst"]): r["n"]
+        for r in ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == ref
