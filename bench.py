@@ -163,6 +163,8 @@ HEADLINE = [
     "mm_modality_dispatch",
     "engagement_dau_wau",
     "stream_transition_matrix",
+    "golden_record_survivorship",
+    "feature_quantile_normalize",
 ]
 
 

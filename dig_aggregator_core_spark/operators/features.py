@@ -685,3 +685,70 @@ def eval_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@query(
+    "feature_quantile_normalize",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) - 1 AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT n_chars AS gval,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS gidx
+      FROM documents
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents)
+    SELECT r.doc_id, r.source, r.n_chars,
+           CAST(g.gval AS BIGINT) AS norm_value
+    FROM r CROSS JOIN t
+    JOIN g ON g.gidx = CASE WHEN r.n = 1 THEN (t.total - 1) // 2
+                       ELSE (rk * (t.total - 1)) // (r.n - 1) END
+    """,
+)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (the bioinformatics /
+    batch-effect-removal transform): each document's n_chars is replaced
+    by the GLOBAL value at the same rank position, so every source ends
+    up with an identical value distribution — the cross-source
+    calibration step before mixing heterogeneous corpora by a quality
+    score. Mapping: within-source rank r of n -> global sorted value at
+    index r*(N-1) DIV (n-1) (integer arithmetic, exact; single-doc
+    sources map to the global median).
+
+    The exact global grid is ONE global sort (allowlisted — it IS the
+    algorithm at exact grain); the 100 TB form keeps the per-source
+    windows and swaps the grid for a Q-row approx-quantile table
+    (percentile_approx at Q=1024) joined the same way — the rank-index
+    arithmetic is unchanged, only the grid resolution drops. The final
+    join is an equi-join on the computed grid index."""
+    docs = load(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("source")
+    r = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.row_number().over(w_rank) - 1).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(w_n).cast("bigint").alias("n"),
+    )
+    w_g = Window.orderBy("n_chars", "doc_id")
+    g = docs.select(
+        F.col("n_chars").cast("bigint").alias("gval"),
+        (F.row_number().over(w_g) - 1).cast("bigint").alias("gidx"),
+    )
+    t = docs.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    joined = r.crossJoin(F.broadcast(t)).withColumn(
+        "gidx",
+        F.expr(
+            "CASE WHEN n = 1 THEN (total - 1) DIV 2"
+            " ELSE (rk * (total - 1)) DIV (n - 1) END"
+        ),
+    )
+    return joined.join(g, "gidx").select(
+        "doc_id", "source", "n_chars", F.col("gval").alias("norm_value")
+    )

@@ -762,3 +762,111 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+_GOLDEN_ATTR_SQL = """
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+           CASE WHEN event_type = 'signup' THEN
+             'u' || user_id || '@d' || (CAST(props->>'k' AS INT) % 5)
+               || '.com' END AS email,
+           CASE WHEN event_type = 'purchase' THEN
+             '+1-555-' || lpad(CAST(CAST(props->>'k' AS INT) % 10000
+               AS VARCHAR), 4, '0') END AS phone,
+           CASE WHEN event_type = 'click' THEN
+             CASE WHEN CAST(props->>'k' AS INT) % 3 = 0 THEN 'free'
+                  WHEN CAST(props->>'k' AS INT) % 3 = 1 THEN 'pro'
+                  ELSE 'team' END END AS tier
+    FROM events WHERE json_valid(props)
+"""
+
+
+@query(
+    "golden_record_survivorship",
+    oracle=f"""
+    WITH v AS ({_GOLDEN_ATTR_SQL}),
+    g AS (
+      SELECT user_id,
+             MAX(CASE WHEN email IS NOT NULL
+                 THEN row(us, event_id, email) END) AS em,
+             MAX(CASE WHEN phone IS NOT NULL
+                 THEN row(us, event_id, phone) END) AS ph,
+             MAX(CASE WHEN tier IS NOT NULL
+                 THEN row(us, event_id, tier) END) AS ti,
+             CAST(COUNT(*) AS BIGINT) AS n_versions
+      FROM v GROUP BY user_id
+    )
+    SELECT user_id,
+           em[3] AS email, ph[3] AS phone, ti[3] AS tier,
+           n_versions
+    FROM g
+    """,
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record merge (master-data-management survivorship): each
+    user's attribute updates arrive sparsely across their event history
+    (the fixture derives email from signups, phone from purchases, tier
+    from clicks — deterministic plumbing, this module's convention) and
+    the golden record takes, PER ATTRIBUTE INDEPENDENTLY, the value from
+    the latest event that carried it ("most recent non-null wins", the
+    standard survivorship rule).
+
+    The per-attribute latest is MAX over a (us, event_id, value) struct
+    guarded by a CASE — rows without the attribute contribute NULL and
+    aggregate MAX skips NULLs identically on both engines, which
+    sidesteps the engine-specific null handling of max_by/arg_max. ONE
+    shuffle on user_id produces every attribute column in a single
+    aggregation — no per-attribute join cascade (the naive MDM shape is
+    one "latest" subquery per column)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.expr("props IS NOT NULL AND get_json_object(props, '$.k') IS NOT NULL")
+    )
+    from ..tables import ntz_epoch_us
+
+    k = F.get_json_object("props", "$.k").cast("int")
+    v = ev.select(
+        "user_id",
+        ntz_epoch_us("ts").alias("us"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "signup",
+            F.concat(
+                F.lit("u"),
+                F.col("user_id").cast("string"),
+                F.lit("@d"),
+                (k % 5).cast("string"),
+                F.lit(".com"),
+            ),
+        ).alias("email"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit("+1-555-"),
+                F.lpad((k % 10000).cast("string"), 4, "0"),
+            ),
+        ).alias("phone"),
+        F.when(
+            F.col("event_type") == "click",
+            F.when(k % 3 == 0, "free")
+            .when(k % 3 == 1, "pro")
+            .otherwise("team"),
+        ).alias("tier"),
+    )
+
+    def latest(col: str) -> F.Column:
+        return F.max(
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct(
+                    F.col("us").alias("v1"),
+                    F.col("event_id").alias("v2"),
+                    F.col(col).alias("v3"),
+                ),
+            )
+        )["v3"].alias(col)
+
+    return v.groupBy("user_id").agg(
+        latest("email"),
+        latest("phone"),
+        latest("tier"),
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+    )

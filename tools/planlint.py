@@ -88,6 +88,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "curriculum_order": "1-row difficulty-quartile-cuts frame broadcast",
         "ann_recall_eval": "inherits the brute-force ground-truth side (the exact-recall yardstick)",
         "engagement_dau_wau": "7-day band join against the |days|-row broadcast spine",
+        "feature_quantile_normalize": "1-row corpus-count frame broadcast for the rank-index map",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
@@ -107,6 +108,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "window_running_distinct": "ordered seam splice over the running window",
         "timeseries_gapfill": "day-spine window is one-row-per-day by construction",
         "token_budget_allocation": "waterfilling windows run over the |sources|-row aggregate",
+        "feature_quantile_normalize": "the exact global rank grid IS the algorithm; Q-grid swap documented",
     },
 }
 
