@@ -165,6 +165,8 @@ HEADLINE = [
     "stream_transition_matrix",
     "golden_record_survivorship",
     "feature_quantile_normalize",
+    "stream_golden_record",
+    "join_cardinality_probe",
 ]
 
 

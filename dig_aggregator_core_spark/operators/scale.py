@@ -380,3 +380,87 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+_CARD_B = 64  # key-hash buckets for the cardinality probe
+
+
+@query(
+    "join_cardinality_probe",
+    oracle=f"""
+    WITH lb AS (
+      SELECT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % {_CARD_B} AS b,
+             CAST(COUNT(*) AS BIGINT) AS nl
+      FROM orders GROUP BY 1
+    ),
+    rb AS (
+      SELECT CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % {_CARD_B} AS b,
+             CAST(COUNT(*) AS BIGINT) AS nr
+      FROM customer GROUP BY 1
+    ),
+    est AS (
+      SELECT CAST(SUM(lb.nl * rb.nr) AS BIGINT) AS est_rows
+      FROM lb JOIN rb ON lb.b = rb.b
+    ),
+    act AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT est_rows, actual_rows,
+           CAST((est_rows * 1000000) // actual_rows AS BIGINT)
+             AS overestimate_micro
+    FROM est, act
+    """,
+)
+def join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation — the sizing probe a pipeline (or
+    a planner without fresh stats) runs before committing to a join
+    strategy: bucket both sides' keys into B={b} hash buckets, estimate
+    |A join B| as sum(n_a[b] * n_b[b]) — an upper bound that is exact
+    when each bucket holds one distinct key and degrades gracefully with
+    collisions — and report it against the true join count, with the
+    overestimate ratio in integer micro-units.
+
+    The probe costs two aggregations whose shuffles carry at most B rows
+    after map-side combine — measuring before a 100 TB join costs almost
+    nothing next to running it, which is the operational point: an
+    estimate of 10^14 output rows aborts a bad join BEFORE it launches
+    (same measure-then-act family as skew_diagnose_keys). The fixture
+    also runs the actual join, so the oracle pins both numbers."""
+    h = lambda c: (
+        F.conv(
+            F.substring(F.md5(F.col(c).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % _CARD_B
+    )
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lb = orders.groupBy(h("o_custkey").alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl")
+    )
+    rb = customer.groupBy(h("c_custkey").alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nr")
+    )
+    est = (
+        lb.join(rb, "b")
+        .agg(F.sum(F.col("nl") * F.col("nr")).cast("bigint").alias("est_rows"))
+    )
+    act = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    return est.crossJoin(act).select(
+        "est_rows",
+        "actual_rows",
+        F.expr(
+            "CAST((est_rows * 1000000) DIV actual_rows AS BIGINT)"
+        ).alias("overestimate_micro"),
+    )
+
+
+join_cardinality_probe.__doc__ = join_cardinality_probe.__doc__.format(
+    b=_CARD_B
+)

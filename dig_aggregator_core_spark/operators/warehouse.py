@@ -822,10 +822,16 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..tables import ntz_epoch_us
 
+    v = golden_attr_versions(ev, ntz_epoch_us("ts"))
+    return golden_merge(v)
+
+
+def golden_attr_versions(ev: DataFrame, us_col: F.Column) -> DataFrame:
+    """Sparse attribute derivation shared with the streaming twin."""
     k = F.get_json_object("props", "$.k").cast("int")
-    v = ev.select(
+    return ev.select(
         "user_id",
-        ntz_epoch_us("ts").alias("us"),
+        us_col.alias("us"),
         "event_id",
         F.when(
             F.col("event_type") == "signup",
@@ -851,6 +857,11 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("team"),
         ).alias("tier"),
     )
+
+
+def golden_merge(v: DataFrame) -> DataFrame:
+    """Survivorship aggregation shared with the streaming twin (one
+    streaming-legal groupBy: guarded-struct MAX per attribute)."""
 
     def latest(col: str) -> F.Column:
         return F.max(

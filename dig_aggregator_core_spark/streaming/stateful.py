@@ -1534,3 +1534,35 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import graph as _graph  # noqa: E402
 
 _ORACLES["stream_transition_matrix"] = _ORACLES["event_transition_matrix"]
+
+
+@query("stream_golden_record")
+def stream_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship maintained INCREMENTALLY: the guarded
+    (us, event_id, value)-struct MAX per attribute is an ordinary
+    aggregate, so the whole merge is ONE streaming-legal complete-mode
+    groupBy — no custom state function needed (contrast the transition
+    matrix, whose lag semantics forced applyInPandasWithState). State is
+    one struct per (user, attribute); every micro-batch folds its
+    updates in via the aggregate's merge, which is exactly how a
+    customer-360 table stays current against an event firehose.
+
+    Shares the attribute derivation and the merge with
+    golden_record_survivorship, and its ORACLE verbatim — streaming and
+    batch must agree once the stream drains."""
+    from ..operators.warehouse import golden_attr_versions, golden_merge
+
+    stream = _events_stream(spark, sf_dir).filter(
+        F.expr(
+            "props IS NOT NULL"
+            " AND get_json_object(props, '$.k') IS NOT NULL"
+        )
+    )
+    v = golden_attr_versions(stream, F.unix_micros(F.col("ts")))
+    merged = golden_merge(v)
+    return _run_to_memory(merged, "complete")
+
+
+from ..operators import warehouse as _warehouse  # noqa: E402
+
+_ORACLES["stream_golden_record"] = _ORACLES["golden_record_survivorship"]

@@ -89,6 +89,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "ann_recall_eval": "inherits the brute-force ground-truth side (the exact-recall yardstick)",
         "engagement_dau_wau": "7-day band join against the |days|-row broadcast spine",
         "feature_quantile_normalize": "1-row corpus-count frame broadcast for the rank-index map",
+        "join_cardinality_probe": "two 1-row estimate/actual frames crossed for the report row",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
