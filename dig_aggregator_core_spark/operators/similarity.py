@@ -876,6 +876,34 @@ ann_rerank_quantized.__doc__ = ann_rerank_quantized.__doc__.format(
 
 # ------------------------------------------------- persisted bucket index
 
+# occupancy-adaptive keyed corpus, shared by the persisted index and the
+# retrieval evals (the ann_lsh_adaptive bucketing — fixed-bit keying goes
+# occupancy-quadratic at scale, measured x10 in the scaleproof)
+_ADAPTIVE_KEYED_SQL = f"""
+    sig AS (SELECT *, {_SIGNS_SQL} AS signs FROM vecs),
+    bb AS (SELECT {_NBITS_SQL} AS nb FROM sig),
+    keyed AS (SELECT s.vec_id, s.v, s.nrm,
+                     substr(s.signs, 1, bb.nb) AS bucket
+              FROM sig s, bb)
+"""
+
+
+def _adaptive_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nrm, bucket) with the occupancy-adaptive bucket."""
+    vecs = _vecs(spark, sf_dir).withColumn("signs", F.expr(_SIGNS_SPARK))
+    nb = vecs.agg(
+        F.expr(
+            f"GREATEST(4, LEAST({_MAXBITS},"
+            " CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0)) AS INT)))"
+        ).alias("nb")
+    )
+    return vecs.crossJoin(F.broadcast(nb)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.expr("substring(signs, 1, nb)").alias("bucket"),
+    )
+
 
 def _persisted_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per source-content fingerprint) a scratch parquet ANN
@@ -925,9 +953,9 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str) -> str:
         with open(os.path.join(out, ".lock"), "a") as lockf:
             fcntl.flock(lockf, fcntl.LOCK_EX)
             if not os.path.exists(done):
-                vecs = _vecs(spark, sf_dir).withColumn(
-                    "pbucket", F.concat(F.lit("b"), F.expr(_BUCKET_SPARK))
-                )
+                vecs = _adaptive_keyed(spark, sf_dir).withColumn(
+                    "pbucket", F.concat(F.lit("b"), F.col("bucket"))
+                ).drop("bucket")
                 data_dir = os.path.join(out, "index.parquet")
                 shutil.rmtree(data_dir, ignore_errors=True)
                 vecs.write.partitionBy("pbucket").mode("overwrite").parquet(
@@ -941,7 +969,7 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str) -> str:
     "ann_index_persist",
     oracle=f"""
     WITH {_VECS_SQL},
-    keyed AS (SELECT *, {_BUCKET_SQL} AS bucket FROM vecs),
+    {_ADAPTIVE_KEYED_SQL},
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              q.bucket AS bucket, {_COS_SQL} AS cos
@@ -964,27 +992,30 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index scan, so an index over 100 TB of vectors reads just the
     probed shards, not the corpus. This is the offline-index/online-query
     split every production retrieval system ships; results are identical
-    to ann_lsh_buckets (same bucketing, same scoring), which the shared
-    oracle pins.
+    to ann_lsh_adaptive (same occupancy-adaptive bucketing, same
+    scoring), which the shared oracle pins. The index partitions by the
+    ADAPTIVE width — the x10 scaleproof showed the fixed-4-bit first
+    draft going occupancy-quadratic (38x wall at 10x vectors); with
+    width tied to n, partition count grows with the corpus and
+    per-partition occupancy stays ~64.
 
-    The query buckets are collected first (bounded by 2^bits = 16 here —
-    metadata-sized, the k-centroids class of collect) and inlined as an
-    IN-list literal, which is what turns the filter into STATIC partition
-    pruning at the file listing rather than a post-scan filter. The
-    within-bucket scoring join then proceeds exactly as the non-persisted
-    op. Index maintenance at scale is append-new-partitions +
-    sink_compacted_write on hot buckets."""
+    The query buckets are collected first (bounded by the query-panel
+    size — metadata-sized, the k-centroids class of collect) and inlined
+    as an IN-list literal, which is what turns the filter into STATIC
+    partition pruning at the file listing rather than a post-scan
+    filter. The within-bucket scoring join then proceeds exactly as the
+    non-persisted op. Index maintenance at scale is
+    append-new-partitions + sink_compacted_write on hot buckets; a
+    corpus grown past the next power of two rebuilds with one more bit
+    (the content fingerprint in the index path already forces that)."""
     idx_path = _persisted_index_path(spark, sf_dir)
-    queries = (
-        _vecs(spark, sf_dir)
-        .filter(F.expr(_QUERY_FILTER))
-        .withColumn("bucket", F.expr(_BUCKET_SPARK))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            "bucket",
-        )
+    queries = _adaptive_keyed(spark, sf_dir).filter(
+        F.expr(_QUERY_FILTER)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
     )
     probe_buckets = sorted(
         r["bucket"] for r in queries.select("bucket").distinct().collect()
@@ -1041,7 +1072,7 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN vecs c ON c.vec_id <> q.vec_id
       ) WHERE rk <= {_TOPK}
     ),
-    keyed AS (SELECT *, {_BUCKET_SQL} AS bucket FROM vecs),
+    {_ADAPTIVE_KEYED_SQL},
     ap AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1074,8 +1105,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     index cheapness for recall (tests/test_ann_recall.py pins fixture
     floors; this op ships the per-query grid itself).
 
-    Pure composition: both sides ARE the registered ops (ann_lsh_buckets
-    and ann_topk_bruteforce), joined on (query_id, neighbor_id); every
+    Pure composition: both sides ARE the registered ops
+    (ann_lsh_adaptive — the production bucketing; the fixed-bit
+    yardstick would drag the eval quadratic with corpus growth — and
+    ann_topk_bruteforce), joined on (query_id, neighbor_id); every
     query appears via a left join from the query set, so empty-bucket
     queries report recall 0 rather than vanishing. recall_micro =
     hits * (1e6/k) and best_rank = the best exact rank the approx path
@@ -1086,7 +1119,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = ann_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("rank").alias("rk")
     )
-    ap = ann_lsh_buckets(spark, sf_dir).select("query_id", "neighbor_id")
+    ap = ann_lsh_adaptive(spark, sf_dir).select("query_id", "neighbor_id")
     qs = (
         _vecs(spark, sf_dir)
         .filter(F.expr(_QUERY_FILTER))
@@ -1122,7 +1155,7 @@ assert len(_NDCG_W) == _TOPK
     "eval_ndcg_at_k",
     oracle=f"""
     WITH {_VECS_SQL},
-    keyed AS (SELECT *, {_BUCKET_SQL} AS bucket FROM vecs),
+    {_ADAPTIVE_KEYED_SQL},
     ap AS (
       SELECT query_id, neighbor_id, rk FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1186,9 +1219,10 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the RETRIEVED list re-sorted ideally (the per-list variant; a
     corpus-ideal IDCG would need each query's full relevant count — one
     extra tiny aggregate, same plan shape). Composition: the ranking IS
-    ann_lsh_buckets' output; labels attach via two broadcast-sized
-    joins; per-query lists assemble in one user-keyed aggregation."""
-    ap = ann_lsh_buckets(spark, sf_dir).select(
+    ann_lsh_adaptive's output (production bucketing — see
+    ann_recall_eval); labels attach via two broadcast-sized joins;
+    per-query lists assemble in one user-keyed aggregation."""
+    ap = ann_lsh_adaptive(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("rank").alias("rk")
     )
     labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
