@@ -167,6 +167,9 @@ HEADLINE = [
     "feature_quantile_normalize",
     "stream_golden_record",
     "join_cardinality_probe",
+    "dq_constraint_audit",
+    "dq_freshness_audit",
+    "source_similarity_matrix",
 ]
 
 

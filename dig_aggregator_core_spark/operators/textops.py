@@ -795,3 +795,110 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_cooccurrence_pmi.__doc__ = text_cooccurrence_pmi.__doc__.format(
     w=_PMI_W, m=_PMI_MIN
 )
+
+
+@query(
+    "source_similarity_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [array_to_string(toks, ' ')] END) AS g
+      FROM t
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+    ),
+    by_g AS (
+      SELECT g, list_sort(list(source)) AS ss FROM sh GROUP BY g
+    ),
+    pairs AS (
+      SELECT p.pr[1] AS src_a, p.pr[2] AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM (
+        SELECT unnest(flatten(list_transform(ss, (x, i) ->
+          list_transform(ss[i+1:], y -> [x, y])))) AS pr
+        FROM by_g WHERE len(ss) >= 2
+      ) p GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, inter, pa.n_sh AS n_a, pb.n_sh AS n_b,
+           CAST((inter * 1000000) // (pa.n_sh + pb.n_sh - inter)
+                AS BIGINT) AS jaccard_micro
+    FROM pairs
+    JOIN per pa ON pa.source = src_a
+    JOIN per pb ON pb.source = src_b
+    """,
+)
+def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level similarity matrix: 3-gram shingle Jaccard between
+    every pair of sources that share at least one shingle — the
+    corpus-composition audit that catches two "different" sources
+    scraping the same upstream (doc-level dedup sees the trees; this
+    sees the forest). Emitted in exact integer micro-units.
+
+    Shape: distinct (source, shingle) is one shuffle of the shingled
+    corpus; pair generation is the simjoin_containment device — ONE
+    aggregation by shingle emits within-list source pairs (bounded by
+    |sources|^2 per shingle), never a shingle-keyed self-join; the final
+    grid is |sources|^2 rows joined to the per-source totals by
+    broadcast. At 100 TB hot shingles (stopword runs) bound fan-out by
+    |sources|, not corpus size — the cap a doc-level pair join lacks."""
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                    " transform(sequence(0, size(split(text, ' ')) - 3),"
+                    "   i -> concat_ws(' ', split(text, ' ')[i],"
+                    "        split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+                    " ELSE array(concat_ws(' ', split(text, ' '))) END"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    per = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    by_g = sh.groupBy("g").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    combos = F.expr(
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        "   y -> struct(x AS src_a, y AS src_b))))"
+    )
+    pairs = (
+        by_g.filter(F.size("ss") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    pa = per.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
+    pb = per.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((inter * 1000000) DIV (n_a + n_b - inter) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+    )

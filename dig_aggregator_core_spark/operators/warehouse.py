@@ -881,3 +881,152 @@ def golden_merge(v: DataFrame) -> DataFrame:
         latest("tier"),
         F.count(F.lit(1)).cast("bigint").alias("n_versions"),
     )
+
+
+@query(
+    "dq_constraint_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS constraint_name,
+           CAST((SELECT COUNT(*) FROM
+             (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+             AS BIGINT) AS violations,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_orderkey IS NULL) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_totalprice_nonneg',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice < 0)
+             AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    """,
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the contract gate a warehouse
+    load runs before publishing a snapshot: primary-key uniqueness,
+    referential integrity (orphaned foreign keys via LEFT ANTI joins),
+    and domain/range rules, each reported as (constraint, violations,
+    rows checked). Zero violations on the TPC-H fixture is itself the
+    assertion — the operator's value is the PLAN: each FK check is one
+    anti-join on the key (broadcast when the parent side is small), PK
+    uniqueness is one groupBy on the key with partial aggregation, and
+    range rules are map-side filters — nothing scans a table more than
+    the checks require, and every check is independently parallel.
+
+    At 100 TB the same audit runs incrementally: checks restrict to the
+    new partition and the FK parent side stays a broadcast dimension or
+    a bucketed join — the shapes are unchanged."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    def report(name: str, viol: DataFrame, total: DataFrame) -> DataFrame:
+        return (
+            viol.agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+            .crossJoin(
+                total.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_checked")
+                )
+            )
+            .select(
+                F.lit(name).alias("constraint_name"),
+                "violations",
+                "n_checked",
+            )
+        )
+
+    pk_dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    fk_orders = orders.join(
+        customer,
+        orders.o_custkey == customer.c_custkey,
+        "left_anti",
+    )
+    fk_lineitem = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+    )
+    qty_range = lineitem.filter(
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    )
+    price_neg = orders.filter(F.col("o_totalprice") < 0)
+    return (
+        report("orders_pk_unique", pk_dups, orders)
+        .unionByName(report("orders_fk_customer", fk_orders, orders))
+        .unionByName(report("lineitem_fk_orders", fk_lineitem, lineitem))
+        .unionByName(report("lineitem_qty_range", qty_range, lineitem))
+        .unionByName(report("orders_totalprice_nonneg", price_neg, orders))
+    )
+
+
+@query(
+    "dq_freshness_audit",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS global_max FROM events),
+    per AS (
+      SELECT event_type, MAX(ts) AS latest,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n_events,
+           strftime(latest, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+           CAST((epoch_us(CAST(global_max AS TIMESTAMP))
+                 - epoch_us(CAST(latest AS TIMESTAMP))) // 60000000
+                AS BIGINT) AS lag_minutes,
+           (epoch_us(CAST(global_max AS TIMESTAMP))
+            - epoch_us(CAST(latest AS TIMESTAMP))) // 60000000 > 1440
+             AS stale
+    FROM per, g
+    """,
+)
+def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/SLA audit: per event stream, the latest event time, its
+    lag behind the most recent data anywhere in the table, and a stale
+    flag at the 24-hour SLA — the check that catches a silently dead
+    upstream producer. The reference point is the GLOBAL max timestamp
+    rather than wall-clock now(), which keeps the audit deterministic
+    and replayable (now()-based lag belongs to the alerting layer, not
+    the data layer).
+
+    One scan: the per-stream aggregate and the global max reduce from
+    the same pass (global max re-aggregated from the per-stream partials
+    via a window over the |streams|-row grid — the
+    quality_drift_by_source lineage rule), then pure projections."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lag_min = F.floor(
+        (
+            F.unix_micros(F.max("latest").over(w_all).cast("timestamp"))
+            - F.unix_micros(F.col("latest").cast("timestamp"))
+        )
+        / 60_000_000
+    ).cast("bigint")
+    return per.select(
+        "event_type",
+        "n_events",
+        F.date_format("latest", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        lag_min.alias("lag_minutes"),
+        (lag_min > 1440).alias("stale"),
+    )

@@ -90,6 +90,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "engagement_dau_wau": "7-day band join against the |days|-row broadcast spine",
         "feature_quantile_normalize": "1-row corpus-count frame broadcast for the rank-index map",
         "join_cardinality_probe": "two 1-row estimate/actual frames crossed for the report row",
+        "dq_constraint_audit": "five 1-row violation/total report frames crossed per check",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
@@ -124,6 +125,8 @@ SHUFFLE_CEILING: dict[str, int] = {
     "dedup_connected_components": 64,  # large/small-star rounds to fixpoint
     "dedup_minhash_lsh": 14,  # band join + candidate dedup + 2 verifies
     "graph_label_propagation": 24,  # minhash edge base + 3 vote rounds
+    "dq_constraint_audit": 12,  # five independent checks, 1-row exchanges
+    "source_similarity_matrix": 10,  # distinct + by-shingle + pair grid + totals
     "pipeline_corpus_curation": 12,  # 4 composed stages, one plan
 }
 
