@@ -170,6 +170,9 @@ HEADLINE = [
     "dq_constraint_audit",
     "dq_freshness_audit",
     "source_similarity_matrix",
+    "sample_class_balance",
+    "dedup_threshold_sweep",
+    "sft_pair_assembly",
 ]
 
 

@@ -1713,3 +1713,112 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removed_chars"),
     )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_MINHASH_SQL},
+    verified AS (
+      SELECT (len(list_intersect(sa.sh_set, sb.sh_set)) * 1000000)
+               // (len(sa.sh_set) + len(sb.sh_set)
+                   - len(list_intersect(sa.sh_set, sb.sh_set))) AS j_micro
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b
+    ),
+    t AS (SELECT unnest([500000, 600000, 700000, 800000, 900000])
+            AS threshold)
+    SELECT CAST(t.threshold AS BIGINT) AS threshold_micro,
+           CAST(COUNT(CASE WHEN v.j_micro >= t.threshold THEN 1 END)
+                AS BIGINT) AS n_pairs
+    FROM t LEFT JOIN verified v ON TRUE
+    GROUP BY 1
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold calibration report: how many near-dup pairs would
+    each Jaccard cutoff remove? Run BEFORE committing a 100 TB dedup to
+    a threshold, this is the one-page answer to "how aggressive is 0.8
+    vs 0.7" — the pair volume curve whose elbow picks the production
+    setting (Lee et al. 2022 tune exactly this).
+
+    Composition: LSH candidates + exact verification (the minhash op's
+    machinery) computed ONCE with the Jaccard in integer micro-units,
+    then a tiny threshold-spine cross join and a conditional count per
+    threshold — the sweep costs one extra metadata aggregation on top of
+    the candidate pass, NOT one dedup run per threshold. Candidates
+    below the LSH floor (0.5 here) are invisible to every threshold
+    >= the floor, so the curve is exact over the swept range."""
+    sh = _shingled(spark, sf_dir)
+    mh = sh.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.expr(f"transform(sh_set, s -> md5(concat('{i}|', s)))")
+            ).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ],
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.col(f"h{2 * b}"),
+                        F.col(f"h{2 * b + 1}"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size("set_a") + F.size("set_b") - inter
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.expr(
+                "CAST((size(array_intersect(set_a, set_b)) * 1000000)"
+                " DIV (size(set_a) + size(set_b)"
+                " - size(array_intersect(set_a, set_b))) AS BIGINT)"
+            ).alias("j_micro")
+        )
+    )
+    spine = spark.range(5).select(
+        (F.lit(500_000) + F.col("id") * 100_000).alias("threshold_micro")
+    )
+    return (
+        F.broadcast(spine)
+        .crossJoin(verified)
+        .groupBy("threshold_micro")
+        .agg(
+            F.count(
+                F.when(F.col("j_micro") >= F.col("threshold_micro"), 1)
+            )
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )

@@ -384,3 +384,49 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sample_group_kfold.__doc__ = sample_group_kfold.__doc__.format(k=_KFOLD_K)
+
+
+@query(
+    "sample_class_balance",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ),
+    m AS (SELECT MIN(c) AS min_n FROM
+            (SELECT COUNT(*) AS c FROM documents GROUP BY lang))
+    SELECT doc_id, lang, n_chars
+    FROM r, m WHERE r.rk <= m.min_n
+    """,
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-size documents (chosen by md5 order — reproducible,
+    append-stable), the standard rebalancing step before training a
+    classifier on skewed labels. The majority class shrinks to the
+    minority's size; nothing is oversampled, so no row duplication.
+
+    Plan: one ranking window per class (WindowGroupLimit prunes beyond
+    the cap map-side once the 1-row min-count frame broadcasts), one
+    metadata aggregate for the minimum class size. Deterministic: the
+    kept set is a pure function of doc_id, like every sampler in this
+    module."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = docs.select(
+        "doc_id", "lang", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    m = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("min_n"))
+    )
+    return (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.col("min_n"))
+        .select("doc_id", "lang", "n_chars")
+    )

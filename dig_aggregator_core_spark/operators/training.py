@@ -1087,3 +1087,102 @@ def negative_sampling_recsys(spark: SparkSession, sf_dir: str) -> DataFrame:
 negative_sampling_recsys.__doc__ = negative_sampling_recsys.__doc__.format(
     k=_NEG_K, b=_NEG_BUF
 )
+
+
+_SFT_MAX_TOKENS = 256
+
+
+@query(
+    "sft_pair_assembly",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source, text,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.source, a.doc_id AS prompt_doc, b.doc_id AS completion_doc,
+             '### Instruction:
+' || a.text || '
+### Response:
+' || b.text AS raw
+      FROM r a JOIN r b
+        ON a.source = b.source AND b.rk = a.rk + 1 AND a.rk % 2 = 1
+    ),
+    tok AS (
+      SELECT source, prompt_doc, completion_doc,
+             string_split(raw, ' ') AS toks
+      FROM pairs
+    )
+    SELECT source, prompt_doc, completion_doc,
+           CAST(LEAST(len(toks), {_SFT_MAX_TOKENS}) AS BIGINT) AS n_tokens,
+           len(toks) > {_SFT_MAX_TOKENS} AS truncated,
+           md5(array_to_string(toks[1:{_SFT_MAX_TOKENS}], ' '))
+             AS text_digest
+    FROM tok
+    """,
+)
+def sft_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning pair assembly: documents pair up within their
+    source (md5 order — reproducible), render through the SFT template
+    ('### Instruction / ### Response'), and truncate at the token
+    budget — the last-mile step that turns a curated corpus into
+    supervised fine-tuning rows. Emitting the md5 of the final rendered
+    text hash-pins the EXACT byte output (template newlines, truncation
+    boundary) without shipping megabytes through the compare.
+
+    Plan: one ranking window per source, then pairing is a narrow
+    self-join on (source, rank+1) restricted to odd ranks — co-
+    partitioned on source, so the join adds no exchange beyond the
+    window's; template render + token slice are pure codegen. Odd
+    leftover docs (no partner rank) drop, matching the oracle. At scale
+    the window key is (source, shard) exactly as curriculum_order
+    shards."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = docs.select(
+        "doc_id", "source", "text", F.row_number().over(w).alias("rk")
+    )
+    a = r.filter(F.col("rk") % 2 == 1).select(
+        "source",
+        F.col("doc_id").alias("prompt_doc"),
+        F.col("text").alias("p_text"),
+        F.col("rk").alias("a_rk"),
+    )
+    b = r.select(
+        F.col("source").alias("b_source"),
+        F.col("doc_id").alias("completion_doc"),
+        F.col("text").alias("c_text"),
+        F.col("rk").alias("b_rk"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("source") == F.col("b_source"))
+        & (F.col("b_rk") == F.col("a_rk") + 1),
+    ).select(
+        "source",
+        "prompt_doc",
+        "completion_doc",
+        F.concat(
+            F.lit("### Instruction:\n"),
+            F.col("p_text"),
+            F.lit("\n### Response:\n"),
+            F.col("c_text"),
+        ).alias("raw"),
+    )
+    toks = F.split(F.col("raw"), " ")
+    return pairs.select(
+        "source",
+        "prompt_doc",
+        "completion_doc",
+        F.least(F.size(toks), F.lit(_SFT_MAX_TOKENS))
+        .cast("bigint")
+        .alias("n_tokens"),
+        (F.size(toks) > _SFT_MAX_TOKENS).alias("truncated"),
+        F.md5(
+            F.concat_ws(" ", F.slice(toks, 1, _SFT_MAX_TOKENS))
+        ).alias("text_digest"),
+    )

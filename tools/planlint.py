@@ -91,6 +91,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "feature_quantile_normalize": "1-row corpus-count frame broadcast for the rank-index map",
         "join_cardinality_probe": "two 1-row estimate/actual frames crossed for the report row",
         "dq_constraint_audit": "five 1-row violation/total report frames crossed per check",
+        "sample_class_balance": "1-row min-class-size frame broadcast onto the ranked docs",
+        "dedup_threshold_sweep": "5-row threshold spine crossed with the verified-pair relation",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
