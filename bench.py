@@ -173,6 +173,12 @@ HEADLINE = [
     "sample_class_balance",
     "dedup_threshold_sweep",
     "sft_pair_assembly",
+    "eval_mrr_map",
+    "cms_frequency_estimate",
+    "feature_ols_trend",
+    "privacy_dp_counts",
+    "sample_temporal_split",
+    "drift_psi_by_source",
 ]
 
 

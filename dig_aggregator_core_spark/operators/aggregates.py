@@ -712,3 +712,87 @@ def incremental_join_maintenance(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice").cast("double"), 4).alias("total"),
     )
+
+
+# count-min sketch geometry: D_ROWS independent hash rows x W_BUCKETS
+# counters. W is deliberately SMALLER than the fixture vocabulary (31
+# distinct tokens) so collisions — the thing the min-over-rows corrects —
+# actually occur and the overestimate column is non-trivially exercised.
+CMS_D = 3
+CMS_W = 16
+
+_CMS_H = {
+    # engine-identical 32-bit hash of (row_id ':' token), bucketed
+    "spark": (
+        "CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', token)),"
+        f" 1, 8), 16, 10) AS BIGINT) % {CMS_W}"
+    ),
+    "duck": (
+        "CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || token),"
+        f" 1, 8)) AS BIGINT) % {CMS_W}"
+    ),
+}
+
+
+@query(
+    "cms_frequency_estimate",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY 1
+    ),
+    cells AS (
+      SELECT token, exact_n, j, {_CMS_H['duck']} AS bucket,
+             CAST(SUM(exact_n) OVER (
+               PARTITION BY j, {_CMS_H['duck']}) AS BIGINT) AS cell_n
+      FROM vocab CROSS JOIN (SELECT unnest(range({CMS_D})) AS j)
+    )
+    SELECT token, MIN(exact_n) AS exact_n,
+           CAST(MIN(cell_n) AS BIGINT) AS est_n,
+           CAST(MIN(cell_n) - MIN(exact_n) AS BIGINT) AS overestimate
+    FROM cells GROUP BY token
+    """,
+)
+def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the document
+    token stream: {CMS_D} hash rows x {CMS_W} counters, point estimate =
+    min over rows of the hashed cell — the fixed-memory frequency
+    sketch that complements the HLL (distinct) and t-digest (quantile)
+    rows in this module's sketch-algebra family. Output pairs every
+    token's exact count with its CMS estimate and the (always >= 0)
+    overestimate, so the row IS the sketch-accuracy audit.
+
+    Spark shape: ONE corpus scan explodes tokens into a vocab-keyed
+    count (the only data-sized shuffle); the 2 x {CMS_D} x {CMS_W}-cell
+    sketch is then derived from that vocab grid by a window over the
+    grid partitioned by (row, bucket) — the quality_drift lesson: a
+    groupBy-then-join-back would fork the lineage and re-scan the
+    corpus, while the window touches only the metadata-sized grid. At
+    100 TB the equivalent deployment builds per-partition sketches
+    map-side and merges them (counter-wise sum — the same algebra this
+    derivation encodes); the vocab-grid form is the oracle-exact
+    statement of that algebra. Hashing is the library's md5-h32
+    convention (engine-identical, partitioning-invariant)."""
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    rows = vocab.crossJoin(
+        F.broadcast(
+            vocab.sparkSession.range(CMS_D).select(F.col("id").alias("j"))
+        )
+    ).withColumn("bucket", F.expr(_CMS_H["spark"]))
+    w = Window.partitionBy("j", "bucket")
+    cells = rows.withColumn(
+        "cell_n", F.sum("exact_n").over(w).cast("bigint")
+    )
+    return cells.groupBy("token").agg(
+        F.min("exact_n").alias("exact_n"),
+        F.min("cell_n").alias("est_n"),
+        (F.min("cell_n") - F.min("exact_n")).cast("bigint")
+        .alias("overestimate"),
+    )

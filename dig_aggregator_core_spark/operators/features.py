@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, ntz_epoch_us
 
 Z_THRESHOLD = 2.5  # |z| above this is an outlier row
 WINSOR_LO, WINSOR_HI = 0.05, 0.95  # clamp percentiles
@@ -751,4 +751,235 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.join(g, "gidx").select(
         "doc_id", "source", "n_chars", F.col("gval").alias("norm_value")
+    )
+
+
+# epoch hour of 2024-01-01 00:00 UTC (1704067200 s / 3600) — the fixture
+# events all land in Jan 2024, so x = hours since then stays < 1000 and
+# every OLS sum fits BIGINT before the DECIMAL(38,0) products
+_OLS_EPOCH_H = 473352
+
+_OLS_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM (
+    SELECT event_type,
+           epoch_us(ts) // 3600000000 - {_OLS_EPOCH_H} AS x,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+    FROM events
+  ) GROUP BY event_type
+),
+nd AS (
+  SELECT *,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS nume,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS deno,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS syyc
+  FROM s
+)
+SELECT event_type, n,
+       CAST(CASE WHEN deno = 0 THEN NULL
+            ELSE (nume * 1000000) // deno END AS BIGINT) AS slope_micro,
+       CAST(CASE WHEN deno = 0 THEN NULL
+            ELSE ((CAST(sy AS HUGEINT) * deno - nume * sx) * 1000000)
+                 // (CAST(n AS HUGEINT) * deno) END AS BIGINT)
+         AS intercept_micro,
+       CAST(CASE WHEN deno = 0 OR syyc = 0 THEN NULL
+            ELSE (nume * nume * 1000000) // (deno * syyc) END AS BIGINT)
+         AS r2_micro
+FROM nd
+"""
+
+
+@query("feature_ols_trend", oracle=_OLS_ORACLE)
+def feature_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line — slope/intercept/R² of event value over
+    time per event_type, the drift-direction monitor that complements
+    the distribution monitors (stats_ks_drift, quality_drift_by_source):
+    KS says the distribution moved, the regression says WHICH WAY and
+    HOW FAST.
+
+    Exactness discipline (the pca_power_component device): x is the
+    integer hour index since 2024-01-01, y the integer cents value, so
+    the five OLS sums are exact BIGINTs reduced map-side in ONE
+    aggregation pass (shuffle = |event_type| rows x 6 columns — the
+    closed-form normal equations, never an iterative fit and never a
+    second scan). The slope/intercept/R² numerators are DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) products — n*sxy*1e6 overflows BIGINT —
+    and every reported number is one truncating integer division
+    (probed identical: Spark DIV / DuckDB //) in micro-units, so no
+    float exists anywhere. Degenerate groups (zero x- or y-variance)
+    report NULL instead of dividing by zero."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        (ntz_epoch_us("ts") / F.lit(3600000000))
+        .cast("bigint")
+        .alias("xh"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    ).withColumn("x", F.col("xh") - F.lit(_OLS_EPOCH_H)).drop("xh")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    nd = s.withColumn(
+        "nume",
+        F.expr(f"{dec.format('n')} * sxy - {dec.format('sx')} * sy"),
+    ).withColumn(
+        "deno",
+        F.expr(f"{dec.format('n')} * sxx - {dec.format('sx')} * sx"),
+    ).withColumn(
+        "syyc",
+        F.expr(f"{dec.format('n')} * syy - {dec.format('sy')} * sy"),
+    )
+    return nd.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(CASE WHEN deno = 0 THEN NULL"
+            " ELSE (nume * 1000000) div deno END AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST(CASE WHEN deno = 0 THEN NULL"
+            f" ELSE (({dec.format('sy')} * deno - nume * sx) * 1000000)"
+            f" div ({dec.format('n')} * deno) END AS BIGINT)"
+        ).alias("intercept_micro"),
+        F.expr(
+            "CAST(CASE WHEN deno = 0 OR syyc = 0 THEN NULL"
+            " ELSE (nume * nume * 1000000) div (deno * syyc)"
+            " END AS BIGINT)"
+        ).alias("r2_micro"),
+    )
+
+
+# PSI binning: 8 fixed-width n_chars bins (fixture range 48..553), add-one
+# smoothed so empty cells stay log-safe
+_PSI_B = 8
+_PSI_W = 64
+
+_PSI_ORACLE = f"""
+WITH c AS (
+  SELECT source, LEAST({_PSI_B - 1}, n_chars // {_PSI_W}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, CAST(b.bin AS BIGINT) AS bin, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT unnest(range({_PSI_B})) AS bin) b
+  LEFT JOIN c ON c.source = s.source AND c.bin = b.bin
+),
+w AS (
+  SELECT *,
+         SUM(n) OVER (PARTITION BY source) AS n_s,
+         SUM(n) OVER (PARTITION BY bin) AS n_b,
+         SUM(n) OVER () AS n_t
+  FROM grid
+),
+k AS (
+  SELECT source, bin, n,
+         CAST(((n + 1) * 1000000) // (n_s + {_PSI_B}) AS BIGINT) AS p_micro,
+         CAST(((n_b + 1) * 1000000) // (n_t + {_PSI_B}) AS BIGINT)
+           AS q_micro,
+         CAST(ROUND((
+             CAST(n + 1 AS DOUBLE) / (n_s + {_PSI_B})
+           - CAST(n_b + 1 AS DOUBLE) / (n_t + {_PSI_B})
+         ) * (
+             ln(CAST((n + 1) * (n_t + {_PSI_B}) AS DOUBLE))
+           - ln(CAST((n_b + 1) * (n_s + {_PSI_B}) AS DOUBLE))
+         ) * 1000000, 0) AS BIGINT) AS contrib_micro
+  FROM w
+)
+SELECT source, bin, n, p_micro, q_micro, contrib_micro,
+       CAST(SUM(contrib_micro) OVER (PARTITION BY source) AS BIGINT)
+         AS psi_micro
+FROM k
+"""
+
+
+@query("drift_psi_by_source", oracle=_PSI_ORACLE)
+def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source — the industry-standard
+    drift score (sum over bins of (p-q)*ln(p/q), add-one smoothed)
+    complementing stats_ks_drift (max ECDF gap, two cohorts) with the
+    PER-SOURCE monitoring grid a data team actually alerts on
+    (PSI > 0.2 = investigate). Distribution under watch: document
+    length, {_PSI_B} fixed-width bins.
+
+    Plan discipline (the quality_drift fork lesson, one step further):
+    the per-source histogram aggregates as ONE 8-slot array per source
+    in a single corpus pass, then posexplode DENSIFIES the grid — zero
+    cells appear without a distinct-sources cross join back (which
+    would fork the lineage and re-scan the corpus). Baseline/total
+    attach via windows over the |sources| x {_PSI_B} grid.
+
+    Determinism: p/q are reported as exact integer micro-units
+    (truncating DIV); each PSI term is non-negative and its single
+    rounding (6dp, i.e. integer micros) happens on the PER-BIN term —
+    ln() runs on exact-integer-valued doubles so a last-ulp libm
+    difference can only flip a term sitting exactly on a 0.5-micro
+    midpoint, unreachable for irrational logs; the per-source total is
+    then an exact integer SUM of the rounded terms."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.least(
+            F.lit(_PSI_B - 1), F.floor(F.col("n_chars") / _PSI_W)
+        ).alias("bin"),
+    )
+    hist = docs.groupBy("source").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("bin") == b, 1).otherwise(0)).cast(
+                    "bigint"
+                )
+                for b in range(_PSI_B)
+            ]
+        ).alias("h")
+    )
+    grid = hist.select(
+        "source", F.posexplode("h").alias("bin_i", "n")
+    ).select("source", F.col("bin_i").cast("bigint").alias("bin"), "n")
+    w = (
+        grid.withColumn(
+            "n_s", F.sum("n").over(Window.partitionBy("source"))
+        )
+        .withColumn("n_b", F.sum("n").over(Window.partitionBy("bin")))
+        .withColumn("n_t", F.sum("n").over(Window.partitionBy()))
+    )
+    contrib = F.round(
+        (
+            (F.col("n") + 1) / (F.col("n_s") + _PSI_B)
+            - (F.col("n_b") + 1) / (F.col("n_t") + _PSI_B)
+        )
+        * (
+            F.log(((F.col("n") + 1) * (F.col("n_t") + _PSI_B)).cast("double"))
+            - F.log(
+                ((F.col("n_b") + 1) * (F.col("n_s") + _PSI_B)).cast("double")
+            )
+        )
+        * 1000000,
+        0,
+    ).cast("bigint")
+    k = w.select(
+        "source",
+        "bin",
+        "n",
+        F.expr(f"((n + 1) * 1000000) div (n_s + {_PSI_B})").alias("p_micro"),
+        F.expr(f"((n_b + 1) * 1000000) div (n_t + {_PSI_B})").alias(
+            "q_micro"
+        ),
+        contrib.alias("contrib_micro"),
+    )
+    return k.withColumn(
+        "psi_micro",
+        F.sum("contrib_micro").over(Window.partitionBy("source")),
     )

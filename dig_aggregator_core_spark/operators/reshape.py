@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, ntz_epoch_us
 
 
 @query(
@@ -429,4 +429,67 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.crossJoin(F.broadcast(m))
         .filter(F.col("rk") <= F.col("min_n"))
         .select("doc_id", "lang", "n_chars")
+    )
+
+
+# temporal split boundaries: train < TRAIN_END <= embargo < TEST_START
+# <= test. Fixed CALENDAR cutoffs (the production form: a release is cut
+# at a date, not at a data-derived percentile) — the fixture events span
+# 2024-01-01 .. 2024-01-30 at every SF, so all three splits are non-empty.
+_TSPLIT_TRAIN_END = "2024-01-22 00:00:00"
+_TSPLIT_TEST_START = "2024-01-23 00:00:00"
+
+
+@query(
+    "sample_temporal_split",
+    oracle=f"""
+    SELECT CASE WHEN ts < TIMESTAMP '{_TSPLIT_TRAIN_END}' THEN 'train'
+                WHEN ts < TIMESTAMP '{_TSPLIT_TEST_START}' THEN 'embargo'
+                ELSE 'test' END AS split,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ep_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ep_us
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an embargo gap — the
+    leakage-avoiding split for time-dependent data, completing the
+    sampling family's split trio (hash split = i.i.d. assumption,
+    group-kfold = entity leakage, temporal = time leakage): rows in the
+    24 h embargo band between train end and test start are ASSIGNED TO
+    NEITHER side, so features with up-to-a-day lookback (rolling windows,
+    session aggregates) computed on train rows can never observe test
+    rows. Boundaries are fixed calendar literals — the production form
+    (a data-derived percentile cutoff would re-split every time data
+    arrives, silently moving rows between train and test across runs).
+
+    Plan: the split label is a pure row expression, so the whole op is
+    ONE partial-aggregated groupBy on (split, event_type); min/max report
+    exact epoch microseconds (tz-proof NTZ arithmetic) so the oracle
+    also pins that no row leaked across a boundary."""
+    ev = load(spark, sf_dir, "events")
+    # NTZ literals: a to_timestamp() literal would be an instant and the
+    # NTZ-vs-instant comparison shifts by the session timezone (the
+    # tests/test_timezone_proof.py contract)
+    split = (
+        F.when(
+            F.col("ts") < F.expr(f"TIMESTAMP_NTZ '{_TSPLIT_TRAIN_END}'"),
+            F.lit("train"),
+        )
+        .when(
+            F.col("ts") < F.expr(f"TIMESTAMP_NTZ '{_TSPLIT_TEST_START}'"),
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split")
+    )
+    return ev.groupBy(split, "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min(ntz_epoch_us("ts")).cast("bigint").alias("min_ep_us"),
+        F.max(ntz_epoch_us("ts")).cast("bigint").alias("max_ep_us"),
     )

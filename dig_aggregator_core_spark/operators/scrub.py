@@ -485,3 +485,115 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 privacy_l_diversity.__doc__ = privacy_l_diversity.__doc__.format(l=_LDIV_L)
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private counts (discrete two-sided geometric mechanism)
+
+_DP_EPSILON = 1.0
+_DP_TABLE_N = 1024
+
+
+def _dp_inverse_cdf_table(epsilon: float, n: int) -> list[int]:
+    """Inverse CDF of the discrete Laplace (two-sided geometric)
+    distribution P(z) = (1-a)/(1+a) * a^|z|, a = e^-epsilon, tabulated at
+    the n bucket midpoints (u + 0.5)/n. Built once in Python and inlined
+    as integer LITERALS in both engines — the NDCG-discounts device: the
+    exp/log math never runs engine-side, so the noise draw is an exact
+    integer table lookup."""
+    import math
+
+    a = math.exp(-epsilon)
+    out = []
+    for u in range(n):
+        p = (u + 0.5) / n
+        if p < 0.5:
+            # F(z) = a^(-z)/(1+a) for z < 0: smallest z with F(z) >= p
+            z = math.floor(math.log(p * (1 + a)) / math.log(a))
+            out.append(-abs(int(z)))
+        else:
+            # F(z) = 1 - a^(z+1)/(1+a) for z >= 0
+            q = (1 - p) * (1 + a)
+            z = math.ceil(math.log(q) / math.log(a)) - 1
+            out.append(max(0, int(z)))
+    # exactness audit: each entry must be the true quantile (smallest z
+    # with CDF(z) >= p) — guards libm edge cases at bucket boundaries
+    def _cdf(z: int) -> float:
+        return a ** (-z) / (1 + a) if z < 0 else 1 - a ** (z + 1) / (1 + a)
+
+    for u, z in enumerate(out):
+        p = (u + 0.5) / n
+        assert _cdf(z) >= p > _cdf(z - 1), (u, z)
+    return out
+
+
+_DP_TABLE = _dp_inverse_cdf_table(_DP_EPSILON, _DP_TABLE_N)
+# sanity: symmetric-ish, centered at 0
+assert _DP_TABLE[_DP_TABLE_N // 2] == 0 and _DP_TABLE[0] < 0
+
+
+_DP_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events GROUP BY event_type
+),
+t AS (SELECT {list(_DP_TABLE)}::BIGINT[] AS tab)
+SELECT event_type, true_n,
+       tab[CAST(CAST(('0x' || substring(md5('dp:' || event_type), 1, 8))
+                AS BIGINT) % {_DP_TABLE_N} + 1 AS INT)] AS noise,
+       GREATEST(CAST(0 AS BIGINT),
+         true_n + tab[CAST(CAST(('0x' || substring(md5('dp:' || event_type),
+                1, 8)) AS BIGINT) % {_DP_TABLE_N} + 1 AS INT)]) AS noisy_n,
+       {_DP_EPSILON} AS epsilon
+FROM g, t
+"""
+
+
+@query("privacy_dp_counts", oracle=_DP_ORACLE)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private group counts via the discrete two-sided
+    geometric mechanism (Ghosh-Roughgarden-Sundararajan 2012 — the
+    integer-valued Laplace for counting queries, epsilon={eps}): the
+    third privacy-audit member next to k-anonymity and l-diversity,
+    covering the RELEASE side — what a team publishes when the exact
+    per-group counts themselves are sensitive.
+
+    Mechanics: the inverse CDF of the noise distribution is tabulated at
+    {n} bucket midpoints in Python and inlined as integer literals in
+    both engines (the precomputed-discounts device), and each group
+    draws its bucket from the library's md5-h32 hash of the group key —
+    so the draw is an exact integer lookup, deterministic and
+    replayable across engines, runs, and partitionings. A production
+    release would swap the hash draw for a true RNG (one draw per
+    OUTPUT group — metadata-sized, driver-side, never per-row) and drop
+    the true_n column; it is emitted here because the row is also the
+    mechanism's audit (noise must equal table[h(key)]). Post-processing
+    clamps negatives to zero (DP survives post-processing). Plan: one
+    partial-aggregated groupBy; the noise attach is a literal-array
+    lookup projection."""
+    g = load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    tab = F.array(*[F.lit(z).cast("bigint") for z in _DP_TABLE])
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _DP_TABLE_N
+    )
+    noisy = g.withColumn("noise", F.element_at(tab, (bucket + 1).cast("int")))
+    return noisy.select(
+        "event_type",
+        "true_n",
+        "noise",
+        F.greatest(F.lit(0).cast("bigint"), F.col("true_n") + F.col("noise"))
+        .alias("noisy_n"),
+        F.lit(_DP_EPSILON).alias("epsilon"),
+    )
+
+
+privacy_dp_counts.__doc__ = privacy_dp_counts.__doc__.format(
+    eps=_DP_EPSILON, n=_DP_TABLE_N
+)

@@ -1269,3 +1269,138 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .alias("ndcg_micro"),
     )
+
+
+# LCM(1..TOPK) — makes every precision@i an exact integer when scaled
+_AP_LCM = 60
+assert all(_AP_LCM % i == 0 for i in range(1, _TOPK + 1))
+
+# shared fold devices (DuckDB): sum of a BIGINT list, and the cumulative
+# hit count up to position i of the rel list
+_D_SUM = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), {lst}), (a, x) -> a + x)"
+)
+_D_SUMPREC = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, len(got) + 1),"
+    " i -> got[CAST(i AS INT)]"
+    f" * {_D_SUM.format(lst='list_slice(got, 1, CAST(i AS INT))')}"
+    f" * CAST({_AP_LCM} // i AS BIGINT))),"
+    " (a, x) -> a + x)"
+)
+
+
+@query(
+    "eval_mrr_map",
+    oracle=f"""
+    WITH {_VECS_SQL},
+    {_ADAPTIVE_KEYED_SQL},
+    ap AS (
+      SELECT query_id, neighbor_id, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rk
+        FROM (SELECT * FROM keyed WHERE {_QUERY_FILTER}) q
+        JOIN keyed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      ) WHERE rk <= {_TOPK}
+    ),
+    rels AS (
+      SELECT ap.query_id, ap.rk,
+             CAST(CASE WHEN cn.label = qn.label THEN 1 ELSE 0 END
+                  AS BIGINT) AS rel
+      FROM ap
+      JOIN embeddings qn ON qn.vec_id = ap.query_id
+      JOIN embeddings cn ON cn.vec_id = ap.neighbor_id
+    ),
+    agg AS (
+      SELECT query_id, list(rel ORDER BY rk) AS got
+      FROM rels GROUP BY 1
+    )
+    SELECT query_id,
+           CAST(len(got) AS BIGINT) AS n_retrieved,
+           CAST({_D_SUM.format(lst='got')} AS BIGINT) AS n_rel,
+           CAST(CASE WHEN {_D_SUM.format(lst='got')} = 0 THEN 0
+                ELSE 1000000 // list_position(got, 1)
+           END AS BIGINT) AS mrr_micro,
+           CAST(CASE WHEN {_D_SUM.format(lst='got')} = 0 THEN NULL
+                ELSE ({_D_SUMPREC} * 1000000)
+                     // ({_AP_LCM} * {_D_SUM.format(lst='got')})
+           END AS BIGINT) AS ap_micro
+    FROM agg
+    """,
+)
+def eval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and MAP@k of the bucketed LSH retrieval with label-match
+    relevance — the third ranking-eval next to ann_recall_eval (set
+    quality) and eval_ndcg_at_k (graded position quality): MRR watches
+    the FIRST relevant hit, MAP the full precision envelope. Together
+    they are the grid a retrieval team ships with every index build.
+
+    Determinism discipline (the NDCG convention, taken further): all
+    three scores are exact integer micro-units end-to-end. 1e6/rank uses
+    truncating integer division (probed identical: Spark DIV / DuckDB
+    //); precision@i is scaled by LCM(1..k)={_AP_LCM} so hits_i*(60/i)
+    is an exact integer, and AP's final division is one truncating DIV.
+    No float enters any score. array_position/list_position agree on
+    0-for-miss (probed), and the rel=0 guard fires before either
+    division. Composition: the ranking IS ann_lsh_adaptive's output;
+    labels attach via two broadcast joins; the per-query fold runs over
+    a k-element array (metadata per query).
+
+    Reference parity: the reference ships no retrieval evals (its
+    analytics payload is frequencyAnalysis.py); this extends the
+    training-data-pipeline surface SURVEY.md §2 commits to."""
+    ap = ann_lsh_adaptive(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rk")
+    )
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ql = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    cl = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+    )
+    rels = (
+        ap.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(cl), "neighbor_id")
+        .select(
+            "query_id",
+            "rk",
+            F.when(F.col("q_label") == F.col("c_label"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+    agg = rels.groupBy("query_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rk, rel))),"
+            " s -> s.rel)"
+        ).alias("got")
+    )
+    s_sum = "aggregate({lst}, CAST(0 AS BIGINT), (a, x) -> a + x)"
+    n_rel = s_sum.format(lst="got")
+    sumprec = (
+        "aggregate(transform(sequence(1, size(got)),"
+        " i -> element_at(got, i)"
+        f" * {s_sum.format(lst='slice(got, 1, i)')}"
+        f" * CAST({_AP_LCM} div i AS BIGINT)),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return agg.select(
+        "query_id",
+        F.expr("CAST(size(got) AS BIGINT)").alias("n_retrieved"),
+        F.expr(f"CAST({n_rel} AS BIGINT)").alias("n_rel"),
+        F.expr(
+            f"CAST(CASE WHEN {n_rel} = 0 THEN 0"
+            " ELSE 1000000 div array_position(got, 1)"
+            " END AS BIGINT)"
+        ).alias("mrr_micro"),
+        F.expr(
+            f"CAST(CASE WHEN {n_rel} = 0 THEN NULL"
+            f" ELSE ({sumprec} * 1000000)"
+            f" div ({_AP_LCM} * {n_rel})"
+            " END AS BIGINT)"
+        ).alias("ap_micro"),
+    )

@@ -31,6 +31,8 @@ TS_DERIVING = [
     "session_window",
     "stream_tumbling_availablenow",
     "stream_stream_interval_join",
+    "sample_temporal_split",
+    "feature_ols_trend",
 ]
 
 

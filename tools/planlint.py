@@ -93,6 +93,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "dq_constraint_audit": "five 1-row violation/total report frames crossed per check",
         "sample_class_balance": "1-row min-class-size frame broadcast onto the ranked docs",
         "dedup_threshold_sweep": "5-row threshold spine crossed with the verified-pair relation",
+        "eval_mrr_map": "1-row bucket-bit-count frame broadcast onto the corpus (inherits ann_lsh_adaptive)",
+        "cms_frequency_estimate": "vocab grid crossed with the CMS_D-row literal hash-row spine",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
