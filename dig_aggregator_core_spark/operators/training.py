@@ -1186,3 +1186,90 @@ def sft_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(toks, 1, _SFT_MAX_TOKENS))
         ).alias("text_digest"),
     )
+
+
+_VOCAB_COV_ORACLE = f"""
+WITH enc AS (
+  SELECT source,
+    flatten(list_transform(
+      list_filter(string_split(text, ' '), w -> w <> ''),
+      w -> string_split(list_reduce(
+        list_prepend(
+          array_to_string(list_transform(range(1, length(w) + 1),
+            i -> substr(w, CAST(i AS INT), 1)), '~'),
+          {_BPE_MERGES_DUCK}),
+        (acc, mg) -> list_reduce(
+          list_prepend('', string_split(acc, '~')),
+          (a, t) -> CASE WHEN a = '' THEN t
+            WHEN t = split_part(mg, ' ', 2)
+             AND (a = split_part(mg, ' ', 1)
+                  OR right(a, length(split_part(mg, ' ', 1)) + 1)
+                     = '~' || split_part(mg, ' ', 1))
+            THEN a || t ELSE a || '~' || t END)), '~'))) AS toks
+  FROM documents
+),
+t AS (SELECT source, unnest(toks) AS tok FROM enc)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(length(tok)) AS BIGINT) AS n_token_chars,
+       CAST((SUM(length(tok)) * 1000000) // COUNT(*) AS BIGINT)
+         AS chars_per_token_micro,
+       CAST((SUM(CASE WHEN length(tok) > 1 THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS multichar_share_micro
+FROM t GROUP BY source
+"""
+
+
+@query("tokenizer_vocab_coverage", oracle=_VOCAB_COV_ORACLE)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency report per source — the EVALUATE leg that
+    closes the tokenizer loop (tokenizer_bpe_merges trains,
+    tokenizer_bpe_apply encodes, this measures): chars-per-token
+    (the compression number a tokenizer is judged by), the share of
+    tokens that actually benefited from a merge (single-char tokens are
+    the fallback path — a high share means the merge table doesn't fit
+    this source), and the distinct-token footprint per source. Uneven
+    chars-per-token across sources is the standard signal that a
+    tokenizer under-serves a domain and its training mix needs
+    rebalancing.
+
+    Plan: the encoder is the SAME one-projection codegen fold as
+    tokenizer_bpe_apply (struct-hoisted merge rules — the interpreted-HOF
+    hoisting lesson); tokens then explode into ONE source-keyed
+    aggregation (count / distinct / length sums). Shares are exact
+    integer micro-units via truncating DIV — no float anywhere."""
+    d = load(spark, sf_dir, "documents")
+    enc = d.select(
+        "source",
+        F.expr(
+            "flatten(transform("
+            " filter(split(text, ' '), w -> w <> ''), w ->"
+            " split(aggregate("
+            f"  {_BPE_MERGES_SPARK},"
+            "  array_join(transform(sequence(1, length(w)),"
+            "    i -> substring(w, CAST(i AS INT), 1)), '~'),"
+            "  (acc, mg) -> aggregate("
+            "    split(acc, '~'),"
+            "    '',"
+            "    (a, t) -> CASE WHEN a = '' THEN t"
+            "      WHEN t = mg.r"
+            "       AND (a = mg.l"
+            "            OR right(a, length(mg.l) + 1)"
+            "               = concat('~', mg.l))"
+            "      THEN concat(a, t) ELSE concat(a, '~', t) END)), '~')))"
+        ).alias("toks"),
+    )
+    t = enc.select("source", F.explode("toks").alias("tok"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("tok").cast("bigint").alias("n_distinct_tokens"),
+        F.sum(F.length("tok")).cast("bigint").alias("n_token_chars"),
+        F.expr(
+            "(SUM(length(tok)) * 1000000) div COUNT(*)"
+        ).alias("chars_per_token_micro"),
+        F.expr(
+            "(SUM(CASE WHEN length(tok) > 1 THEN 1 ELSE 0 END) * 1000000)"
+            " div COUNT(*)"
+        ).alias("multichar_share_micro"),
+    )
