@@ -179,7 +179,34 @@ HEADLINE = [
     "privacy_dp_counts",
     "sample_temporal_split",
     "drift_psi_by_source",
+    # r6 additions: the tokenizer coverage audit (benched late — flagged
+    # as a COVERAGE/bench omission in r5 ADVICE), plus the r6 operators
+    "tokenizer_vocab_coverage",
 ]
+
+
+def _cpu_stat() -> list[int]:
+    """Aggregate /proc/stat cpu jiffies (user..guest_nice), [] if absent."""
+    try:
+        with open("/proc/stat") as f:
+            first = f.readline().split()
+        return [int(x) for x in first[1:]]
+    except (OSError, ValueError):
+        return []
+
+
+def _steal_pct(before: list[int], after: list[int]) -> float | None:
+    """CPU steal% over the bench window — the host-contention telltale.
+
+    steal is /proc/stat field 8 (0-indexed 7); a high value means the
+    hypervisor withheld CPU and wall-clock numbers are inflated through
+    no fault of the measured code (BASELINE.md documents 3x swings)."""
+    if len(before) < 8 or len(after) < 8:
+        return None
+    total = sum(a - b for a, b in zip(after, before))
+    if total <= 0:
+        return None
+    return round(100.0 * (after[7] - before[7]) / total, 2)
 
 
 def main() -> None:
@@ -205,21 +232,26 @@ def main() -> None:
         .collect()
     )
 
-    # min of 2 runs per query: the first run pays per-query codegen and is
-    # exposed to transient host contention (this VM shows up to ~14% CPU
-    # steal under load — see BASELINE.md); the min is the stable,
-    # cross-round-comparable number
+    # min of 3 runs per query: the first run pays per-query codegen and
+    # any run is exposed to transient host contention (this VM shows up
+    # to ~3x CPU-steal swings under load — see BASELINE.md; r5's close
+    # read 1.27x on untouched code). The min over three is the stable,
+    # cross-round-comparable number, and the recorded /proc/stat steal%
+    # lets the next reader separate noise from regression mechanically.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    stat0 = _cpu_stat()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+    stat1 = _cpu_stat()
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -228,6 +260,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "steal_pct": _steal_pct(stat0, stat1),
+        "runs_per_query": runs,
     }
     line = json.dumps(payload)
     # the driver keeps only the last ~2000 chars of stdout, and the full

@@ -796,3 +796,8 @@ def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("cell_n") - F.min("exact_n")).cast("bigint")
         .alias("overestimate"),
     )
+
+
+cms_frequency_estimate.__doc__ = cms_frequency_estimate.__doc__.format(
+    CMS_D=CMS_D, CMS_W=CMS_W
+)

@@ -392,3 +392,8 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wr",
         F.expr("_wnum DIV _nrm").cast("bigint").alias("loading_micro"),
     )
+
+
+pca_power_component.__doc__ = pca_power_component.__doc__.format(
+    it=_PCA_ITERS
+)

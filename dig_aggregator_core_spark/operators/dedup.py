@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, maybe_spread
 
 MUT_OFFSET = 1_000_000
 
@@ -68,14 +68,11 @@ shingled AS (
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The hashing stages downstream are CPU-bound narrow maps; a small input
     # (one parquet file -> 1-2 scan partitions) would serialize them onto two
-    # cores. Spread the corpus across the cluster ONLY when the scan itself
-    # is under-partitioned — at real scale the many input splits already
-    # provide the parallelism and repartitioning raw text would be a full
-    # shuffle for nothing.
-    par = spark.sparkContext.defaultParallelism
-    docs = load(spark, sf_dir, "documents")
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, "doc_id")
+    # cores. Spread the corpus ONLY when the scan itself is under-partitioned
+    # (filesystem width probe — tables.maybe_spread).
+    docs = maybe_spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    )
     base = docs.select("doc_id", F.split("text", " ").alias("toks"), "lang")
     mut = base.select(
         (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),

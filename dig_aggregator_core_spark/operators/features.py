@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, ntz_epoch_us
+from ..tables import load, maybe_spread, ntz_epoch_us
 
 Z_THRESHOLD = 2.5  # |z| above this is an outlier row
 WINSOR_LO, WINSOR_HI = 0.05, 0.95  # clamp percentiles
@@ -326,9 +326,7 @@ def bootstrap_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-bound narrow maps; a single-file fixture scan (1-2 partitions)
     # would serialize them, so spread first (same guard as dedup._corpus;
     # a real many-file dataset skips this branch)
-    par = spark.sparkContext.defaultParallelism
-    if ev.rdd.getNumPartitions() < par:
-        ev = ev.repartition(par, "event_id")
+    ev = maybe_spread(ev, sf_dir, "events", "event_id")
     reps = ev.select(
         "event_id",
         "event_type",
@@ -790,7 +788,8 @@ SELECT event_type, n,
                  // (CAST(n AS HUGEINT) * deno) END AS BIGINT)
          AS intercept_micro,
        CAST(CASE WHEN deno = 0 OR syyc = 0 THEN NULL
-            ELSE (nume * nume * 1000000) // (deno * syyc) END AS BIGINT)
+            ELSE ((abs(nume) * 1000000) // deno * abs(nume)) // syyc
+            END AS BIGINT)
          AS r2_micro
 FROM nd
 """
@@ -814,7 +813,18 @@ def feature_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every reported number is one truncating integer division
     (probed identical: Spark DIV / DuckDB //) in micro-units, so no
     float exists anywhere. Degenerate groups (zero x- or y-variance)
-    report NULL instead of dividing by zero."""
+    report NULL instead of dividing by zero.
+
+    r2 headroom (the pca_power_component wr^2-at-x100 analysis): naive
+    nume*nume*1e6 squares a value that reaches ~1e22 at x100 magnitudes
+    and overflows both DECIMAL(38,0) (silent NULL, ANSI off) and HUGEINT
+    (raise). Instead r2 factors into two sequential divisions on the
+    non-negative |nume| (r2 >= 0, so the sign never matters and
+    truncation == floor on both engines):
+    ``((|nume| * 1e6 div deno) * |nume|) div syyc``. Cauchy-Schwarz
+    (nume^2 <= deno*syyc) bounds the middle product by 1e6*syyc <~ 4e31
+    and the first by 1e6*sqrt(deno*syyc) <~ 4e30 at x100 — both far
+    inside 38 digits."""
     e = load(spark, sf_dir, "events").select(
         "event_type",
         (ntz_epoch_us("ts") / F.lit(3600000000))
@@ -855,7 +865,7 @@ def feature_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept_micro"),
         F.expr(
             "CAST(CASE WHEN deno = 0 OR syyc = 0 THEN NULL"
-            " ELSE (nume * nume * 1000000) div (deno * syyc)"
+            " ELSE ((abs(nume) * 1000000) div deno * abs(nume)) div syyc"
             " END AS BIGINT)"
         ).alias("r2_micro"),
     )

@@ -9,9 +9,9 @@ no rand()) so the DuckDB oracles hash-check exact values — the same
 cross-engine-determinism discipline as operators/curation.py.
 
 Scale notes (100 TB):
-- dsir: the bucket-stats pass shuffles at most B=256 rows after map-side
-  combine; the per-doc scoring pass is a pure codegen fold against a
-  broadcast 256-entry literal map — zero shuffle of text. The threshold
+- dsir: the bucket-stats pass shuffles at most B=1024 (DSIR_BUCKETS) rows
+  after map-side combine; the per-doc scoring pass is a pure codegen fold
+  against a broadcast 1024-entry literal map — zero shuffle of text. The threshold
   aggregate re-scans the scored relation (quantile_bucketize precedent);
   at scale the threshold comes from the previous profile stage.
 - curriculum: phase cuts are one metadata aggregate; ordering is
@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, maybe_spread
 
 DSIR_BUCKETS = 1024  # hashed n-gram feature buckets
 DSIR_SCALE = 1_000_000  # integer micro-units for the per-bucket ratio
@@ -117,8 +117,8 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployments sum log-ratios; the swap is one expression.
 
     Plan shape (the 100 TB design point): pass 1 aggregates n-gram
-    buckets — after map-side combine at most B=256 rows reach the
-    shuffle; the 256-row ratio table is collected (metadata-sized, the
+    buckets — after map-side combine at most B=1024 (DSIR_BUCKETS) rows
+    reach the shuffle; the 1024-row ratio table is collected (metadata-sized, the
     documented k-centroids/bloom-positions class of collect) and embedded
     as a literal map, so pass 2 scores each document with ONE codegen
     array fold — zero shuffle, zero Python, no join. The selection
@@ -126,14 +126,13 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scan-twice, quantile_bucketize precedent; at scale the threshold is
     a profile-stage input). Quarter percentiles of integer scores are
     binary-exact on both engines (division by 4)."""
-    docs = load(spark, sf_dir, "documents")
     # md5-per-ngram is CPU-heavy narrow work; a one-file fixture scan
     # would serialize it on one core (PLANS.md checklist: "CPU-heavy
     # narrow maps after a small-file scan") — spread only when the scan
-    # itself is under-partitioned
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, "doc_id")
+    # itself is under-partitioned (filesystem width probe)
+    docs = maybe_spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    )
     docs = docs.select(
         "doc_id",
         "lang",
@@ -149,7 +148,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tb"),
         F.count(F.lit(1)).alias("rb"),
     )
-    # 256-row collect: metadata-sized by construction (B buckets)
+    # 1024-row collect: metadata-sized by construction (B=DSIR_BUCKETS)
     ratio_rows = [
         (int(r["b"]), int(((r["tb"] + 1) * DSIR_SCALE) // (r["rb"] + 1)))
         for r in stats.collect()

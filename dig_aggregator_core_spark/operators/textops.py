@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, maybe_spread
 
 STOPWORDS = ("the", "a", "of", "and", "in")
 _STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
@@ -422,9 +422,7 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram generation + scoring are CPU-bound narrow maps over an
     # explode; a 1-2-partition scan would serialize them (dedup._corpus
     # has the same guard). At scale the input splits already parallelize.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, "doc_id")
+    docs = maybe_spread(docs, sf_dir, "documents", "doc_id")
     t = (
         docs.filter(F.length("text") >= 2)
         .select("doc_id", F.lower(F.substring("text", 1, 512)).alias("s"))
@@ -848,10 +846,9 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid is |sources|^2 rows joined to the per-source totals by
     broadcast. At 100 TB hot shingles (stopword runs) bound fan-out by
     |sources|, not corpus size — the cap a doc-level pair join lacks."""
-    docs = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, "doc_id")
+    docs = maybe_spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    )
     sh = (
         docs.select(
             "source",

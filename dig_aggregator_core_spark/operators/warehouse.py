@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import tables
 from ..registry import query
 from ..tables import load
 
@@ -777,6 +778,7 @@ _GOLDEN_ATTR_SQL = """
                   WHEN CAST(props->>'k' AS INT) % 3 = 1 THEN 'pro'
                   ELSE 'team' END END AS tier
     FROM events WHERE json_valid(props)
+      AND json_extract_string(props, '$.k') IS NOT NULL
 """
 
 
@@ -1013,15 +1015,16 @@ def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("latest"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+    # lag arithmetic on naive epoch-us (tables.ntz_epoch_us), never a
+    # NTZ->TIMESTAMP cast: the cast reads the session timezone, and a DST
+    # transition between a stream's latest event and the global max would
+    # shift lag_minutes by the DST delta and could flip `stale`.
+    per = per.withColumn("latest_us", tables.ntz_epoch_us("latest"))
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     lag_min = F.floor(
-        (
-            F.unix_micros(F.max("latest").over(w_all).cast("timestamp"))
-            - F.unix_micros(F.col("latest").cast("timestamp"))
-        )
-        / 60_000_000
+        (F.max("latest_us").over(w_all) - F.col("latest_us")) / 60_000_000
     ).cast("bigint")
     return per.select(
         "event_type",

@@ -165,6 +165,31 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "text_regex_tokenize", "timeseries_ewma", "timeseries_resample_ohlc",
         "udtf_sentence_split", "url_domain_blocklist",
         "window_running_distinct",
+        # green in CORRECTNESS_r05.json (50 rows, all hash-verified):
+        "ann_hard_negatives", "ann_lsh_multiprobe", "ann_rerank_quantized",
+        "asof_join_nearest", "assoc_rules_pairs", "attribution_last_touch",
+        "attribution_multi_touch", "bootstrap_confidence",
+        "chunk_cdc_rolling", "cms_frequency_estimate", "curriculum_order",
+        "decontam_source_matrix", "dedup_cluster_representative",
+        "dedup_span_removal", "dedup_threshold_sweep",
+        "dedup_url_canonicalize", "drift_psi_by_source",
+        "dsir_importance_select", "engagement_dau_wau", "eval_auc_binned",
+        "eval_calibration_bins", "event_transition_matrix",
+        # feature_ols_trend is r5-green but EXCLUDED: its r2 arithmetic was
+        # rewritten in r6 (overflow factoring), so it re-verifies first.
+        "feature_quantile_normalize", "fn_html_strip",
+        "fn_url_parse", "graph_label_propagation",
+        "incremental_join_maintenance", "join_cardinality_probe",
+        "knn_centroid_label_eval", "minhash_estimate_error",
+        "mixture_temperature_reweight", "mm_modality_dispatch",
+        "pca_power_component", "pipeline_rag_chunking", "privacy_dp_counts",
+        "privacy_k_anonymity", "privacy_l_diversity",
+        "record_linkage_score", "sample_class_balance",
+        "sample_group_kfold", "sample_temporal_split",
+        "scan_jsonl_corrupt_recovery", "semdedup_clusters",
+        "simjoin_containment", "split_leakage_audit",
+        "stats_chi2_independence", "stats_ks_drift",
+        "token_budget_allocation", "user_activity_streaks",
     }
 )
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,3 +72,47 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_SPLIT_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+
+
+def _scan_width(sf_dir: str, name: str) -> int | None:
+    """Rough scan-partition count for a table from the filesystem alone
+    (part-file count + 128 MiB split heuristic). Unlike
+    ``df.rdd.getNumPartitions()`` this never forces plan analysis during
+    query construction. Returns None for non-local paths (s3://... at
+    real scale), where the many input splits already parallelize."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        files = [path]
+    elif os.path.isdir(path):
+        files = [
+            os.path.join(root, n)
+            for root, _dirs, names in os.walk(path)
+            for n in names
+            if not n.startswith(("_", ".")) and n.endswith(".parquet")
+        ]
+    else:
+        return None
+    try:
+        return sum(1 + os.path.getsize(f) // _SPLIT_BYTES for f in files)
+    except OSError:
+        return None
+
+
+def maybe_spread(df: DataFrame, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Spread a small local scan before CPU-heavy narrow maps.
+
+    A one-file fixture scan yields 1-2 partitions and would serialize the
+    md5/shingle/explode work that follows onto two cores; repartition by
+    ``key`` ONLY in that case. A many-file dataset (or a remote path whose
+    width we can't cheaply know) keeps its scan partitioning — at real
+    scale the input splits already provide parallelism and repartitioning
+    raw text would be a full shuffle for nothing."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    width = _scan_width(sf_dir, name)
+    if width is not None and width < par:
+        return df.repartition(par, key)
+    return df

@@ -38,3 +38,18 @@ def test_entry_smoke(spark):
     assert out.count() > 0
     keys = set(e.queries())
     assert set(e.oracle_sql()) <= keys
+
+
+def test_registry_bookkeeping_invariants():
+    """The round-over-round bookkeeping the driver evidence depends on:
+    every name the registry claims as prior-verified must still be a
+    registered query (a rename would silently orphan its evidence), the
+    deferred set must be registered too, and every registered query must
+    carry a DuckDB oracle (the repo's contract is the strong hash check —
+    a rows-only entry would be a silent downgrade)."""
+    unknown = registry._VERIFIED_PRIOR_ROUNDS - set(registry.QUERIES)
+    assert not unknown, f"verified names not registered: {sorted(unknown)}"
+    undeferred = registry._DEFER_TO_NEXT_ROUND - set(registry.QUERIES)
+    assert not undeferred, f"deferred names not registered: {sorted(undeferred)}"
+    missing = set(registry.QUERIES) - set(registry.ORACLES)
+    assert not missing, f"queries without an oracle: {sorted(missing)}"

@@ -33,6 +33,7 @@ TS_DERIVING = [
     "stream_stream_interval_join",
     "sample_temporal_split",
     "feature_ols_trend",
+    "dq_freshness_audit",
 ]
 
 
