@@ -182,6 +182,9 @@ HEADLINE = [
     # r6 additions: the tokenizer coverage audit (benched late — flagged
     # as a COVERAGE/bench omission in r5 ADVICE), plus the r6 operators
     "tokenizer_vocab_coverage",
+    "sink_bucketed_partitioned_write",
+    "stream_stream_right_outer_join",
+    "feature_quantile_normalize_approx",
 ]
 
 

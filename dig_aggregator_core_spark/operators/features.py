@@ -752,6 +752,75 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QN_Q = 256  # approx-grid resolution (quantile rows)
+
+
+@query(
+    "feature_quantile_normalize_approx",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS within_bound
+    FROM documents GROUP BY source
+    """,
+)
+def feature_quantile_normalize_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB shape of feature_quantile_normalize, registered with
+    standing evidence (the table_profile/table_profile_approx pattern):
+    the exact op's global sort becomes a Q-row percentile_approx grid
+    (t-digest sketch — mergeable, one pass, no sort anywhere), the
+    per-source rank windows are UNCHANGED, and each document maps to
+    grid slot q = (rk*(Q-1)) DIV (n-1) instead of an exact global rank.
+
+    Evidence shape (percentile_approx_bounded's rank-based device —
+    value gaps on sparse data are unbounded, rank error is what the
+    sketch's accuracy knob bounds): every approx normalized value must
+    lie within the EXACT global quantile band [q-2, q+2]/(Q-1) (a
+    +-0.8% rank window vs the sketch's 1/10000 rank guarantee), folded
+    per source into a boolean the oracle pins TRUE. The exact band
+    exists only for the evidence; the production form drops it and is
+    then sort-free end-to-end: one corpus pass for the sketch, one
+    window pass per source, one broadcast of the Q-row grid."""
+    docs = load(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("source")
+    r = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.row_number().over(w_rank) - 1).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(w_n).cast("bigint").alias("n"),
+    )
+    probs = ", ".join(repr(i / (_QN_Q - 1)) for i in range(_QN_Q))
+    grid = docs.agg(
+        F.expr(
+            f"percentile_approx(n_chars, array({probs}), 10000)"
+        ).alias("ga"),
+        F.expr(f"percentile(n_chars, array({probs}))").alias("ge"),
+    )
+    j = r.crossJoin(F.broadcast(grid)).withColumn(
+        "q",
+        F.expr(
+            f"CASE WHEN n = 1 THEN ({_QN_Q} - 1) DIV 2"
+            f" ELSE (rk * ({_QN_Q} - 1)) DIV (n - 1) END"
+        ).cast("int"),
+    )
+    j = j.select(
+        "source",
+        F.expr("ga[q]").alias("norm_approx"),
+        F.expr(f"ge[greatest(q - 2, 0)]").alias("lo"),
+        F.expr(f"ge[least(q + 2, {_QN_Q} - 1)]").alias("hi"),
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.bool_and(
+            (F.col("norm_approx") >= F.col("lo"))
+            & (F.col("norm_approx") <= F.col("hi"))
+        ).alias("within_bound"),
+    )
+
+
 # epoch hour of 2024-01-01 00:00 UTC (1704067200 s / 3600) — the fixture
 # events all land in Jan 2024, so x = hours since then stays < 1000 and
 # every OLS sum fits BIGINT before the DECIMAL(38,0) products

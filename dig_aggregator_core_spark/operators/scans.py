@@ -341,6 +341,72 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sink_bucketed_partitioned_write",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 4) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1
+    """,
+)
+def sink_bucketed_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned + bucketed + sorted parquet write — the write-side twin
+    of join_bucketed_colocated, and the structured form of the reference's
+    naive partitioned sink (Outputs/partition layout, SURVEY §2.1 S5):
+    lineitem lands `partitionBy(l_returnflag).bucketBy(8, l_orderkey)
+    .sortBy(l_orderkey)`, orders lands bucketed the same 8 ways on its key.
+
+    The layout buys three things at 100 TB, all visible in this one plan:
+    (1) PARTITION PRUNING — the re-read filters l_returnflag = 'R' and the
+    scan lists only that directory (PartitionFilters in the plan, 2 of 3
+    partitions never opened); (2) ZERO-EXCHANGE JOIN — both scans report
+    the same bucketing on the join key, so the SortMergeJoin runs with NO
+    shuffle of either fact table (the ingest-time shuffle is paid once,
+    every downstream join rides it); (3) SORTED BUCKETS — sortBy keeps
+    each bucket file internally ordered, tightening parquet min/max stats
+    on the join key for row-group skipping. The plan pin
+    (tests/test_plans.py) asserts zero Exchange and the partition filter.
+    """
+    wh = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", "bktpart")
+    l_tbl, o_tbl = "graft_lineitem_bp", "graft_orders_bp"
+    for tbl in (l_tbl, o_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite")
+        .option("path", f"{wh}/lineitem_bp")
+        .partitionBy("l_returnflag")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(l_tbl)
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .option("path", f"{wh}/orders_bp")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(o_tbl)
+    )
+    li = spark.table(l_tbl).filter(F.col("l_returnflag") == "R")
+    o = spark.table(o_tbl)
+    # merge hint pins SMJ (the fixture-sized side would broadcast), so the
+    # plan exhibits the production shape: SMJ over two Bucketed:true scans
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+        )
+    )
+
+
 # The oracle recomputes each file's (name, byte-length, md5) straight from
 # the documents table: the fixture bytes ARE the UTF-8 text, so this stays
 # correct regardless of execution order, process tempdir, or a stale

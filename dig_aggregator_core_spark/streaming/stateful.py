@@ -658,6 +658,72 @@ def stream_stream_left_outer_join(
     return _run_to_memory(joined, "append")
 
 
+@query(
+    "stream_stream_right_outer_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           p.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-2 AS BIGINT), CAST(-1 AS BIGINT)
+    """,
+)
+def stream_stream_right_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — the last join-mode cell
+    in the streaming matrix (inner/left/full landed earlier): every
+    purchase emits, attributed to a preceding click or orphaned. The null
+    side is the mirror of the left-outer op's: a purchase is declared
+    click-less only once the CLICK watermark has passed the start of its
+    lookback window (until then an attributing click could still arrive),
+    so orphan rows trail matches by up to the watermark delay and the
+    eviction crosses micro-batch seams (pinned by the multibatch test).
+    Under AvailableNow the sentinel advances both watermarks past the
+    fixture and the drained result equals the batch RIGHT JOIN, which the
+    oracle pins verbatim (plus the sentinel's own matched row — see the
+    left-outer op for why it must not be filtered)."""
+    path = _events_with_flush_sentinel(spark, sf_dir)
+    clicks = (
+        _scratch_events_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        _scratch_events_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")
+        ),
+        "rightOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+    )
+    return _run_to_memory(joined, "append")
+
+
 _FUNNEL_STAGES = ("view", "click", "purchase")
 _FUNNEL_STATE = "t1 bigint, t2 bigint, t3 bigint"
 _FUNNEL_OUT = "user_id bigint, t1 bigint, t2 bigint, t3 bigint"

@@ -427,3 +427,16 @@ def test_assoc_rules_single_events_shuffle(spark, sf_dir):
     plan = plan_of("assoc_rules_pairs", spark, sf_dir)
     assert plan.count("events.parquet") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_partitioned_sink_zero_exchange_join(spark, sf_dir):
+    # the entire point of the bucketed+partitioned layout: the re-read
+    # join runs with NO exchange on either fact table (the only shuffle
+    # in the plan is the final groupBy on priority), and the returnflag
+    # predicate prunes at the directory level, not post-scan
+    plan = plan_of("sink_bucketed_partitioned_write", spark, sf_dir)
+    assert "SortMergeJoin" in plan
+    assert n_shuffles(plan) == 1, plan
+    assert plan.count("Bucketed: true") == 2, "a scan lost its bucketing"
+    m = re.search(r"PartitionFilters: \[([^\]]*l_returnflag[^\]]*)\]", plan)
+    assert m, "lineitem scan lost directory-level partition pruning"

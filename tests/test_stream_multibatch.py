@@ -826,3 +826,37 @@ def test_transition_seam_pair_across_batches(spark, sf_dir):
         .collect()
     }
     assert got == ref
+
+
+def test_right_outer_null_emission_across_batches(spark, sf_dir):
+    """The right-outer op's orphan rows (purchase with no attributing
+    click) are WATERMARK decisions that land in a later micro-batch than
+    the purchase itself (maxFilesPerTrigger=2 splits the fixture into
+    several batches, sentinel last). The drained orphan set must equal
+    the batch RIGHT JOIN's — proving null emission survives the seams
+    rather than being an end-of-query artifact."""
+    from dig_aggregator_core_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["stream_stream_right_outer_join"](spark, sf_dir)
+    orphans = out.filter(F.col("click_id").isNull())
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    batch_orphans = p.join(
+        c,
+        (p.user_id == c.c_uid)
+        & (c.c_ts <= p.ts)
+        & (p.ts <= c.c_ts + F.expr("INTERVAL 6 HOURS")),
+        "left_anti",
+    )
+    n_stream = orphans.count()
+    assert n_stream > 0, "fixture produced no orphan purchases"
+    assert n_stream == batch_orphans.count()
+    assert set(
+        r.purchase_id for r in orphans.select("purchase_id").collect()
+    ) == set(r.event_id for r in batch_orphans.select("event_id").collect())
