@@ -185,6 +185,12 @@ HEADLINE = [
     "sink_bucketed_partitioned_write",
     "stream_stream_right_outer_join",
     "feature_quantile_normalize_approx",
+    "asof_join_forward",
+    "graph_bfs_distance",
+    "eval_f1_confusion",
+    "dpo_pair_assembly",
+    "text_keyword_rake",
+    "lm_kneser_ney_bigram",
 ]
 
 

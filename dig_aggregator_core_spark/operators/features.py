@@ -1062,3 +1062,106 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi_micro",
         F.sum("contrib_micro").over(Window.partitionBy("source")),
     )
+
+
+# pseudo-model for the classifier-eval fixture: right ~70% of the time,
+# wrong answers spread by event_id hash — deterministic plumbing (this
+# module's convention), identical text in Spark SQL and DuckDB
+_CM_PRED = (
+    "CASE WHEN event_id % 10 < 7 THEN event_type ELSE"
+    " CASE event_id % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'error'"
+    " WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup' ELSE 'view' END END"
+)
+
+_CM_ORACLE = f"""
+WITH g AS (
+  SELECT event_type AS actual, {_CM_PRED} AS predicted,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+cls AS (SELECT DISTINCT actual AS class FROM g),
+s AS (
+  SELECT c.class,
+         COALESCE((SELECT SUM(n) FROM g WHERE g.actual = c.class
+                     AND g.predicted = c.class), 0) AS tp,
+         COALESCE((SELECT SUM(n) FROM g WHERE g.actual = c.class), 0)
+           AS actual_n,
+         COALESCE((SELECT SUM(n) FROM g WHERE g.predicted = c.class), 0)
+           AS pred_n
+  FROM cls c
+),
+m AS (
+  SELECT class, CAST(tp AS BIGINT) AS tp,
+         CAST(pred_n - tp AS BIGINT) AS fp,
+         CAST(actual_n - tp AS BIGINT) AS fn,
+         CASE WHEN pred_n = 0 THEN NULL
+              ELSE (tp * 1000000) // pred_n END AS p_micro,
+         CASE WHEN actual_n = 0 THEN NULL
+              ELSE (tp * 1000000) // actual_n END AS r_micro
+  FROM s
+)
+SELECT class, tp, fp, fn,
+       CAST(p_micro AS BIGINT) AS precision_micro,
+       CAST(r_micro AS BIGINT) AS recall_micro,
+       CAST(CASE WHEN COALESCE(p_micro, 0) + COALESCE(r_micro, 0) = 0
+            THEN 0 ELSE (2 * COALESCE(p_micro, 0) * COALESCE(r_micro, 0))
+                 // (COALESCE(p_micro, 0) + COALESCE(r_micro, 0))
+            END AS BIGINT) AS f1_micro
+FROM m
+"""
+
+
+@query("eval_f1_confusion", oracle=_CM_ORACLE)
+def eval_f1_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confusion-matrix metrics (tp/fp/fn, precision, recall,
+    F1) — the multi-class half of the eval family (eval_auc_binned and
+    eval_calibration_bins cover binary scores; this covers the label
+    classifier a curation pipeline runs for routing/filtering). The
+    "model" is the module's deterministic pseudo-predictor (right 70%,
+    errors hash-spread), so both engines score the identical prediction
+    table.
+
+    Histogram-first, the family's scale rule: ONE corpus scan reduces
+    map-side to the |classes|^2 confusion grid; tp / row totals / column
+    totals are then window sums over that metadata-sized grid (never a
+    second scan, never a per-row join). All metrics are exact integer
+    micro-units — truncating DIV, F1 as the harmonic mean of the two
+    micro values — so the cross-engine hash is bit-stable."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("actual"),
+        F.expr(_CM_PRED).alias("predicted"),
+    )
+    g = ev.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wa = Window.partitionBy("actual")
+    wp = Window.partitionBy("predicted")
+    scored = g.select(
+        "actual",
+        "predicted",
+        "n",
+        F.sum("n").over(wa).alias("actual_n"),
+        F.sum("n").over(wp).alias("pred_n"),
+    )
+    # the diagonal row per class carries everything (every class appears
+    # on the diagonal of this fixture's grid; a zero-tp class would need
+    # the cls-table outer-join form the oracle writes out)
+    diag = scored.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("class"),
+        F.col("n").alias("tp"),
+        (F.col("pred_n") - F.col("n")).cast("bigint").alias("fp"),
+        (F.col("actual_n") - F.col("n")).cast("bigint").alias("fn"),
+        F.expr("(n * 1000000) DIV pred_n").alias("precision_micro"),
+        F.expr("(n * 1000000) DIV actual_n").alias("recall_micro"),
+    )
+    return diag.withColumn(
+        "f1_micro",
+        F.expr(
+            "CASE WHEN coalesce(precision_micro, 0)"
+            " + coalesce(recall_micro, 0) = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (2 * coalesce(precision_micro, 0)"
+            " * coalesce(recall_micro, 0))"
+            " DIV (coalesce(precision_micro, 0)"
+            " + coalesce(recall_micro, 0)) END"
+        ),
+    )

@@ -366,3 +366,100 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("label").cast("bigint").alias("community"),
     )
+
+
+_BFS_ROUNDS = 4
+_BFS_SEED_MOD = 25  # deterministic seed set: user_id % 25 == 0
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE
+cooc AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events
+),
+e AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM cooc a JOIN cooc b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id <> b.user_id
+),
+walk(node, dist) AS (
+  SELECT DISTINCT user_id, 0 FROM events WHERE user_id % {_BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.v, walk.dist + 1
+  FROM walk JOIN e ON e.u = walk.node
+  WHERE walk.dist < {_BFS_ROUNDS}
+)
+SELECT node AS user_id, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@query("graph_bfs_distance", oracle=_BFS_ORACLE)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the user co-occurrence graph (the
+    graph_triangle_count edge relation, both orientations): hop distance
+    from a deterministic seed set (user_id % {mod} == 0) out to
+    {k} rounds — the reachability/blast-radius primitive (fraud rings,
+    influence radius, contamination spread) that completes the iterative
+    family beside PageRank (diffusion), LPA (consensus), and CC
+    (contraction).
+
+    Frontier form, the textbook scale shape: each round joins ONLY the
+    newly-reached frontier against the edge relation (|frontier ⋈ edges|
+    work, never |visited ⋈ edges|), anti-joins the visited set, and
+    appends. Every join is an equi hash join on a node key; the visited
+    set carries (node, dist) pairs only — no paths are ever
+    materialized, which is exactly what the oracle's UNION-dedup
+    recursive CTE also guarantees. Fixed {k} rounds keeps the plan
+    static (the kmeans/PageRank device); an open-ended variant loops
+    until the frontier empties with localCheckpoint per round (the
+    dedup_connected_components fixpoint pattern)."""
+    ev = load(spark, sf_dir, "events")
+    cooc = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, b = cooc.alias("a"), cooc.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+    )
+    # the iterative-op lineage rule (dedup_connected_components):
+    # checkpoint the edge relation once and each round's frontier/visited,
+    # otherwise every later round re-embeds the full co-occurrence join
+    # per reference and the plan multiplies (the first draft linted at
+    # 187 shuffles; checkpointed it is edges + 2 per round)
+    edges = edges.localCheckpoint()
+    seeds = (
+        ev.filter(F.col("user_id") % _BFS_SEED_MOD == 0)
+        .select("user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = seeds.withColumn("dist", F.lit(0).cast("bigint"))
+    frontier = seeds
+    for i in range(1, _BFS_ROUNDS + 1):
+        reached = (
+            frontier.join(edges, frontier.user_id == edges.u)
+            .select(F.col("v").alias("user_id"))
+            .distinct()
+        )
+        fresh = reached.join(dist, "user_id", "left_anti").localCheckpoint()
+        dist = dist.unionByName(
+            fresh.withColumn("dist", F.lit(i).cast("bigint"))
+        ).localCheckpoint()
+        frontier = fresh
+    return dist
+
+
+graph_bfs_distance.__doc__ = graph_bfs_distance.__doc__.format(
+    mod=_BFS_SEED_MOD, k=_BFS_ROUNDS
+)

@@ -301,6 +301,68 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_join_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           ROUND(p.purchase_value, 6) + 0.0 AS next_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction (pandas merge_asof
+    direction='forward') — completes the as-of matrix alongside
+    asof_join (backward) and asof_join_nearest: each click matches the
+    NEXT same-user purchase at ts >= click ts, the "what converts after
+    this touch" attribution lookup that backward can't answer.
+
+    Same union+window engine, mirrored: one user_id shuffle, a running
+    `first(ignorenulls)` over the FORWARD frame of the same sort — no
+    range-join explosion at any scale. Clicks sort before purchases at
+    equal ts (kind 0 < 1) with currentRow in the frame, so a same-ts
+    purchase matches — exactly DuckDB's ASOF `<=`. Purchases pre-dedupe
+    per (user, ts) by MAX(value) so equal-ts semantics are well-defined
+    on both engines."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("double").alias("pval"), F.lit(0).alias("kind"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id", "ts", "pval", F.lit(1).alias("kind"),
+        )
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        merged.withColumn(
+            "next_pval", F.first("pval", ignorenulls=True).over(w)
+        )
+        .filter(F.col("kind") == 0)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            (F.round("next_pval", 6) + 0.0).alias("next_purchase_value"),
+        )
+    )
+
+
 # --- set operations (SURVEY.md §2.7) ---
 
 

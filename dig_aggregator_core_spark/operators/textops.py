@@ -899,3 +899,226 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_micro"),
         )
     )
+
+
+# RAKE stopword list (Rose et al. 2010 use a full English list; a compact
+# one is enough for phrase boundaries on this fixture's vocabulary)
+_RAKE_STOP = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "or", "be", "that", "this", "are",
+)
+_RAKE_TOPK = 20
+_RAKE_SEP = "§"  # phrase-boundary sentinel, absent from the corpus
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+_RAKE_ORACLE = f"""
+WITH lines AS (
+  SELECT array_to_string(
+           list_transform(
+             list_filter(string_split(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+               w -> w <> ''),
+             w -> CASE WHEN w IN ({_RAKE_STOP_SQL})
+                       THEN '{_RAKE_SEP}' ELSE w END),
+           ' ') AS line
+  FROM documents
+),
+ph AS (
+  SELECT trim(p) AS phrase
+  FROM lines, unnest(string_split(line, '{_RAKE_SEP}')) AS t(p)
+  WHERE trim(p) <> ''
+),
+phc AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM ph GROUP BY 1
+),
+pw AS (
+  SELECT phrase, n_occ,
+         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+         unnest(string_split(phrase, ' ')) AS w
+  FROM phc
+),
+ws AS (
+  SELECT w,
+         (SUM(plen * n_occ) * 1000000) // SUM(n_occ) AS score_micro
+  FROM pw GROUP BY w
+)
+SELECT p.phrase, MAX(p.n_occ) AS n_occ,
+       CAST(MAX(p.plen) AS BIGINT) AS n_words,
+       CAST(SUM(ws.score_micro) AS BIGINT) AS score_micro
+FROM pw p JOIN ws USING (w)
+GROUP BY p.phrase
+ORDER BY score_micro DESC, phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@query("text_keyword_rake", oracle=_RAKE_ORACLE)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus: split
+    text into candidate phrases at stopword boundaries, score each word
+    by degree/frequency over phrase co-occurrence, score each phrase as
+    the sum of its word scores, return the global top-{k} — the
+    unsupervised keyphrase primitive of the text-analysis family
+    (tfidf finds distinctive TERMS per doc; RAKE finds multi-word
+    PHRASES corpus-wide).
+
+    Exact integers: degree(w) = sum over phrase occurrences containing w
+    of the phrase length, freq(w) = occurrence count, word score =
+    (degree * 1e6) DIV freq, phrase score = sum of member word scores
+    (duplicates counted, same explode on both engines).
+
+    Plan: phrase derivation is ONE codegen projection (regexp clean ->
+    stopword sentinel substitution -> split — no per-token explode of
+    the corpus); phrases aggregate by value (shuffle carries distinct
+    phrases, not docs), word stats are a second metadata-sized
+    aggregation over the phrase VOCABULARY, and the re-join runs
+    phrase-vocab x word-vocab. The final top-{k} is order+limit —
+    TakeOrderedAndProject, never a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    stop_sql = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+    line = F.expr(
+        "concat_ws(' ', transform(filter(split("
+        " regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' '),"
+        " w -> w <> ''),"
+        f" w -> IF(w IN ({stop_sql}), '{_RAKE_SEP}', w)))"
+    )
+    ph = (
+        docs.select(line.alias("line"))
+        .select(
+            F.explode(F.split("line", _RAKE_SEP)).alias("p")
+        )
+        .select(F.trim("p").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    phc = ph.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    pw = phc.select(
+        "phrase",
+        "n_occ",
+        F.size(F.split("phrase", " ")).cast("bigint").alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    ws = pw.groupBy("w").agg(
+        F.expr(
+            "(SUM(plen * n_occ) * 1000000) DIV SUM(n_occ)"
+        ).alias("score_micro")
+    )
+    scored = (
+        pw.join(ws, "w")
+        .groupBy("phrase")
+        .agg(
+            F.max("n_occ").alias("n_occ"),
+            F.max("plen").cast("bigint").alias("n_words"),
+            F.sum("score_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_micro").desc(), "phrase"
+    ).limit(_RAKE_TOPK)
+
+
+text_keyword_rake.__doc__ = text_keyword_rake.__doc__.format(k=_RAKE_TOPK)
+
+
+_KN_MIN = 5  # report bigrams with count >= this (significance floor)
+# discount d = 0.75 carried as the exact rational 3/4: all numerators
+# multiply by 4 so the arithmetic never leaves integers
+
+_KN_ORACLE = f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+),
+big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bg GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w1, SUM(c12) AS c1, CAST(COUNT(*) AS BIGINT) AS n1p_w1
+  FROM big GROUP BY 1
+),
+cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_w2 FROM big GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1p_total FROM big)
+SELECT b.w1, b.w2, b.c12,
+       CAST(((4 * b.c12 - 3) * 1000000) // (4 * c1.c1)
+            + (3 * c1.n1p_w1 * ((cont.n1p_w2 * 1000000) // tot.n1p_total))
+              // (4 * c1.c1)
+         AS BIGINT) AS p_kn_micro
+FROM big b
+JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+WHERE b.c12 >= {_KN_MIN}
+"""
+
+
+@query("lm_kneser_ney_bigram", oracle=_KN_ORACLE)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram language model (Kneser & Ney 1995, the
+    standard n-gram smoothing): P(w2|w1) = (c12 - d)/c1 + d*N1+(w1,.)/c1
+    * N1+(.,w2)/N1+(.,.), d = 3/4 — absolute discounting plus the
+    continuation-probability backoff that made KN the n-gram-era
+    default. Complements text_perplexity_proxy (which SCORES docs with a
+    tiny LM) by TRAINING the LM table itself; the emitted rows are the
+    model.
+
+    Exactness: d = 3/4 is carried as a rational (all terms scaled by 4),
+    probabilities land in integer micro-units via truncating DIV with
+    the two divisions composed IDENTICALLY on both engines — no float
+    anywhere. c12 >= 1 for observed bigrams, so max(c12 - d, 0) is
+    statically positive and drops out.
+
+    Scale shape: the corpus collapses to the bigram TYPE table in one
+    adjacent-pair explode (linear per token, map-side partial agg);
+    everything after — left-context counts, continuation counts, the
+    1-row type total — is vocabulary-sized, and the final joins key on
+    single tokens (broadcastable at any corpus size; vocabulary grows
+    sublinearly)."""
+    t = (
+        load(spark, sf_dir, "documents")
+        .select(F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i ->"
+                " named_struct("
+                "  'w1', element_at(toks, CAST(i AS INT)),"
+                "  'w2', element_at(toks, CAST(i + 1 AS INT))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_w1"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_w2")
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n1p_total"))
+    return (
+        big.filter(F.col("c12") >= _KN_MIN)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                "CAST(((4 * c12 - 3) * 1000000) DIV (4 * c1)"
+                " + (3 * n1p_w1 * ((n1p_w2 * 1000000) DIV n1p_total))"
+                "   DIV (4 * c1) AS BIGINT)"
+            ).alias("p_kn_micro"),
+        )
+    )

@@ -1273,3 +1273,131 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*)"
         ).alias("multichar_share_micro"),
     )
+
+
+_DPO_TMPL_P = "### Prompt:\n"
+_DPO_TMPL_C = "\n### Chosen:\n"
+_DPO_TMPL_R = "\n### Rejected:\n"
+
+_DPO_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source, text, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+),
+t AS (
+  SELECT p.source, p.doc_id AS prompt_doc, p.text AS p_text,
+         a.doc_id AS a_doc, a.text AS a_text, a.n_chars AS a_q,
+         b.doc_id AS b_doc, b.text AS b_text, b.n_chars AS b_q
+  FROM r p
+  JOIN r a ON a.source = p.source AND a.rk = p.rk + 1
+  JOIN r b ON b.source = p.source AND b.rk = p.rk + 2
+  WHERE p.rk % 3 = 1
+),
+s AS (
+  SELECT source, prompt_doc, p_text,
+         a_q > b_q OR (a_q = b_q AND a_doc < b_doc) AS a_wins,
+         a_doc, a_text, a_q, b_doc, b_text, b_q
+  FROM t
+)
+SELECT source, prompt_doc,
+       CAST(CASE WHEN a_wins THEN a_doc ELSE b_doc END AS BIGINT)
+         AS chosen_doc,
+       CAST(CASE WHEN a_wins THEN b_doc ELSE a_doc END AS BIGINT)
+         AS rejected_doc,
+       CAST(ABS(a_q - b_q) AS BIGINT) AS margin,
+       md5('### Prompt:' || chr(10) || p_text
+           || chr(10) || '### Chosen:' || chr(10)
+           || CASE WHEN a_wins THEN a_text ELSE b_text END
+           || chr(10) || '### Rejected:' || chr(10)
+           || CASE WHEN a_wins THEN b_text ELSE a_text END)
+         AS pair_digest
+FROM s
+"""
+
+
+@query("dpo_pair_assembly", oracle=_DPO_ORACLE)
+def dpo_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (DPO/RLHF reward data): documents triple
+    up within their source in md5 order — one prompt, two candidate
+    responses — and the higher-quality candidate (n_chars as the
+    deterministic quality stand-in, doc_id tiebreak) becomes CHOSEN, the
+    other REJECTED, with the quality margin carried for
+    margin-weighted-loss variants. The sibling of sft_pair_assembly one
+    stage later in the post-training data pipeline; the rendered
+    prompt/chosen/rejected bytes are md5-pinned exactly as there.
+
+    Plan: ONE ranking window per source, then two narrow self-joins on
+    (source, rk+1)/(source, rk+2) — co-partitioned on source, no
+    exchange beyond the window's; selection and render are pure codegen
+    CASEs. Incomplete tail triples drop on both engines (inner joins).
+    At scale the window key shards to (source, shard) exactly as
+    curriculum_order."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = docs.select(
+        "doc_id", "source", "text", "n_chars",
+        F.row_number().over(w).alias("rk"),
+    )
+    p = r.filter(F.col("rk") % 3 == 1).select(
+        "source",
+        F.col("doc_id").alias("prompt_doc"),
+        F.col("text").alias("p_text"),
+        F.col("rk").alias("p_rk"),
+    )
+    a = r.select(
+        F.col("source").alias("a_source"),
+        F.col("doc_id").alias("a_doc"),
+        F.col("text").alias("a_text"),
+        F.col("n_chars").alias("a_q"),
+        F.col("rk").alias("a_rk"),
+    )
+    b = r.select(
+        F.col("source").alias("b_source"),
+        F.col("doc_id").alias("b_doc"),
+        F.col("text").alias("b_text"),
+        F.col("n_chars").alias("b_q"),
+        F.col("rk").alias("b_rk"),
+    )
+    t = p.join(
+        a,
+        (F.col("a_source") == F.col("source"))
+        & (F.col("a_rk") == F.col("p_rk") + 1),
+    ).join(
+        b,
+        (F.col("b_source") == F.col("source"))
+        & (F.col("b_rk") == F.col("p_rk") + 2),
+    )
+    a_wins = (F.col("a_q") > F.col("b_q")) | (
+        (F.col("a_q") == F.col("b_q")) & (F.col("a_doc") < F.col("b_doc"))
+    )
+    chosen_text = F.when(a_wins, F.col("a_text")).otherwise(F.col("b_text"))
+    rejected_text = F.when(a_wins, F.col("b_text")).otherwise(
+        F.col("a_text")
+    )
+    return t.select(
+        "source",
+        "prompt_doc",
+        F.when(a_wins, F.col("a_doc"))
+        .otherwise(F.col("b_doc"))
+        .cast("bigint")
+        .alias("chosen_doc"),
+        F.when(a_wins, F.col("b_doc"))
+        .otherwise(F.col("a_doc"))
+        .cast("bigint")
+        .alias("rejected_doc"),
+        F.abs(F.col("a_q") - F.col("b_q")).cast("bigint").alias("margin"),
+        F.md5(
+            F.concat(
+                F.lit(_DPO_TMPL_P),
+                F.col("p_text"),
+                F.lit(_DPO_TMPL_C),
+                chosen_text,
+                F.lit(_DPO_TMPL_R),
+                rejected_text,
+            )
+        ).alias("pair_digest"),
+    )

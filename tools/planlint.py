@@ -95,6 +95,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "dedup_threshold_sweep": "5-row threshold spine crossed with the verified-pair relation",
         "eval_mrr_map": "1-row bucket-bit-count frame broadcast onto the corpus (inherits ann_lsh_adaptive)",
         "cms_frequency_estimate": "vocab grid crossed with the CMS_D-row literal hash-row spine",
+        "feature_quantile_normalize_approx": "1-row (approx grid, exact band) frame broadcast onto ranked docs",
+        "lm_kneser_ney_bigram": "1-row bigram-type-total frame broadcast for continuation probs",
+        "ann_index_persist": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
+        "eval_ndcg_at_k": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
@@ -132,6 +136,7 @@ SHUFFLE_CEILING: dict[str, int] = {
     "dq_constraint_audit": 12,  # five independent checks, 1-row exchanges
     "source_similarity_matrix": 10,  # distinct + by-shingle + pair grid + totals
     "pipeline_corpus_curation": 12,  # 4 composed stages, one plan
+    "graph_bfs_distance": 16,  # fixed frontier rounds x (join + distinct + anti)
 }
 
 
