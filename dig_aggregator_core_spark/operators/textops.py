@@ -991,9 +991,12 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.trim("p").alias("phrase"))
         .filter(F.col("phrase") != "")
     )
+    # phrase vocabulary feeds both the word-stats aggregation and the
+    # score re-join — materialize it once (same device as the KN bigram
+    # table; the un-checkpointed draft scanned the corpus twice)
     phc = ph.groupBy("phrase").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occ")
-    )
+    ).localCheckpoint()
     pw = phc.select(
         "phrase",
         "n_occ",
@@ -1095,9 +1098,15 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # the bigram TYPE table is the model's sufficient statistic and feeds
+    # FOUR consumers (report filter, left-context stats, continuation
+    # stats, type total); without materialization each consumer re-runs
+    # the corpus scan+explode (the pin in tests/test_plans.py caught the
+    # 4-scan draft). localCheckpoint = the persisted-model-artifact step
+    # a real deployment does here anyway.
     big = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c12")
-    )
+    ).localCheckpoint()
     c1 = big.groupBy("w1").agg(
         F.sum("c12").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("n1p_w1"),

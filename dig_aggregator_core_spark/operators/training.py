@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, maybe_spread
 
 CHUNK_TOKENS = 512  # token budget per packed training chunk
 
@@ -944,7 +944,12 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits per-doc token counts plus an md5 digest of the full token
     stream ('~' within words, ' ' between) so the oracle pins the exact
     token sequences, not just counts."""
-    d = load(spark, sf_dir, "documents")
+    # the merge fold is the heaviest narrow map in the repo — spread a
+    # small-file scan first (tables.maybe_spread; measured 4.75 s ->
+    # 0.68 s at sf0.1 on 32 cores, r6)
+    d = maybe_spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    )
     enc = d.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -1239,7 +1244,11 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     hoisting lesson); tokens then explode into ONE source-keyed
     aggregation (count / distinct / length sums). Shares are exact
     integer micro-units via truncating DIV — no float anywhere."""
-    d = load(spark, sf_dir, "documents")
+    # same spread guard as tokenizer_bpe_apply: the encode fold on a
+    # one-file scan serialized on one core (9.3 s at sf0.1, r6 bench)
+    d = maybe_spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    )
     enc = d.select(
         "source",
         F.expr(
@@ -1261,16 +1270,27 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     )
     t = enc.select("source", F.explode("toks").alias("tok"))
-    return t.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.countDistinct("tok").cast("bigint").alias("n_distinct_tokens"),
-        F.sum(F.length("tok")).cast("bigint").alias("n_token_chars"),
+    # pre-aggregate to the (source, token-vocabulary) grid first: the
+    # token stream collapses map-side to vocab-sized partials, and the
+    # distinct count becomes a plain COUNT(*) over the grid — no Expand
+    # doubling the exploded stream. r6: 9.3 s -> 4.8 s at sf0.1 with the
+    # scan spread; the remaining cost is the token explode + grid agg
+    # itself (~30M encoded tokens), the exact-grid floor.
+    v = t.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return v.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+        F.sum(F.length("tok") * F.col("cnt"))
+        .cast("bigint")
+        .alias("n_token_chars"),
         F.expr(
-            "(SUM(length(tok)) * 1000000) div COUNT(*)"
+            "(SUM(length(tok) * cnt) * 1000000) div SUM(cnt)"
         ).alias("chars_per_token_micro"),
         F.expr(
-            "(SUM(CASE WHEN length(tok) > 1 THEN 1 ELSE 0 END) * 1000000)"
-            " div COUNT(*)"
+            "(SUM(CASE WHEN length(tok) > 1 THEN cnt ELSE 0 END)"
+            " * 1000000) div SUM(cnt)"
         ).alias("multichar_share_micro"),
     )
 

@@ -310,10 +310,12 @@ def test_bootstrap_generation_stays_mapside(spark, sf_dir):
 
 
 def test_bpe_apply_shuffle_free(spark, sf_dir):
-    # the whole encoder is one projection over the scan — any Exchange or
-    # Python node means someone broke the codegen fold
+    # the whole encoder is one projection — the only allowed Exchange is
+    # the under-partitioned-scan spread (tables.maybe_spread; one cheap
+    # raw-text shuffle bought a measured 7x on the fold, r6). Any Python
+    # node means someone broke the codegen fold.
     plan = plan_of("tokenizer_bpe_apply", spark, sf_dir)
-    assert n_shuffles(plan) == 0
+    assert n_shuffles(plan) <= 1
     assert "EvalPython" not in plan and "InPandas" not in plan
 
 
@@ -440,3 +442,30 @@ def test_bucketed_partitioned_sink_zero_exchange_join(spark, sf_dir):
     assert plan.count("Bucketed: true") == 2, "a scan lost its bucketing"
     m = re.search(r"PartitionFilters: \[([^\]]*l_returnflag[^\]]*)\]", plan)
     assert m, "lineitem scan lost directory-level partition pruning"
+
+
+def test_asof_forward_single_user_shuffle(spark, sf_dir):
+    # forward as-of must stay the union+window engine: one user_id
+    # exchange feeding one window sort — never a range join
+    plan = plan_of("asof_join_forward", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n_shuffles(plan) <= 2, plan
+
+
+def test_kn_bigram_single_corpus_scan(spark, sf_dir):
+    # the corpus collapses to the checkpointed bigram type table in ONE
+    # scan (it runs at checkpoint time, so the final plan reads the
+    # materialized table and must contain NO corpus scan at all); the
+    # un-checkpointed draft re-embedded the scan once per stats consumer
+    plan = plan_of("lm_kneser_ney_bigram", spark, sf_dir)
+    assert plan.count("documents.parquet") == 0
+
+
+def test_rake_no_token_explode_of_corpus(spark, sf_dir):
+    # phrase vocabulary is checkpointed (word-level work runs over the
+    # vocabulary, never the corpus), so the final plan reads it with no
+    # corpus scan; top-k is order+limit, never a global sort
+    plan = plan_of("text_keyword_rake", spark, sf_dir)
+    assert plan.count("documents.parquet") == 0
+    assert "TakeOrderedAndProject" in plan

@@ -68,6 +68,13 @@ OPS = [
     "timeseries_anomaly_rolling",
     "mixture_temperature_reweight",
     "dedup_cluster_representative",
+    # r6 additions
+    "graph_bfs_distance",
+    "text_keyword_rake",
+    "lm_kneser_ney_bigram",
+    "dpo_pair_assembly",
+    "eval_f1_confusion",
+    "asof_join_forward",
 ]
 
 
