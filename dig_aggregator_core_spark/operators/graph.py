@@ -371,17 +371,34 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BFS_ROUNDS = 4
 _BFS_SEED_MOD = 25  # deterministic seed set: user_id % 25 == 0
 
+_BFS_BAND = 3  # banded co-occurrence: each user links to its next 3
+# bucket neighbors by id — |edges| <= 2 * BAND * |cooc rows|, LINEAR in
+# the input where the naive all-pairs-in-bucket form is quadratic in
+# per-bucket density (the x10 scaleproof measured the naive draft at 41x
+# for 10x data; banding is the fan-out cap, the simjoin-prefix lesson)
+
 _BFS_ORACLE = f"""
 WITH RECURSIVE
 cooc AS (
   SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
   FROM events
 ),
-e AS (
-  SELECT DISTINCT a.user_id AS u, b.user_id AS v
-  FROM cooc a JOIN cooc b
+r AS (
+  SELECT event_type, h, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type, h
+                            ORDER BY user_id) AS rn
+  FROM cooc
+),
+bp AS (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM r a JOIN r b
     ON a.event_type = b.event_type AND a.h = b.h
-   AND a.user_id <> b.user_id
+   AND b.rn BETWEEN a.rn + 1 AND a.rn + {_BFS_BAND}
+),
+e AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM bp UNION ALL SELECT v, u FROM bp
+  )
 ),
 walk(node, dist) AS (
   SELECT DISTINCT user_id, 0 FROM events WHERE user_id % {_BFS_SEED_MOD} = 0
@@ -405,6 +422,13 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     family beside PageRank (diffusion), LPA (consensus), and CC
     (contraction).
 
+    Edge derivation is BANDED co-occurrence: within each (event_type,
+    hour) bucket each user links to its next {band} neighbors by id, so
+    |edges| is linear in the cooc rows where the naive
+    all-pairs-in-bucket join is quadratic in bucket density (measured
+    41x at the x10 scaleproof before banding; graph connectivity within
+    a bucket is preserved — a band ring reaches every member).
+
     Frontier form, the textbook scale shape: each round joins ONLY the
     newly-reached frontier against the edge relation (|frontier ⋈ edges|
     work, never |visited ⋈ edges|), anti-joins the visited set, and
@@ -419,19 +443,30 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cooc = ev.select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
     ).distinct()
-    a, b = cooc.alias("a"), cooc.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.user_id") != F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
-        .distinct()
+    w = Window.partitionBy("event_type", "h").orderBy("user_id")
+    r = cooc.withColumn("rn", F.row_number().over(w))
+    # banded pairs via an exploded offset joined EQUI on (bucket, rn+d):
+    # a hash join producing <= BAND rows per input row — never the
+    # quadratic all-pairs-in-bucket self-join (41x at x10 in the draft)
+    probe = r.withColumn(
+        "d", F.explode(F.sequence(F.lit(1), F.lit(_BFS_BAND)))
+    ).select(
+        "event_type", "h", F.col("user_id").alias("u"),
+        (F.col("rn") + F.col("d")).alias("rn2"),
     )
+    other = r.select(
+        F.col("event_type").alias("e2"), F.col("h").alias("h2"),
+        F.col("user_id").alias("v"), F.col("rn").alias("rn2"),
+    )
+    bp = probe.join(
+        other,
+        (F.col("event_type") == F.col("e2"))
+        & (F.col("h") == F.col("h2"))
+        & (probe.rn2 == other.rn2),
+    ).select("u", "v")
+    edges = bp.unionByName(
+        bp.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
     # the iterative-op lineage rule (dedup_connected_components):
     # checkpoint the edge relation once and each round's frontier/visited,
     # otherwise every later round re-embeds the full co-occurrence join
@@ -461,5 +496,5 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_bfs_distance.__doc__ = graph_bfs_distance.__doc__.format(
-    mod=_BFS_SEED_MOD, k=_BFS_ROUNDS
+    mod=_BFS_SEED_MOD, k=_BFS_ROUNDS, band=_BFS_BAND
 )
