@@ -53,6 +53,15 @@ EMPTY_SAFE = [
     "entropy_filter",
     "length_bucket_batching",
     "tokenizer_bpe_merges",
+    # r6 additions
+    "asof_join_forward",
+    "graph_bfs_distance",
+    "eval_f1_confusion",
+    "dpo_pair_assembly",
+    "text_keyword_rake",
+    "lm_kneser_ney_bigram",
+    "feature_quantile_normalize_approx",
+    "tokenizer_vocab_coverage",
 ]
 
 
