@@ -860,3 +860,37 @@ def test_right_outer_null_emission_across_batches(spark, sf_dir):
     assert set(
         r.purchase_id for r in orphans.select("purchase_id").collect()
     ) == set(r.event_id for r in batch_orphans.select("event_id").collect())
+
+
+def test_left_outer_null_emission_across_batches(spark, sf_dir):
+    """Symmetric twin of the right-outer seam test: unmatched clicks
+    (no purchase within the 6h forward window) are purchase-watermark
+    decisions landing in later micro-batches; the drained orphan set
+    must equal the batch LEFT JOIN's."""
+    from dig_aggregator_core_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["stream_stream_left_outer_join"](spark, sf_dir)
+    orphans = out.filter(
+        F.col("purchase_id").isNull() & (F.col("user_id") != -1)
+    )
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    batch_orphans = c.join(
+        p,
+        (c.user_id == p.p_uid)
+        & (p.p_ts >= c.ts)
+        & (p.p_ts <= c.ts + F.expr("INTERVAL 6 HOURS")),
+        "left_anti",
+    )
+    n_stream = orphans.count()
+    assert n_stream > 0, "fixture produced no orphan clicks"
+    assert n_stream == batch_orphans.count()
+    assert set(
+        r.click_id for r in orphans.select("click_id").collect()
+    ) == set(r.event_id for r in batch_orphans.select("event_id").collect())
