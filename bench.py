@@ -191,6 +191,7 @@ HEADLINE = [
     "dpo_pair_assembly",
     "text_keyword_rake",
     "lm_kneser_ney_bigram",
+    "scan_avro_roundtrip",
 ]
 
 

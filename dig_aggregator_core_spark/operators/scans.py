@@ -622,3 +622,79 @@ def scan_jsonl_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("good_chars"),
     )
+
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "orders_row",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_custkey", "type": "long"},
+        {"name": "o_orderpriority", "type": "string"},
+        {"name": "o_totalprice", "type": "double"},
+        # ["null", string] union exercises the optional-branch encoding
+        {"name": "opt_status", "type": ["null", "string"]},
+    ],
+}
+
+
+@query(
+    "scan_avro_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(SUM(o_totalprice), 4) AS total,
+           CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_status
+    FROM orders GROUP BY 1
+    """,
+)
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro scan + sink WITHOUT the spark-avro connector jar (absent in
+    this environment, no network — the one §2.1 row previously
+    environment-blocked): sources/avroio.py implements the Avro object
+    container spec in pure Python, and this op drives both halves
+    end-to-end — orders write out as Avro via a foreachPartition
+    executor-side sink (one container file per partition, deflate
+    codec), then read back through the ``graftavro`` Python DataSource,
+    whose ``partitions()`` enumerates per-file BLOCK ranges (the driver
+    indexes the ~20-byte block headers and seeks past payloads — the
+    same split role Hadoop's sync-marker scan plays), so a many-block
+    file scans in parallel.
+
+    Wire-format correctness is pinned two ways: this oracle (values
+    survive the full write->read loop bit-for-bit) and
+    tests/test_avro_interop.py, which round-trips files in BOTH
+    directions against the Apache Avro core Java library Spark bundles
+    (avro-1.12.1.jar via py4j) — files this codec writes are read by
+    ``org.apache.avro.file.DataFileReader`` and vice versa, null and
+    deflate codecs, multi-block layout, ["null",string] unions."""
+    from ..sources.avroio import make_avro_datasource, write_avro_partitioned
+
+    out = _scratch(f"avro_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderstatus"))
+        .alias("opt_status"),
+    )
+    write_avro_partitioned(src, out, _AVRO_SCHEMA, codec="deflate")
+    spark.dataSource.register(make_avro_datasource())
+    back = (
+        spark.read.format("graftavro")
+        .option("path", out)
+        .option("blocksPerSplit", "2")
+        .load()
+    )
+    return back.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.count("opt_status").cast("bigint").alias("n_status"),
+    )
