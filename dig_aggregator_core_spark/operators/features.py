@@ -1165,3 +1165,248 @@ def eval_f1_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + coalesce(recall_micro, 0)) END"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample hypothesis tests — the A/B-experiment readout layer over the
+# drift family (stats_ks_drift detects distribution movement; these two
+# answer "is variant X's metric different from the control, and how
+# confidently"). Both follow the module's exact-moments device: values are
+# lifted to integer cents (CAST(ROUND(value*100) AS BIGINT)) so every
+# aggregate is an exact integer on both engines, and doubles only appear in
+# the final closed-form statistic (one identical IEEE expression tree per
+# engine — the stats_ks_drift determinism argument).
+
+_TT_BASELINE = "view"  # control group for both tests
+_TT_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+_TT_Z = 1.959964  # two-sided 5% normal critical value
+
+
+_WELCH_ORACLE = f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({_TT_CENTS}) AS BIGINT) AS s1,
+         CAST(SUM({_TT_CENTS} * {_TT_CENTS}) AS BIGINT) AS s2
+  FROM events GROUP BY event_type
+),
+v AS (
+  SELECT event_type, n, s1, s2,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var
+  FROM m WHERE n > 1
+),
+p AS (
+  SELECT a.event_type,
+         a.n AS n_a, b.n AS n_b,
+         a.mu AS mu_a, b.mu AS mu_b,
+         a.var / a.n AS sea, b.var / b.n AS seb
+  FROM v a, v b
+  WHERE b.event_type = '{_TT_BASELINE}' AND a.event_type <> '{_TT_BASELINE}'
+)
+SELECT event_type, n_a, n_b,
+       ROUND(mu_a / 100.0, 6) AS mean_a,
+       ROUND(mu_b / 100.0, 6) AS mean_b,
+       ROUND((mu_a - mu_b) / sqrt(sea + seb), 6) AS t_welch,
+       ROUND((sea + seb) * (sea + seb)
+             / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 6)
+         AS df_welch,
+       abs((mu_a - mu_b) / sqrt(sea + seb)) > {_TT_Z} AS significant
+FROM p
+"""
+
+
+@query("stats_welch_ttest", oracle=_WELCH_ORACLE)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of every event_type's value
+    distribution against the '{base}' control — the standard A/B readout
+    (Welch 1947; the default over Student's t because traffic splits are
+    never variance-balanced). Emits mean difference scale, the t
+    statistic, Welch–Satterthwaite degrees of freedom, and a two-sided
+    5% significance flag.
+
+    Plan shape: ONE scan reduced to per-group exact integer moments
+    (n, Σc, Σc²) — partial aggregation collapses each map partition to
+    |groups| rows before the only shuffle; the t/df closed form then
+    runs on a |groups|-row relation joined 1×|groups| against the control
+    row. Scale: moments stay exact in BIGINT up to Σc² ≈ 9.2e18 — at
+    cents ≤ 5e4 that is ~3.7e9 rows/group; past that, pre-aggregate per
+    (group, day) and sum the day partials (same two-level shape), or lift
+    s2 to DECIMAL(38,0). Variance is computed as
+    (s2 - s1²/n)/(n-1) in DOUBLE from the exact integers rather than as
+    the bigint (n·s2 - s1²) numerator, which would overflow ~100× earlier
+    (the feature_ols_trend r² lesson).
+    """
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_TT_CENTS)).alias("s1"),
+        F.sum(F.expr(f"{_TT_CENTS} * {_TT_CENTS}")).alias("s2"),
+    )
+    v = m.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        F.expr("CAST(s1 AS DOUBLE) / n").alias("mu"),
+        F.expr(
+            "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)"
+        ).alias("var"),
+    )
+    b = v.filter(F.col("event_type") == _TT_BASELINE).select(
+        F.col("n").alias("n_b"),
+        F.col("mu").alias("mu_b"),
+        F.expr("var / n").alias("seb"),
+    )
+    p = (
+        v.filter(F.col("event_type") != _TT_BASELINE)
+        .select(
+            "event_type",
+            F.col("n").alias("n_a"),
+            "mu",
+            F.expr("var / n").alias("sea"),
+        )
+        .crossJoin(F.broadcast(b))
+    )
+    return p.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr("ROUND(mu / 100.0, 6)").alias("mean_a"),
+        F.expr("ROUND(mu_b / 100.0, 6)").alias("mean_b"),
+        F.expr("ROUND((mu - mu_b) / sqrt(sea + seb), 6)").alias("t_welch"),
+        F.expr(
+            "ROUND((sea + seb) * (sea + seb)"
+            " / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 6)"
+        ).alias("df_welch"),
+        F.expr(f"abs((mu - mu_b) / sqrt(sea + seb)) > {_TT_Z}").alias(
+            "significant"
+        ),
+    )
+
+
+stats_welch_ttest.__doc__ = stats_welch_ttest.__doc__.format(
+    base=_TT_BASELINE
+)
+
+
+_MWU_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, {_TT_CENTS} AS c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+hy AS (SELECT c, n AS ny FROM h WHERE event_type = '{_TT_BASELINE}'),
+types AS (
+  SELECT DISTINCT event_type FROM h WHERE event_type <> '{_TT_BASELINE}'
+),
+grid AS (
+  SELECT COALESCE(hx.event_type, gy.event_type) AS event_type,
+         COALESCE(hx.c, gy.c) AS c,
+         COALESCE(hx.n, 0) AS nx, COALESCE(gy.ny, 0) AS ny
+  FROM (SELECT * FROM h WHERE event_type <> '{_TT_BASELINE}') hx
+  FULL OUTER JOIN (SELECT t.event_type, hy.c, hy.ny
+                   FROM types t CROSS JOIN hy) gy
+    ON hx.event_type = gy.event_type AND hx.c = gy.c
+),
+w AS (
+  SELECT event_type, nx, ny,
+         COALESCE(SUM(ny) OVER (PARTITION BY event_type ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumy
+  FROM grid
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(nx) AS BIGINT) AS n_x,
+         CAST(SUM(ny) AS BIGINT) AS n_y,
+         CAST(SUM(nx * (2 * cumy + ny)) AS BIGINT) AS u2,
+         CAST(SUM((nx + ny) * (nx + ny) * (nx + ny) - (nx + ny))
+              AS BIGINT) AS ties
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n_x, n_y, u2,
+       ROUND((u2 - CAST(n_x AS DOUBLE) * n_y)
+             / (2 * sqrt(CAST(n_x AS DOUBLE) * n_y / 12.0
+                 * ((n_x + n_y + 1.0)
+                    - CAST(ties AS DOUBLE)
+                      / ((n_x + n_y) * (n_x + n_y - 1.0))))), 6) AS z,
+       abs((u2 - CAST(n_x AS DOUBLE) * n_y)
+             / (2 * sqrt(CAST(n_x AS DOUBLE) * n_y / 12.0
+                 * ((n_x + n_y + 1.0)
+                    - CAST(ties AS DOUBLE)
+                      / ((n_x + n_y) * (n_x + n_y - 1.0)))))) > {_TT_Z}
+         AS significant
+FROM s
+"""
+
+
+@query("stats_mann_whitney_u", oracle=_MWU_ORACLE)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank test of every event_type against the '{base}'
+    control — the nonparametric sibling of stats_welch_ttest for skewed /
+    heavy-tailed metrics (revenue, latency) where a mean shift is the
+    wrong question. Normal approximation with the exact tie correction
+    (Σ(t³-t)); emits 2U (exact integer), z, and the 5% flag.
+
+    HISTOGRAM-FIRST, the eval-family device: ranks never touch raw rows.
+    One scan reduces to the (group, cents) histogram — the value domain
+    is bounded (≤ 5e4 distinct cents) so the grid is metadata-sized
+    regardless of corpus scale — then U comes from the rank identity
+    U = Σ_v nx_v·(#Y<v) + ½·nx_v·ny_v over a per-group cumulative window
+    on the |domain|-sized grid (doubled to keep it integer). A global
+    rank() over raw rows would be a corpus-wide total sort; this is one
+    groupBy plus a window over ~26k rows. 2U stays in BIGINT while
+    nx·ny < 9.2e18 (~3e9 rows per side); past that, stratify by day and
+    combine z's (Stouffer), same grid shape per stratum.
+    """
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.expr(_TT_CENTS).alias("c")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hy = h.filter(F.col("event_type") == _TT_BASELINE).select(
+        "c", F.col("n").alias("ny")
+    )
+    hx = h.filter(F.col("event_type") != _TT_BASELINE)
+    types = hx.select("event_type").distinct()
+    gy = types.crossJoin(F.broadcast(hy))
+    grid = hx.join(
+        gy, ["event_type", "c"], "full_outer"
+    ).select(
+        "event_type",
+        "c",
+        F.coalesce("n", F.lit(0)).alias("nx"),
+        F.coalesce("ny", F.lit(0)).alias("ny"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = grid.select(
+        "event_type",
+        "nx",
+        "ny",
+        F.coalesce(F.sum("ny").over(w), F.lit(0)).alias("cumy"),
+    )
+    s = g.groupBy("event_type").agg(
+        F.sum("nx").alias("n_x"),
+        F.sum("ny").alias("n_y"),
+        F.sum(F.expr("nx * (2 * cumy + ny)")).alias("u2"),
+        F.sum(
+            F.expr("(nx + ny) * (nx + ny) * (nx + ny) - (nx + ny)")
+        ).alias("ties"),
+    )
+    zexpr = (
+        "(u2 - CAST(n_x AS DOUBLE) * n_y)"
+        " / (2 * sqrt(CAST(n_x AS DOUBLE) * n_y / 12.0"
+        " * ((n_x + n_y + 1.0)"
+        " - CAST(ties AS DOUBLE) / ((n_x + n_y) * (n_x + n_y - 1.0)))))"
+    )
+    return s.select(
+        "event_type",
+        "n_x",
+        "n_y",
+        "u2",
+        F.expr(f"ROUND({zexpr}, 6)").alias("z"),
+        F.expr(f"abs({zexpr}) > {_TT_Z}").alias("significant"),
+    )
+
+
+stats_mann_whitney_u.__doc__ = stats_mann_whitney_u.__doc__.format(
+    base=_TT_BASELINE
+)

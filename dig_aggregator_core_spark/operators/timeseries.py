@@ -534,3 +534,177 @@ def sessionize_max_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.cast("bigint").alias("n_sessions"),
         "n_events",
     )
+
+
+# interval semantics for interval_coalesce: each event opens an interval of
+# GREATEST(1, ROUND(value)) minutes — deterministic plumbing shared
+# verbatim by both engines (the module's epoch-us device)
+_IC_DUR_US = "GREATEST(1, CAST(ROUND(value) AS BIGINT)) * 60000000"
+
+
+@query(
+    "interval_coalesce",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + {_IC_DUR_US} AS e
+      FROM events
+    ),
+    fl AS (
+      SELECT *,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    isl AS (
+      SELECT *, SUM(new_island) OVER (
+        PARTITION BY user_id ORDER BY s, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM fl
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(s) AS start_us, MAX(e) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(e) - MIN(s) AS span_us
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping/touching intervals per key (gaps-and-islands) —
+    the interval algebra primitive behind availability windows, media
+    play-spans, maintenance windows, and sessionization with explicit
+    durations (sessionize_events infers extent from gaps; here every
+    row CARRIES an extent and overlap is the merge rule). Classic
+    running-max island detection: an interval starts a new island iff
+    its start exceeds the max end seen so far; islands are then the
+    cumulative count of starts, and one group-by per (key, island)
+    emits the coalesced spans.
+
+    Scale: ONE exchange on user_id shared by both windows and the final
+    aggregation (same-key windows stack on a single sort, no second
+    shuffle — pinned in test_plans for the sessionize family). Running
+    max and cumulative sum are both frame-decomposable, state is O(1)
+    per task. All arithmetic in exact epoch microseconds (tz-proof,
+    tables.ntz_epoch_us device).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        _epoch_us("ts").alias("s"),
+        (_epoch_us("ts") + F.expr(_IC_DUR_US)).alias("e"),
+    )
+    ww = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(ww.rowsBetween(Window.unboundedPreceding, -1))
+    fl = iv.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(prev_max, F.lit(-1))).cast("int"),
+    )
+    isl = fl.withColumn(
+        "island",
+        F.sum("new_island")
+        .over(ww.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_us"),
+        F.max("e").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("e") - F.min("s")).alias("span_us"),
+    )
+
+
+_CUSUM_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+@query(
+    "timeseries_changepoint_cusum",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, event_id,
+             {_CUSUM_CENTS} AS c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn,
+             SUM({_CUSUM_CENTS}) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM({_CUSUM_CENTS}) OVER (PARTITION BY event_type) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, rn, n,
+             n * cum - rn * tot AS num,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY abs(n * cum - rn * tot) DESC, rn ASC) AS pick
+      FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(rn AS BIGINT) AS peak_rn,
+           ROUND(abs(CAST(num AS DOUBLE)) / n / 100.0, 6) AS peak_dev,
+           CASE WHEN num > 0 THEN 1 ELSE -1 END AS direction
+    FROM d WHERE pick = 1
+    """,
+)
+def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series (Page 1954): the k-th
+    cumulative deviation from the series mean, C_k = Σ_{{i<=k}} (x_i - x̄),
+    peaks exactly at a level-shift boundary; the op emits each series'
+    peak position, magnitude, and shift direction — the monitoring
+    primitive behind "when did this metric change regime".
+
+    Exactness device: C_k·n = n·cum_k - k·total is an exact BIGINT on
+    both engines (no float mean subtraction drifting over a long
+    cumsum); the single division happens once at emission. Headroom:
+    |n·cum| ≤ n²·c̄ ≈ 2e17 at 1e7-row series with cents ≤ 5e4 — past
+    ~2e7 rows/series lift to DECIMAL(38,0) or pre-aggregate to
+    time-bucket partials (the feature_ols_trend overflow discipline).
+
+    Scale: one exchange on the series key; three same-key windows share
+    one sort (cumsum, total, row_number), and the peak argmax is a
+    fourth same-order window, not a global sort. Per-series sequential
+    scan is inherent to cumulative statistics — for the few-huge-series
+    shape, bucket the series by time range, cumsum within buckets, and
+    prefix-add bucket totals (two-pass carry, the scan-sum device).
+    """
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    s = ev.select(
+        "event_type",
+        "event_id",
+        F.expr(_CUSUM_CENTS).alias("c"),
+        F.row_number().over(wo).alias("rn"),
+        F.sum(F.expr(_CUSUM_CENTS))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum(F.expr(_CUSUM_CENTS)).over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    d = s.select(
+        "event_type",
+        "rn",
+        "n",
+        F.expr("n * cum - rn * tot").alias("num"),
+    ).withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("num")).desc(), F.col("rn").asc()
+            )
+        ),
+    )
+    return d.filter(F.col("pick") == 1).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("rn").cast("bigint").alias("peak_rn"),
+        F.expr("ROUND(abs(CAST(num AS DOUBLE)) / n / 100.0, 6)").alias(
+            "peak_dev"
+        ),
+        F.when(F.col("num") > 0, F.lit(1)).otherwise(F.lit(-1)).alias(
+            "direction"
+        ),
+    )

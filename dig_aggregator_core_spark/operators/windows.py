@@ -273,3 +273,67 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("is_new").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+_MED_FRAME = 6  # ROWS BETWEEN 6 PRECEDING AND CURRENT ROW (7-row frame)
+
+
+@query(
+    "window_moving_median",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(median(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_MED_FRAME} PRECEDING AND CURRENT ROW
+           ) / 100.0, 6) AS moving_median
+    FROM events
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT moving median over a bounded ROWS frame ({k}+1 trailing
+    rows per user) — the robust smoother a metrics pipeline wants where
+    a moving average is outlier-dominated, and a window aggregate Spark
+    has no built-in for (percentile over a moving frame is not
+    frame-decomposable). Rewritten as collect_list over the frame →
+    array_sort → middle element (mean of the two middles on even
+    frames, matching DuckDB's interpolating median). Values are lifted
+    to integer cents first so the even-frame midpoint average is exact
+    on both engines.
+
+    Scale: ONE exchange on user_id; per-row work is O(f log f) on the
+    f={k}+1-element frame and per-task state is the f-element buffer —
+    bounded, unlike an unbounded-frame percentile which buffers the
+    whole partition. This rewrite is the right shape for any
+    small-f robust rolling statistic (trimmed means the same way via
+    slice()); for large f swap in a pair of running heaps inside
+    applyInPandasWithState (the streaming stateful family's device).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_MED_FRAME, Window.currentRow)
+    )
+    frame = ev.select(
+        "event_id",
+        "user_id",
+        F.collect_list(
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+        ).over(w).alias("fr"),
+    )
+    return frame.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "ROUND(CASE WHEN size(fr) % 2 = 1"
+            " THEN CAST(array_sort(fr)[(size(fr) - 1) DIV 2] AS DOUBLE)"
+            " ELSE (CAST(array_sort(fr)[size(fr) DIV 2 - 1] AS DOUBLE)"
+            "       + array_sort(fr)[size(fr) DIV 2]) / 2.0"
+            " END / 100.0, 6)"
+        ).alias("moving_median"),
+    )
+
+
+window_moving_median.__doc__ = window_moving_median.__doc__.format(
+    k=_MED_FRAME
+)

@@ -202,7 +202,17 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # entropy/length-bucket/BPE-merges/stream-funnel/rag-chunking) into the
 # ordinary unverified queue — it heads round 5's ~50-row budget alongside
 # the r5 additions.
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {
+        # added mid-round-6 AFTER the 49-name r6 queue was frozen — park
+        # behind it so no never-checked name loses its budget slot
+        "stats_welch_ttest",
+        "stats_mann_whitney_u",
+        "window_moving_median",
+        "interval_coalesce",
+        "timeseries_changepoint_cusum",
+    }
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:
