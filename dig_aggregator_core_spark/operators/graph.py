@@ -498,3 +498,118 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_bfs_distance.__doc__ = graph_bfs_distance.__doc__.format(
     mod=_BFS_SEED_MOD, k=_BFS_ROUNDS, band=_BFS_BAND
 )
+
+
+_FOF_EDGE_SQL = f"""
+cooc AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events
+),
+r AS (
+  SELECT event_type, h, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type, h
+                            ORDER BY user_id) AS rn
+  FROM cooc
+),
+bp AS (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM r a JOIN r b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND b.rn BETWEEN a.rn + 1 AND a.rn + {_BFS_BAND}
+),
+e AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM bp UNION ALL SELECT v, u FROM bp
+  )
+)"""
+
+
+_FOF_ORACLE = f"""
+WITH {_FOF_EDGE_SQL},
+n1 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg1 FROM e GROUP BY u),
+hop2 AS (
+  SELECT DISTINCT e1.u, e2.v AS w
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  WHERE e2.v <> e1.u
+),
+fresh AS (
+  SELECT h.u, CAST(COUNT(*) AS BIGINT) AS deg2_new
+  FROM hop2 h LEFT JOIN e ON e.u = h.u AND e.v = h.w
+  WHERE e.u IS NULL GROUP BY h.u
+)
+SELECT n1.u AS user_id, n1.deg1,
+       COALESCE(fresh.deg2_new, 0) AS deg2_new,
+       n1.deg1 + COALESCE(fresh.deg2_new, 0) AS reach2
+FROM n1 LEFT JOIN fresh ON fresh.u = n1.u
+"""
+
+
+@query("graph_neighborhood_2hop", oracle=_FOF_ORACLE)
+def graph_neighborhood_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friends-of-friends: per node, the 1-hop degree and the count of
+    NEW nodes first reachable at hop 2 — the neighborhood-growth metric
+    behind audience expansion, influence estimation, and graph-feature
+    engineering (deg2/deg1 is the local expansion rate). Complements
+    graph_bfs_distance (distance from a fixed seed set) with a per-node
+    neighborhood size; same banded co-occurrence edge relation.
+
+    Scale shape: the 2-hop candidate set comes from ONE self-join of
+    the DEDUPLICATED edge relation (|hop2| = Σ_v indeg(v)·outdeg(v),
+    the standard FoF bound — the band cap keeps per-bucket degree
+    linear, the dedup keeps multi-bucket repeat pairs from multiplying
+    the join), then one distinct and one anti-join against the edges to
+    drop already-1-hop pairs. Every join is an equi hash join on a node
+    key; counts are per-node aggregations. For power-law graphs at
+    100 TB, cap superstar fan-out by sampling each node's adjacency to
+    the top-B neighbors first (the simjoin prefix lesson applied to
+    degree skew).
+    """
+    ev = load(spark, sf_dir, "events")
+    cooc = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("event_type", "h").orderBy("user_id")
+    r = cooc.withColumn("rn", F.row_number().over(w))
+    probe = r.withColumn(
+        "d", F.explode(F.sequence(F.lit(1), F.lit(_BFS_BAND)))
+    ).select(
+        "event_type", "h", F.col("user_id").alias("u"),
+        (F.col("rn") + F.col("d")).alias("rn2"),
+    )
+    other = r.select(
+        F.col("event_type").alias("e2"), F.col("h").alias("h2"),
+        F.col("user_id").alias("v"), F.col("rn").alias("rn2"),
+    )
+    bp = probe.join(
+        other,
+        (F.col("event_type") == F.col("e2"))
+        & (F.col("h") == F.col("h2"))
+        & (probe.rn2 == other.rn2),
+    ).select("u", "v")
+    edges = (
+        bp.unionByName(bp.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()  # reused 4x below — one materialization
+    )
+    n1 = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg1"))
+    e2 = edges.select(F.col("u").alias("m"), F.col("v").alias("w"))
+    hop2 = (
+        edges.join(e2, edges.v == e2.m)
+        .filter(F.col("w") != F.col("u"))
+        .select("u", "w")
+        .distinct()
+    )
+    fresh = hop2.join(
+        edges.select("u", F.col("v").alias("w")), ["u", "w"], "left_anti"
+    ).groupBy("u").agg(F.count(F.lit(1)).alias("deg2_new"))
+    return (
+        n1.join(fresh, "u", "left")
+        .select(
+            F.col("u").alias("user_id"),
+            "deg1",
+            F.coalesce("deg2_new", F.lit(0)).alias("deg2_new"),
+            (F.col("deg1") + F.coalesce("deg2_new", F.lit(0))).alias(
+                "reach2"
+            ),
+        )
+    )

@@ -597,3 +597,92 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 privacy_dp_counts.__doc__ = privacy_dp_counts.__doc__.format(
     eps=_DP_EPSILON, n=_DP_TABLE_N
 )
+
+
+_TCLOSE_T_MICRO = 200_000  # release threshold: TVD <= 0.2
+
+
+_TCLOSE_ORACLE = f"""
+WITH cl AS (
+  SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket, lang,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT source, len_bucket, SUM(n) AS nc
+  FROM cl GROUP BY 1, 2
+),
+gl AS (SELECT lang, SUM(n) AS g FROM cl GROUP BY 1),
+tot AS (SELECT SUM(n) AS gt FROM cl),
+grid AS (
+  SELECT c.source, c.len_bucket, c.nc, gl.lang, gl.g, tot.gt,
+         COALESCE(cl.n, 0) AS n
+  FROM cls c CROSS JOIN gl CROSS JOIN tot
+  LEFT JOIN cl ON cl.source = c.source AND cl.len_bucket = c.len_bucket
+              AND cl.lang = gl.lang
+)
+SELECT source, len_bucket,
+       CAST(MAX(nc) AS BIGINT) AS n_rows,
+       CAST((SUM(abs(n * gt - g * nc)) * 1000000)
+            // (2 * MAX(nc) * MAX(gt)) AS BIGINT) AS tvd_micro,
+       CASE WHEN (SUM(abs(n * gt - g * nc)) * 1000000)
+                 // (2 * MAX(nc) * MAX(gt)) <= {_TCLOSE_T_MICRO}
+            THEN 't_close' ELSE 'at_risk' END AS status
+FROM grid GROUP BY source, len_bucket
+"""
+
+
+@query("privacy_t_closeness", oracle=_TCLOSE_ORACLE)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE 2007) — completes the release
+    trio: k-anonymity bounds class SIZE, l-diversity bounds sensitive
+    VARIETY, t-closeness bounds sensitive SKEW — a class can be large
+    and diverse yet still leak (90% one lang vs 20% globally reveals
+    belief). Per quasi-identifier class (source, length bucket), the
+    total-variation distance between the class's lang distribution and
+    the global one, in exact micro units:
+    TVD = Σ|n_i·G - g_i·N_c| / (2·N_c·G) — cross-multiplied so both
+    engines divide exact integers once (the eval-family DIV device).
+
+    Plan: one scan to the (class, lang) cell grid; the class totals,
+    global lang totals, and grand total are grid-sized re-aggregations;
+    the zero-fill grid is |classes|×|langs| — all metadata-sized. The
+    cross-multiplied numerator stays in BIGINT while n_i·G < 9.2e18
+    (~3e9 rows at 1e9-row classes); past that pre-divide to per-million
+    shares per side, same grid shape.
+    """
+    d = load(spark, sf_dir, "documents")
+    cl = d.groupBy(
+        "source",
+        F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("len_bucket"),
+        "lang",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cls = cl.groupBy("source", "len_bucket").agg(F.sum("n").alias("nc"))
+    gl = cl.groupBy("lang").agg(F.sum("n").alias("g"))
+    tot = cl.agg(F.sum("n").alias("gt"))
+    grid = (
+        cls.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(tot))
+        .join(cl, ["source", "len_bucket", "lang"], "left")
+        .select(
+            "source",
+            "len_bucket",
+            "nc",
+            "g",
+            "gt",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    out = grid.groupBy("source", "len_bucket").agg(
+        F.max("nc").cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST((SUM(abs(n * gt - g * nc)) * 1000000)"
+            " DIV (2 * MAX(nc) * MAX(gt)) AS BIGINT)"
+        ).alias("tvd_micro"),
+    )
+    return out.withColumn(
+        "status",
+        F.when(
+            F.col("tvd_micro") <= _TCLOSE_T_MICRO, F.lit("t_close")
+        ).otherwise(F.lit("at_risk")),
+    )

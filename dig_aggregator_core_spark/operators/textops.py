@@ -1131,3 +1131,185 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_kn_micro"),
         )
     )
+
+
+# shared token/bigram plumbing for eval_bleu_ngram_precision — identical
+# construction on both engines so gram multisets match byte-for-byte
+_BLEU_TOKS_SPARK = "filter(split(text, ' '), w -> w <> '')"
+_BLEU_TOKS_DUCK = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+_BLEU_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS pair_id, source,
+         {_BLEU_TOKS_DUCK} AS ct,
+         LEAD({_BLEU_TOKS_DUCK}) OVER (PARTITION BY source
+                                       ORDER BY doc_id) AS rt
+  FROM documents
+),
+pp AS (SELECT * FROM p WHERE rt IS NOT NULL),
+grams AS (
+  SELECT pair_id, source, 1 AS n, unnest(ct) AS g, 'c' AS side FROM pp
+  UNION ALL
+  SELECT pair_id, source, 1 AS n, unnest(rt) AS g, 'r' AS side FROM pp
+  UNION ALL
+  SELECT pair_id, source, 2 AS n,
+         unnest(list_transform(range(1, len(ct)),
+                i -> ct[i] || ' ' || ct[i + 1])) AS g, 'c' AS side
+  FROM pp
+  UNION ALL
+  SELECT pair_id, source, 2 AS n,
+         unnest(list_transform(range(1, len(rt)),
+                i -> rt[i] || ' ' || rt[i + 1])) AS g, 'r' AS side
+  FROM pp
+),
+cnt AS (
+  SELECT pair_id, source, n, g, side, COUNT(*) AS c
+  FROM grams GROUP BY ALL
+),
+clip AS (
+  SELECT c.pair_id, c.source, c.n,
+         SUM(LEAST(c.c, r.c)) AS clipped
+  FROM (SELECT * FROM cnt WHERE side = 'c') c
+  JOIN (SELECT * FROM cnt WHERE side = 'r') r
+    ON c.pair_id = r.pair_id AND c.n = r.n AND c.g = r.g
+  GROUP BY 1, 2, 3
+),
+per_pair AS (
+  SELECT pp.pair_id, pp.source,
+         len(ct) AS clen, len(rt) AS rlen,
+         len(ct) - 1 AS c2len,
+         COALESCE(c1.clipped, 0) AS clip1,
+         COALESCE(c2.clipped, 0) AS clip2
+  FROM pp
+  LEFT JOIN clip c1 ON c1.pair_id = pp.pair_id AND c1.n = 1
+  LEFT JOIN clip c2 ON c2.pair_id = pp.pair_id AND c2.n = 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST((SUM(clip1) * 1000000) // SUM(clen) AS BIGINT) AS p1_micro,
+       CAST((SUM(clip2) * 1000000) // SUM(c2len) AS BIGINT) AS p2_micro,
+       CAST(LEAST(1000000, (SUM(clen) * 1000000) // SUM(rlen))
+            AS BIGINT) AS bp_micro,
+       ROUND(LEAST(1000000, (SUM(clen) * 1000000) // SUM(rlen)) / 1e6
+             * sqrt((SUM(clip1) * 1000000 // SUM(clen)) / 1e6
+                    * ((SUM(clip2) * 1000000 // SUM(c2len)) / 1e6)), 6)
+         AS bleu2
+FROM per_pair GROUP BY source
+"""
+
+
+@query("eval_bleu_ngram_precision", oracle=_BLEU_ORACLE)
+def eval_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-style modified n-gram precision (Papineni et al., ACL 2002)
+    between candidate/reference text pairs — the lexical-overlap eval for
+    generation quality next to the rank metrics (eval_ndcg_at_k/
+    eval_mrr_map score retrieval; this scores text agreement). Pairs are
+    deterministic plumbing: each doc against its successor within source
+    (the module's fixture device — swap in a real (cand, ref) table
+    unchanged). Emits per-source MICRO-averaged clipped precision for
+    n=1,2 (corpus BLEU's aggregation — ratio of sums, so the division
+    happens once over exact integers, never an average of per-pair
+    floats), a linear brevity penalty LEAST(1, |cand|/|ref|) (the exp
+    form needs cross-engine libm parity; sqrt is IEEE-correctly-rounded,
+    exp is not), and bleu2 = bp·√(p1·p2).
+
+    Scale: clipped counts come from ONE gram-level aggregation and ONE
+    equi join on (pair, n, gram) — gram rows are linear in corpus
+    tokens, shuffled once, keyed by pair so the join never crosses
+    pairs. The per-pair relation then collapses to |sources| rows. The
+    lead() pairing is one window on the source partition; a real
+    pair table skips it entirely.
+    """
+    d = load(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("pair_id")
+    p = (
+        d.select(
+            F.col("doc_id").alias("pair_id"),
+            "source",
+            F.expr(_BLEU_TOKS_SPARK).alias("ct"),
+        )
+        .withColumn("rt", F.lead("ct").over(wsrc))
+        .filter(F.col("rt").isNotNull())
+    )
+    p = p.localCheckpoint()  # pairs reused by 4 gram branches + totals
+
+    def grams(col: str, side: str, n: int) -> DataFrame:
+        if n == 1:
+            garr = F.col(col)
+        else:
+            garr = F.expr(
+                f"transform(sequence(1, size({col}) - 1),"
+                f" i -> element_at({col}, i) || ' '"
+                f" || element_at({col}, i + 1))"
+            )
+        return p.select(
+            "pair_id",
+            "source",
+            F.lit(n).alias("n"),
+            F.explode(garr).alias("g"),
+            F.lit(side).alias("side"),
+        )
+
+    cnt = (
+        grams("ct", "c", 1)
+        .unionByName(grams("rt", "r", 1))
+        .unionByName(grams("ct", "c", 2))
+        .unionByName(grams("rt", "r", 2))
+        .groupBy("pair_id", "source", "n", "g", "side")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cc = cnt.filter(F.col("side") == "c").select(
+        "pair_id", "n", "g", F.col("c").alias("cc")
+    )
+    rc = cnt.filter(F.col("side") == "r").select(
+        "pair_id", "n", "g", F.col("c").alias("rc")
+    )
+    clip = (
+        cc.join(rc, ["pair_id", "n", "g"])
+        .groupBy("pair_id", "n")
+        .agg(F.sum(F.least("cc", "rc")).alias("clipped"))
+    )
+    c1 = clip.filter(F.col("n") == 1).select(
+        "pair_id", F.col("clipped").alias("clip1")
+    )
+    c2 = clip.filter(F.col("n") == 2).select(
+        "pair_id", F.col("clipped").alias("clip2")
+    )
+    per_pair = (
+        p.select(
+            "pair_id",
+            "source",
+            F.size("ct").alias("clen"),
+            F.size("rt").alias("rlen"),
+            (F.size("ct") - 1).alias("c2len"),
+        )
+        .join(c1, "pair_id", "left")
+        .join(c2, "pair_id", "left")
+        .select(
+            "source",
+            "clen",
+            "rlen",
+            "c2len",
+            F.coalesce("clip1", F.lit(0)).alias("clip1"),
+            F.coalesce("clip2", F.lit(0)).alias("clip2"),
+        )
+    )
+    return per_pair.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("CAST((SUM(clip1) * 1000000) DIV SUM(clen) AS BIGINT)").alias(
+            "p1_micro"
+        ),
+        F.expr(
+            "CAST((SUM(clip2) * 1000000) DIV SUM(c2len) AS BIGINT)"
+        ).alias("p2_micro"),
+        F.expr(
+            "CAST(LEAST(1000000, (SUM(clen) * 1000000) DIV SUM(rlen))"
+            " AS BIGINT)"
+        ).alias("bp_micro"),
+        F.expr(
+            "ROUND(LEAST(1000000, (SUM(clen) * 1000000) DIV SUM(rlen))"
+            " / 1e6 * sqrt((SUM(clip1) * 1000000 DIV SUM(clen)) / 1e6"
+            " * ((SUM(clip2) * 1000000 DIV SUM(c2len)) / 1e6)), 6)"
+        ).alias("bleu2"),
+    )

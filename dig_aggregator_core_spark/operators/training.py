@@ -1421,3 +1421,164 @@ def dpo_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pair_digest"),
     )
+
+
+# --- tokenizer_wordpiece_apply -------------------------------------------
+# WordPiece vocab: every corpus letter in initial AND '##'-continuation
+# form, plus a few multi-char pieces — EXCEPT '##w', deliberately absent
+# so real corpus words (row, slow, window) exercise the whole-word-[UNK]
+# rule (Devlin et al. 2019: any unmatched position voids the word).
+_WP_LETTERS = "abcdefghijklmnopqrstuvwy"
+_WP_VOCAB = (
+    list(_WP_LETTERS)
+    + ["##" + c for c in _WP_LETTERS if c != "w"]
+    + ["th", "jo", "ha", "sc", "ba", "qu", "val", "tab"]
+    + ["##in", "##an", "##er", "##le", "##ue", "##ta"]
+)
+_WP_VOCAB_SPARK = "array(" + ", ".join(f"'{v}'" for v in _WP_VOCAB) + ")"
+_WP_VOCAB_DUCK = "[" + ", ".join(f"'{v}'" for v in _WP_VOCAB) + "]"
+
+
+def _wp_fold(dialect: str) -> str:
+    """The per-word greedy longest-match fold, emitted for either engine.
+
+    State is 'tokens|remaining' (scalar VARCHAR — the bpe_apply fold-state
+    device; '|' and '~' are outside the corpus alphabet). Each outer step
+    consumes >= 1 char: an inner fold over the literal vocab picks the
+    LONGEST entry matching the remaining prefix in the position-correct
+    form (word-initial entries vs '##' continuations); no match voids the
+    whole word to '[UNK]'. The chosen entry is let-bound by folding over
+    a one-element array (SQL lambdas have no let)."""
+    if dialect == "spark":
+        sw, voc = "startswith", _WP_VOCAB_SPARK
+
+        def fold(init, seq, lam):
+            return f"aggregate({seq}, {init}, {lam})"
+
+        def bind(val, init, lam):
+            return f"aggregate(array({val}), {init}, {lam})"
+
+        def part(acc, i):
+            return f"element_at(split({acc}, '[|]'), {i})"
+
+        outer_seq = "sequence(1, length(w))"
+    else:
+        sw, voc = "starts_with", _WP_VOCAB_DUCK
+
+        def fold(init, seq, lam):
+            return f"list_reduce(list_prepend({init}, {seq}), {lam})"
+
+        def bind(val, init, lam):
+            return f"list_reduce(list_prepend({init}, [{val}]), {lam})"
+
+        def part(acc, i):
+            return f"string_split({acc}, '|')[{i}]"
+
+        # list_reduce needs a homogeneous list: blank out the counter
+        # (the lambda ignores it) so the VARCHAR seed can be prepended
+        outer_seq = "list_transform(range(1, length(w) + 1), x -> '')"
+
+    def efflen(x):
+        return f"(length({x}) - CASE WHEN {sw}({x}, '##') THEN 2 ELSE 0 END)"
+
+    def eff(x):
+        return f"CASE WHEN {sw}({x}, '##') THEN substr({x}, 3) ELSE {x} END"
+
+    tk, rem = part("acc", 1), part("acc", 2)
+    best = fold(
+        "''",
+        voc,
+        f"(b, v) -> CASE WHEN"
+        f" (CASE WHEN {tk} = '' THEN NOT {sw}(v, '##')"
+        f"  ELSE {sw}(v, '##') END)"
+        f" AND {sw}({rem}, {eff('v')})"
+        f" AND {efflen('v')} > {efflen('b')}"
+        f" THEN v ELSE b END",
+    )
+    stk, srem = part("s", 1), part("s", 2)
+    step = bind(
+        best,
+        "acc",
+        f"(s, bst) -> CASE WHEN bst = '' THEN '[UNK]|'"
+        f" ELSE (CASE WHEN {stk} = '' THEN bst"
+        f"       ELSE {stk} || '~' || bst END)"
+        f"      || '|' || substr({srem}, 1 + {efflen('bst')}) END",
+    )
+    word = fold(
+        "'|' || w",
+        outer_seq,
+        f"(acc, i) -> CASE WHEN {rem} = '' THEN acc ELSE {step} END",
+    )
+    return part(word, 1)
+
+
+_WP_ORACLE = f"""
+WITH enc AS (
+  SELECT doc_id, n_chars,
+    list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+      w -> {_wp_fold('duck')}) AS ew
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ew) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(ew,
+         e -> len(string_split(e, '~')))) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(ew,
+         e -> CASE WHEN e = '[UNK]' THEN 1 ELSE 0 END))
+            AS BIGINT) AS n_unk_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       ew[1] AS first_word_tokens,
+       md5(array_to_string(ew, ' ')) AS tok_digest
+FROM enc
+"""
+
+
+@query("tokenizer_wordpiece_apply", oracle=_WP_ORACLE)
+def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODING (Devlin et al., NAACL 2019): per word, greedy
+    longest-prefix match against a fixed vocab — word-initial pieces
+    plain, mid-word pieces in '##' continuation form, and a word with any
+    unmatchable position collapsing whole to '[UNK]'. The BERT-family
+    counterpart of tokenizer_bpe_apply (merge-rule replay): together they
+    cover both dominant subword schemes, sharing the scalar-string fold
+    state, the '~'/'|' encoding, and the md5 token-stream digest the
+    oracle pins exactly.
+
+    Spark shape: ONE codegen projection, zero shuffle, zero Python — a
+    per-word fold of at most |word| steps (each consumes >= 1 char),
+    each step an inner fold over the literal vocab choosing the longest
+    position-valid prefix (O(|word| x |vocab|) per word, vocab hoisted
+    as an array literal — the bpe_apply struct-hoist lesson). The chosen
+    piece is let-bound via a 1-element-array fold so its length is not
+    recomputed under three references; embarrassingly parallel at
+    100 TB. For production vocabs (30k pieces) the literal-array inner
+    fold becomes a trie walk: keep the fold but bound the inner scan by
+    max piece length L, probing the L prefix slices against a broadcast
+    map — same plan shape, O(|word| x L) per word.
+    """
+    d = maybe_spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    )
+    enc = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "transform(filter(split(text, ' '), w -> w <> ''), w -> "
+            + _wp_fold("spark")
+            + ")"
+        ).alias("ew"),
+    )
+    return enc.select(
+        "doc_id",
+        F.size("ew").cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(ew, 0L, (s, e) -> s + size(split(e, '~')))"
+        ).alias("n_tokens"),
+        F.expr(
+            "aggregate(ew, 0L,"
+            " (s, e) -> s + CASE WHEN e = '[UNK]' THEN 1 ELSE 0 END)"
+        ).alias("n_unk_words"),
+        "n_chars",
+        F.element_at("ew", 1).alias("first_word_tokens"),
+        F.md5(F.array_join("ew", " ")).alias("tok_digest"),
+    )

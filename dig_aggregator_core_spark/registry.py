@@ -211,6 +211,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "window_moving_median",
         "interval_coalesce",
         "timeseries_changepoint_cusum",
+        "privacy_t_closeness",
+        "graph_neighborhood_2hop",
+        "eval_bleu_ngram_precision",
+        "tokenizer_wordpiece_apply",
     }
 )
 
