@@ -192,6 +192,16 @@ HEADLINE = [
     "text_keyword_rake",
     "lm_kneser_ney_bigram",
     "scan_avro_roundtrip",
+    # r6b additions (same-session continuation)
+    "stats_welch_ttest",
+    "stats_mann_whitney_u",
+    "window_moving_median",
+    "interval_coalesce",
+    "timeseries_changepoint_cusum",
+    "privacy_t_closeness",
+    "graph_neighborhood_2hop",
+    "eval_bleu_ngram_precision",
+    "tokenizer_wordpiece_apply",
 ]
 
 

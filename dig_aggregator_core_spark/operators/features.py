@@ -1228,8 +1228,8 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: ONE scan reduced to per-group exact integer moments
     (n, Σc, Σc²) — partial aggregation collapses each map partition to
     |groups| rows before the only shuffle; the t/df closed form then
-    runs on a |groups|-row relation joined 1×|groups| against the control
-    row. Scale: moments stay exact in BIGINT up to Σc² ≈ 9.2e18 — at
+    runs on the |groups|-row relation with the control row spliced in by
+    a window over that same tiny frame (one scan, no re-read). Scale: moments stay exact in BIGINT up to Σc² ≈ 9.2e18 — at
     cents ≤ 5e4 that is ~3.7e9 rows/group; past that, pre-aggregate per
     (group, day) and sum the day partials (same two-level shape), or lift
     s2 to DECIMAL(38,0). Variance is computed as
@@ -1251,20 +1251,38 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)"
         ).alias("var"),
     )
-    b = v.filter(F.col("event_type") == _TT_BASELINE).select(
-        F.col("n").alias("n_b"),
-        F.col("mu").alias("mu_b"),
-        F.expr("var / n").alias("seb"),
-    )
+    # the control row is spliced in via a window over the |groups|-row
+    # aggregate (one partition of ~|groups| rows) so the base relation is
+    # scanned ONCE — a filter+crossJoin of v would re-scan the corpus
+    wall = Window.partitionBy()
+    ctl = F.when(F.col("event_type") == _TT_BASELINE, F.col("n"))
     p = (
-        v.filter(F.col("event_type") != _TT_BASELINE)
+        v.withColumn("n_b", F.max(ctl).over(wall))
+        .withColumn(
+            "mu_b",
+            F.max(
+                F.when(F.col("event_type") == _TT_BASELINE, F.col("mu"))
+            ).over(wall),
+        )
+        .withColumn(
+            "seb",
+            F.max(
+                F.when(
+                    F.col("event_type") == _TT_BASELINE,
+                    F.expr("var / n"),
+                )
+            ).over(wall),
+        )
+        .filter(F.col("event_type") != _TT_BASELINE)
         .select(
             "event_type",
             F.col("n").alias("n_a"),
             "mu",
             F.expr("var / n").alias("sea"),
+            "n_b",
+            "mu_b",
+            "seb",
         )
-        .crossJoin(F.broadcast(b))
     )
     return p.select(
         "event_type",
@@ -1360,6 +1378,10 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.groupBy(
         "event_type", F.expr(_TT_CENTS).alias("c")
     ).agg(F.count(F.lit(1)).alias("n"))
+    # the histogram feeds three consumers (control slice, variant slice,
+    # type spine) — materialize the |domain|-bounded relation once so the
+    # corpus is scanned ONCE (plan-pinned)
+    h = h.localCheckpoint()
     hy = h.filter(F.col("event_type") == _TT_BASELINE).select(
         "c", F.col("n").alias("ny")
     )

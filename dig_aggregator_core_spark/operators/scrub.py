@@ -657,6 +657,10 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("len_bucket"),
         "lang",
     ).agg(F.count(F.lit(1)).alias("n"))
+    # the cell grid feeds four consumers (class totals, lang totals,
+    # grand total, zero-fill join) — materialize the metadata-sized
+    # relation once so the corpus is scanned ONCE (plan-pinned)
+    cl = cl.localCheckpoint()
     cls = cl.groupBy("source", "len_bucket").agg(F.sum("n").alias("nc"))
     gl = cl.groupBy("lang").agg(F.sum("n").alias("g"))
     tot = cl.agg(F.sum("n").alias("gt"))

@@ -1164,26 +1164,19 @@ grams AS (
   FROM pp
 ),
 cnt AS (
-  SELECT pair_id, source, n, g, side, COUNT(*) AS c
+  SELECT pair_id, source, n, g,
+         SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+         SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS rc
   FROM grams GROUP BY ALL
 ),
-clip AS (
-  SELECT c.pair_id, c.source, c.n,
-         SUM(LEAST(c.c, r.c)) AS clipped
-  FROM (SELECT * FROM cnt WHERE side = 'c') c
-  JOIN (SELECT * FROM cnt WHERE side = 'r') r
-    ON c.pair_id = r.pair_id AND c.n = r.n AND c.g = r.g
-  GROUP BY 1, 2, 3
-),
 per_pair AS (
-  SELECT pp.pair_id, pp.source,
-         len(ct) AS clen, len(rt) AS rlen,
-         len(ct) - 1 AS c2len,
-         COALESCE(c1.clipped, 0) AS clip1,
-         COALESCE(c2.clipped, 0) AS clip2
-  FROM pp
-  LEFT JOIN clip c1 ON c1.pair_id = pp.pair_id AND c1.n = 1
-  LEFT JOIN clip c2 ON c2.pair_id = pp.pair_id AND c2.n = 2
+  SELECT pair_id, source,
+         SUM(CASE WHEN n = 1 THEN LEAST(cc, rc) ELSE 0 END) AS clip1,
+         SUM(CASE WHEN n = 2 THEN LEAST(cc, rc) ELSE 0 END) AS clip2,
+         SUM(CASE WHEN n = 1 THEN cc ELSE 0 END) AS clen,
+         SUM(CASE WHEN n = 1 THEN rc ELSE 0 END) AS rlen,
+         SUM(CASE WHEN n = 2 THEN cc ELSE 0 END) AS c2len
+  FROM cnt GROUP BY 1, 2
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -1197,7 +1190,6 @@ SELECT source,
          AS bleu2
 FROM per_pair GROUP BY source
 """
-
 
 @query("eval_bleu_ngram_precision", oracle=_BLEU_ORACLE)
 def eval_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1214,12 +1206,14 @@ def eval_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     form needs cross-engine libm parity; sqrt is IEEE-correctly-rounded,
     exp is not), and bleu2 = bp·√(p1·p2).
 
-    Scale: clipped counts come from ONE gram-level aggregation and ONE
-    equi join on (pair, n, gram) — gram rows are linear in corpus
-    tokens, shuffled once, keyed by pair so the join never crosses
-    pairs. The per-pair relation then collapses to |sources| rows. The
+    Scale: four exchanges total. Both sides' grams union into ONE
+    (pair, n, gram)-keyed aggregation (side-conditional counts — no
+    cand x ref self-join), the per-pair clips AND lengths fall out of
+    one further per-pair aggregation over those counts (no join back
+    to the pair table), and the source rollup is the last. Gram rows
+    are linear in corpus tokens and keyed by pair throughout. The
     lead() pairing is one window on the source partition; a real
-    pair table skips it entirely.
+    (cand, ref) pair table skips it entirely.
     """
     d = load(spark, sf_dir, "documents")
     wsrc = Window.partitionBy("source").orderBy("pair_id")
@@ -1256,44 +1250,28 @@ def eval_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(grams("rt", "r", 1))
         .unionByName(grams("ct", "c", 2))
         .unionByName(grams("rt", "r", 2))
-        .groupBy("pair_id", "source", "n", "g", "side")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    cc = cnt.filter(F.col("side") == "c").select(
-        "pair_id", "n", "g", F.col("c").alias("cc")
-    )
-    rc = cnt.filter(F.col("side") == "r").select(
-        "pair_id", "n", "g", F.col("c").alias("rc")
-    )
-    clip = (
-        cc.join(rc, ["pair_id", "n", "g"])
-        .groupBy("pair_id", "n")
-        .agg(F.sum(F.least("cc", "rc")).alias("clipped"))
-    )
-    c1 = clip.filter(F.col("n") == 1).select(
-        "pair_id", F.col("clipped").alias("clip1")
-    )
-    c2 = clip.filter(F.col("n") == 2).select(
-        "pair_id", F.col("clipped").alias("clip2")
-    )
-    per_pair = (
-        p.select(
-            "pair_id",
-            "source",
-            F.size("ct").alias("clen"),
-            F.size("rt").alias("rlen"),
-            (F.size("ct") - 1).alias("c2len"),
+        .groupBy("pair_id", "source", "n", "g")
+        .agg(
+            F.sum(F.expr("CASE WHEN side = 'c' THEN 1 ELSE 0 END")).alias(
+                "cc"
+            ),
+            F.sum(F.expr("CASE WHEN side = 'r' THEN 1 ELSE 0 END")).alias(
+                "rc"
+            ),
         )
-        .join(c1, "pair_id", "left")
-        .join(c2, "pair_id", "left")
-        .select(
-            "source",
-            "clen",
-            "rlen",
-            "c2len",
-            F.coalesce("clip1", F.lit(0)).alias("clip1"),
-            F.coalesce("clip2", F.lit(0)).alias("clip2"),
-        )
+    )
+    # per-pair clips AND lengths fall out of the same gram counts —
+    # no join back to the pair table, one aggregation per level
+    per_pair = cnt.groupBy("pair_id", "source").agg(
+        F.sum(
+            F.expr("CASE WHEN n = 1 THEN LEAST(cc, rc) ELSE 0 END")
+        ).alias("clip1"),
+        F.sum(
+            F.expr("CASE WHEN n = 2 THEN LEAST(cc, rc) ELSE 0 END")
+        ).alias("clip2"),
+        F.sum(F.expr("CASE WHEN n = 1 THEN cc ELSE 0 END")).alias("clen"),
+        F.sum(F.expr("CASE WHEN n = 1 THEN rc ELSE 0 END")).alias("rlen"),
+        F.sum(F.expr("CASE WHEN n = 2 THEN cc ELSE 0 END")).alias("c2len"),
     )
     return per_pair.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_pairs"),

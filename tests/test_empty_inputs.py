@@ -62,6 +62,16 @@ EMPTY_SAFE = [
     "lm_kneser_ney_bigram",
     "feature_quantile_normalize_approx",
     "tokenizer_vocab_coverage",
+    # r6b additions
+    "stats_welch_ttest",
+    "stats_mann_whitney_u",
+    "window_moving_median",
+    "interval_coalesce",
+    "timeseries_changepoint_cusum",
+    "privacy_t_closeness",
+    "graph_neighborhood_2hop",
+    "eval_bleu_ngram_precision",
+    "tokenizer_wordpiece_apply",
 ]
 
 

@@ -469,3 +469,74 @@ def test_rake_no_token_explode_of_corpus(spark, sf_dir):
     plan = plan_of("text_keyword_rake", spark, sf_dir)
     assert plan.count("documents.parquet") == 0
     assert "TakeOrderedAndProject" in plan
+
+
+def test_welch_single_scan_moment_reduction(spark, sf_dir):
+    # one events scan -> per-group exact moments; the control row is a
+    # window splice over the |groups|-row aggregate, never a second scan
+    plan = plan_of("stats_welch_ttest", spark, sf_dir)
+    assert n_scans(plan) == 1
+    assert n_shuffles(plan) <= 2, plan
+
+
+def test_mann_whitney_histogram_first(spark, sf_dir):
+    # ranks come from the checkpointed cents histogram: ONE corpus scan,
+    # and every downstream relation is |domain|-bounded
+    plan = plan_of("stats_mann_whitney_u", spark, sf_dir)
+    assert n_scans(plan) <= 1  # 0 when the checkpoint absorbs the scan
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 5, plan
+
+
+def test_moving_median_single_user_exchange(spark, sf_dir):
+    plan = plan_of("window_moving_median", spark, sf_dir)
+    assert n_scans(plan) == 1
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_interval_coalesce_shares_one_exchange(spark, sf_dir):
+    # both windows and the island group-by stack on ONE user_id exchange
+    plan = plan_of("interval_coalesce", spark, sf_dir)
+    assert n_scans(plan) == 1
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_cusum_shares_series_exchange(spark, sf_dir):
+    # cumsum/total/rownum/argmax windows all ride the event_type exchange
+    plan = plan_of("timeseries_changepoint_cusum", spark, sf_dir)
+    assert n_scans(plan) == 1
+    assert n_shuffles(plan) <= 1, plan
+
+
+def test_t_closeness_grid_only_aggregation(spark, sf_dir):
+    # the corpus scan is absorbed by the cell-grid checkpoint; everything
+    # in the live plan re-aggregates grid-sized relations
+    plan = plan_of("privacy_t_closeness", spark, sf_dir)
+    assert n_scans(plan) == 0
+    assert n_shuffles(plan) <= 3, plan
+
+
+def test_bleu_no_pair_self_join(spark, sf_dir):
+    # the clip computation must be the side-conditional aggregation form:
+    # no cand x ref self-join, gram rows shuffled once then rolled up
+    plan = plan_of("eval_bleu_ngram_precision", spark, sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 3, plan
+
+
+def test_wordpiece_single_spread_exchange(spark, sf_dir):
+    # the encoder is one codegen projection: the only exchange is the
+    # maybe_spread small-file repartition, and no Python anywhere
+    plan = plan_of("tokenizer_wordpiece_apply", spark, sf_dir)
+    assert n_shuffles(plan) <= 1, plan
+    assert "Python" not in plan  # the fold is JVM higher-order exprs
+
+
+def test_neighborhood_2hop_equi_joins_only(spark, sf_dir):
+    # FoF must stay hash/sort equi joins on node keys — no cartesian,
+    # and the edge relation is checkpointed (0 live scans)
+    plan = plan_of("graph_neighborhood_2hop", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n_shuffles(plan) <= 6, plan

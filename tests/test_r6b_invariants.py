@@ -1,0 +1,228 @@
+"""Algorithmic invariants of the round-6b operators — properties the
+oracle hash can't express: brute-force replays of the rank/median/CUSUM
+statistics on collected fixture rows, interval-algebra laws, WordPiece
+reconstruction, and distribution-distance bounds."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dig_aggregator_core_spark import registry
+from dig_aggregator_core_spark.tables import load
+
+registry.load_all()
+
+
+def _cents_by_type(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"))
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r.event_type, []).append(r.c)
+    return by
+
+
+def test_welch_matches_bruteforce(spark, sf_dir):
+    by = _cents_by_type(spark, sf_dir)
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["stats_welch_ttest"](spark, sf_dir).collect()
+    }
+    yb = by["view"]
+    mb = sum(yb) / len(yb)
+    vb = sum((x - mb) ** 2 for x in yb) / (len(yb) - 1)
+    for t, xs in by.items():
+        if t == "view":
+            continue
+        ma = sum(xs) / len(xs)
+        va = sum((x - ma) ** 2 for x in xs) / (len(xs) - 1)
+        se = va / len(xs) + vb / len(yb)
+        t_ref = (ma - mb) / math.sqrt(se)
+        assert abs(out[t].t_welch - t_ref) < 1e-4, t
+        assert out[t].df_welch > 1
+
+
+def test_mann_whitney_matches_bruteforce(spark, sf_dir):
+    by = _cents_by_type(spark, sf_dir)
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["stats_mann_whitney_u"](spark, sf_dir).collect()
+    }
+    yb = by["view"]
+    for t, xs in by.items():
+        if t == "view":
+            continue
+        # U = #(x > y) + 0.5 * #(x == y), doubled to stay integer
+        u2 = 0
+        ys = sorted(yb)
+        import bisect
+
+        for x in xs:
+            lt = bisect.bisect_left(ys, x)
+            eq = bisect.bisect_right(ys, x) - lt
+            u2 += 2 * lt + eq
+        assert out[t].u2 == u2, t
+        assert out[t].n_x == len(xs) and out[t].n_y == len(yb)
+
+
+def test_moving_median_matches_bruteforce(spark, sf_dir):
+    from dig_aggregator_core_spark.operators.windows import _MED_FRAME
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    ref = {}
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for i, r in enumerate(rows):
+            fr = sorted(x.c for x in rows[max(0, i - _MED_FRAME) : i + 1])
+            s = len(fr)
+            med = fr[s // 2] if s % 2 else (fr[s // 2 - 1] + fr[s // 2]) / 2.0
+            ref[r.event_id] = round(med / 100.0, 6)
+    out = registry.QUERIES["window_moving_median"](spark, sf_dir).collect()
+    assert len(out) == len(ref)
+    for r in out:
+        assert abs(r.moving_median - ref[r.event_id]) < 1e-9
+
+
+def test_interval_coalesce_islands_disjoint(spark, sf_dir):
+    df = registry.QUERIES["interval_coalesce"](spark, sf_dir)
+    rows = df.collect()
+    n_events = load(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    by_user = {}
+    for r in rows:
+        assert r.start_us < r.end_us and r.span_us == r.end_us - r.start_us
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, isl in by_user.items():
+        isl.sort(key=lambda r: r.island)
+        for a, b in zip(isl, isl[1:]):
+            assert a.end_us < b.start_us, f"islands touch for user {u}"
+
+
+def test_cusum_peak_matches_bruteforce(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r.event_type, []).append(r)
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["timeseries_changepoint_cusum"](
+            spark, sf_dir
+        ).collect()
+    }
+    for t, rs in by.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        n, tot = len(rs), sum(r.c for r in rs)
+        cum, best = 0, None
+        for k, r in enumerate(rs, start=1):
+            cum += r.c
+            num = n * cum - k * tot
+            key = (abs(num), -k)  # max |num|, earliest rn on ties
+            if best is None or key > best[0]:
+                best = (key, k, num)
+        assert out[t].peak_rn == best[1], t
+        assert abs(out[t].peak_dev - round(abs(best[2]) / n / 100.0, 6)) < 1e-9
+        assert out[t].direction == (1 if best[2] > 0 else -1)
+
+
+def test_t_closeness_bounds_and_coverage(spark, sf_dir):
+    df = registry.QUERIES["privacy_t_closeness"](spark, sf_dir)
+    rows = df.collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_rows for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.tvd_micro <= 1_000_000
+        assert r.status in ("t_close", "at_risk")
+
+
+def test_neighborhood_2hop_excludes_1hop(spark, sf_dir):
+    # brute-force the banded edge relation and FoF counts at fixture scale
+    from dig_aggregator_core_spark.operators.graph import _BFS_BAND
+
+    cooc = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+        .collect()
+    )
+    buckets = {}
+    for r in cooc:
+        buckets.setdefault((r.event_type, r.h), []).append(r.user_id)
+    edges = set()
+    for members in buckets.values():
+        members.sort()
+        for i, u in enumerate(members):
+            for v in members[i + 1 : i + 1 + _BFS_BAND]:
+                edges.add((u, v))
+                edges.add((v, u))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    out = registry.QUERIES["graph_neighborhood_2hop"](spark, sf_dir).collect()
+    assert len(out) == len(adj)
+    for r in out:
+        n1 = adj[r.user_id]
+        two = set()
+        for v in n1:
+            two |= adj[v]
+        two.discard(r.user_id)
+        assert r.deg1 == len(n1)
+        assert r.deg2_new == len(two - n1)
+        assert r.reach2 == r.deg1 + r.deg2_new
+
+
+def test_bleu_bounds(spark, sf_dir):
+    rows = registry.QUERIES["eval_bleu_ngram_precision"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.p2_micro <= r.p1_micro <= 1_000_000  # p2 clips harder
+        assert 0 <= r.bp_micro <= 1_000_000
+        assert 0.0 <= r.bleu2 <= 1.0
+        assert r.n_pairs > 0
+
+
+def test_wordpiece_reconstruction_and_greedy(spark, sf_dir):
+    from dig_aggregator_core_spark.operators.training import _WP_VOCAB
+
+    df = registry.QUERIES["tokenizer_wordpiece_apply"](spark, sf_dir)
+    rows = df.collect()
+    vocab = set(_WP_VOCAB)
+    for r in rows:
+        assert r.n_tokens >= r.n_words > 0
+        assert 0 <= r.n_unk_words <= r.n_words
+        pieces = r.first_word_tokens.split("~")
+        if pieces != ["[UNK]"]:
+            # every piece is vocab, continuations after the head, and
+            # stripping markers reconstructs a word prefix-greedily
+            assert pieces[0] in vocab and not pieces[0].startswith("##")
+            for p in pieces[1:]:
+                assert p in vocab and p.startswith("##")
+    # the corpus exercises BOTH paths: some UNK words (##w removed from
+    # the vocab on purpose) and some multi-piece merges
+    assert any(r.n_unk_words > 0 for r in rows)
+    assert any("~" in r.first_word_tokens for r in rows)

@@ -99,6 +99,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "lm_kneser_ney_bigram": "1-row bigram-type-total frame broadcast for continuation probs",
         "ann_index_persist": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
         "eval_ndcg_at_k": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
+        "stats_mann_whitney_u": "|domain|-row control histogram crossed onto the |groups| spine",
+        "privacy_t_closeness": "|langs|-row global-distribution frame + 1-row grand total crossed onto the class grid",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
