@@ -202,6 +202,10 @@ HEADLINE = [
     "graph_neighborhood_2hop",
     "eval_bleu_ngram_precision",
     "tokenizer_wordpiece_apply",
+    "eval_cohens_kappa",
+    "feature_target_encoding_loo",
+    "graph_kcore_decompose",
+    "stream_interval_coalesce",
 ]
 
 

@@ -1432,3 +1432,145 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 stats_mann_whitney_u.__doc__ = stats_mann_whitney_u.__doc__.format(
     base=_TT_BASELINE
 )
+
+
+# second pseudo-rater for eval_cohens_kappa: agrees with the label ~60% of
+# the time, disagreements spread by a DIFFERENT hash than _CM_PRED so the
+# two raters' errors are uncorrelated (kappa's whole point)
+_KAPPA_PRED_B = (
+    "CASE WHEN event_id % 7 < 4 THEN event_type ELSE"
+    " CASE event_id % 3 WHEN 0 THEN 'view' WHEN 1 THEN 'click'"
+    " ELSE 'error' END END"
+)
+
+_KAPPA_ORACLE = f"""
+WITH g AS (
+  SELECT {_CM_PRED} AS ra, {_KAPPA_PRED_B} AS rb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(CASE WHEN ra = rb THEN n ELSE 0 END) AS BIGINT)
+           AS agree,
+         CAST((SELECT SUM(a.na * b.nb) FROM
+                (SELECT ra AS k, SUM(n) AS na FROM g GROUP BY 1) a
+                JOIN (SELECT rb AS k, SUM(n) AS nb FROM g GROUP BY 1) b
+                  ON a.k = b.k) AS BIGINT) AS chance
+  FROM g
+)
+SELECT nn AS n, agree,
+       CAST((agree * 1000000) // nn AS BIGINT) AS po_micro,
+       CAST((chance * 1000000) // (nn * nn) AS BIGINT) AS pe_micro,
+       CAST((((agree * 1000000) // nn - (chance * 1000000) // (nn * nn))
+             * 1000000)
+            // (1000000 - (chance * 1000000) // (nn * nn)) AS BIGINT)
+         AS kappa_micro
+FROM m
+"""
+
+
+@query("eval_cohens_kappa", oracle=_KAPPA_ORACLE)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement (Cohen 1960) between two
+    raters — the labeling-QA primitive for any human- or model-annotated
+    training set (raw percent-agreement overstates reliability when the
+    label marginals are skewed; kappa subtracts chance agreement
+    p_e = Σ_k p_a(k)·p_b(k)). Raters here are two deterministically
+    hashed pseudo-models over events (the _CM_PRED fixture device);
+    swap in real annotation columns unchanged.
+
+    Plan: ONE scan to the |labels|² confusion grid; observed agreement,
+    marginals, and the chance term are grid re-aggregations; output is
+    one row. All ratios in exact integer micro-units (truncating DIV,
+    both engines) — agree·1e6 and Σ n_a·n_b stay in BIGINT up to ~9e12
+    rows; past that, divide the marginals to micro-shares first (same
+    grid shape).
+    """
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.expr(_CM_PRED).alias("ra"), F.expr(_KAPPA_PRED_B).alias("rb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    g = g.localCheckpoint()  # grid feeds totals + two marginals
+    na = g.groupBy(F.col("ra").alias("k")).agg(F.sum("n").alias("na"))
+    nb = g.groupBy(F.col("rb").alias("k")).agg(F.sum("n").alias("nb"))
+    chance = (
+        na.join(nb, "k")
+        .agg(F.sum(F.expr("na * nb")).alias("chance"))
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.expr("CASE WHEN ra = rb THEN n ELSE 0 END")).alias("agree"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(chance))
+        .select(
+            F.col("nn").alias("n"),
+            "agree",
+            F.expr("CAST((agree * 1000000) DIV nn AS BIGINT)").alias(
+                "po_micro"
+            ),
+            F.expr(
+                "CAST((chance * 1000000) DIV (nn * nn) AS BIGINT)"
+            ).alias("pe_micro"),
+            F.expr(
+                "CAST((((agree * 1000000) DIV nn"
+                " - (chance * 1000000) DIV (nn * nn)) * 1000000)"
+                " DIV (1000000 - (chance * 1000000) DIV (nn * nn))"
+                " AS BIGINT)"
+            ).alias("kappa_micro"),
+        )
+    )
+
+
+_TE_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+@query(
+    "feature_target_encoding_loo",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, event_type, {_TE_CENTS} AS c,
+             SUM({_TE_CENTS}) OVER (PARTITION BY event_type) AS sum_c,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_c
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(((sum_c - c) * 1000000) // (n_c - 1) AS BIGINT)
+             AS te_loo_micro
+    FROM s WHERE n_c > 1
+    """,
+)
+def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the standard high-cardinality
+    categorical encoder for gradient-boosted / linear models: each row's
+    category is replaced by the mean target of all OTHER rows in that
+    category, which kills the self-leakage that naive target encoding
+    injects (the encoded feature would contain the row's own label).
+    LOO mean = (Σ_cat - own) / (n_cat - 1), in exact integer cents
+    lifted to micro-units with one truncating DIV (identical on both
+    engines; no float accumulation over the category).
+
+    Plan: ONE scan, ONE exchange on the category key — the category
+    sum/count are unordered partition windows (no sort frame), and the
+    per-row subtraction is codegen arithmetic. Headroom: (Σ_cat)·1e6
+    fits BIGINT to ~1.8e8 rows/category at cents ≤ 5e4; past that,
+    pre-aggregate per (category, day) partials and join back (same
+    single-exchange shape, the stats_welch_ttest discipline).
+    """
+    ev = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+    s = ev.select(
+        "event_id",
+        "event_type",
+        F.expr(_TE_CENTS).alias("c"),
+        F.sum(F.expr(_TE_CENTS)).over(wp).alias("sum_c"),
+        F.count(F.lit(1)).over(wp).alias("n_c"),
+    )
+    return s.filter(F.col("n_c") > 1).select(
+        "event_id",
+        "event_type",
+        F.expr(
+            "CAST(((sum_c - c) * 1000000) DIV (n_c - 1) AS BIGINT)"
+        ).alias("te_loo_micro"),
+    )

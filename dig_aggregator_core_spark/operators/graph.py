@@ -613,3 +613,91 @@ def graph_neighborhood_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_KCORE_K = 3   # minimum degree to survive a peel
+_KCORE_R = 3   # fixed peel rounds (both engines unroll identically)
+
+
+def _kcore_oracle() -> str:
+    sql = f"WITH {_FOF_EDGE_SQL.lstrip()}, e0 AS (SELECT u, v FROM e)"
+    for r in range(1, _KCORE_R + 1):
+        sql += f""",
+k{r} AS (
+  SELECT u FROM e{r - 1} GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+),
+e{r} AS (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN k{r} a ON e.u = a.u JOIN k{r} b ON e.v = b.u
+)"""
+    sql += f"""
+SELECT u AS user_id, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e{_KCORE_R} GROUP BY u
+"""
+    return sql
+
+
+@query("graph_kcore_decompose", oracle=_kcore_oracle())
+def graph_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (Seidman 1983): repeatedly remove nodes with
+    degree < k={k}; what survives is the densely-knit core — the
+    community-backbone / spam-ring / influence-seed primitive that
+    completes the iterative family (diffusion: PageRank, consensus:
+    LPA, contraction: CC, reachability: BFS/FoF — this one is
+    SUBTRACTIVE). Fixed {r} peel rounds so the plan is static and the
+    unrolled-CTE oracle computes the identical partial peel; the
+    open-ended variant loops until no node falls below k, checkpointing
+    per round (the dedup_connected_components fixpoint pattern —
+    convergence is monotone since degrees only ever decrease).
+
+    Scale shape per round: one degree aggregation over the live edge
+    relation plus two semi joins (u-side, v-side) against the
+    |survivors| relation — all equi hash joins keyed on node ids, edge
+    relation shrinks monotonically, and localCheckpoint per round keeps
+    the lineage (and the replanned join tree) from compounding.
+    """
+    ev = load(spark, sf_dir, "events")
+    cooc = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("event_type", "h").orderBy("user_id")
+    r = cooc.withColumn("rn", F.row_number().over(w))
+    probe = r.withColumn(
+        "d", F.explode(F.sequence(F.lit(1), F.lit(_BFS_BAND)))
+    ).select(
+        "event_type", "h", F.col("user_id").alias("u"),
+        (F.col("rn") + F.col("d")).alias("rn2"),
+    )
+    other = r.select(
+        F.col("event_type").alias("e2"), F.col("h").alias("h2"),
+        F.col("user_id").alias("v"), F.col("rn").alias("rn2"),
+    )
+    bp = probe.join(
+        other,
+        (F.col("event_type") == F.col("e2"))
+        & (F.col("h") == F.col("h2"))
+        & (probe.rn2 == other.rn2),
+    ).select("u", "v")
+    edges = (
+        bp.unionByName(bp.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(_KCORE_R):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+            .select("u")
+            .localCheckpoint()
+        )
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    return edges.groupBy("u").agg(
+        F.count(F.lit(1)).alias("degree")
+    ).select(F.col("u").alias("user_id"), "degree")

@@ -215,6 +215,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "graph_neighborhood_2hop",
         "eval_bleu_ngram_precision",
         "tokenizer_wordpiece_apply",
+        "eval_cohens_kappa",
+        "feature_target_encoding_loo",
+        "graph_kcore_decompose",
+        "stream_interval_coalesce",
     }
 )
 

@@ -313,3 +313,79 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 stream_topk_windowed.__doc__ = stream_topk_windowed.__doc__.format(
     k=_TOPK_N
 )
+
+
+# dynamic per-event gap for stream_interval_coalesce — each event holds a
+# session open for GREATEST(1, ROUND(value)) minutes (the batch
+# interval_coalesce duration rule, shared verbatim with the oracle)
+_IC_GAP_MIN = "GREATEST(1, CAST(ROUND(value) AS BIGINT))"
+
+_STREAM_IC_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + {_IC_GAP_MIN} * 60000000 AS e
+  FROM events
+),
+fl AS (
+  SELECT *,
+         CASE WHEN s >= COALESCE(MAX(e) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           -1) THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+isl AS (
+  SELECT *, SUM(new_island) OVER (
+    PARTITION BY user_id ORDER BY s, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM fl
+)
+SELECT user_id,
+       make_timestamp(MIN(s)) AS session_start,
+       make_timestamp(MAX(e)) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM isl GROUP BY user_id, island
+"""
+
+
+@query("stream_interval_coalesce", oracle=_STREAM_IC_ORACLE)
+def stream_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing as a REAL stream via DYNAMIC-GAP session
+    windows: session_window(ts, expr) where each event's gap is its own
+    duration column — the streaming twin of the batch
+    operators/timeseries.interval_coalesce, and the capability static-gap
+    session windows can't express (a long-running event must hold its
+    session open longer than a short one; think media play-spans or
+    variable-length jobs). The state store merges sessions as
+    micro-batches arrive, including a late event fusing two existing
+    spans — the incremental case the batch gaps-and-islands rewrite
+    would recompute from the user's whole history.
+
+    Session windows are half-open [start, end): an interval starting
+    EXACTLY at the current end begins a new session, so the oracle's
+    island rule is `s >= prev_max_end` (the batch op keeps touching
+    intervals together with strict `>`; the two agree everywhere except
+    exact microsecond touches).
+
+    Scale: state partitions by user_id; the watermark bounds how long an
+    open session waits before eviction. Complete mode because the
+    fixture replays a finite file; continuous deployments run append +
+    watermark eviction unchanged.
+    """
+    stream, to_ntz = _events_stream_ntz(spark, sf_dir)
+    gap = F.expr(
+        f"make_interval(0, 0, 0, 0, 0, CAST({_IC_GAP_MIN} AS INT), 0)"
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            to_ntz("w.start", "session_start"),
+            to_ntz("w.end", "session_end"),
+            "n_events",
+        )
+    )
+    return _run_complete(agg)

@@ -540,3 +540,27 @@ def test_neighborhood_2hop_equi_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert n_shuffles(plan) <= 6, plan
+
+
+def test_kappa_grid_only(spark, sf_dir):
+    # one scan absorbed by the confusion-grid checkpoint; marginals and
+    # chance term are grid re-aggregations, output is one row
+    plan = plan_of("eval_cohens_kappa", spark, sf_dir)
+    assert n_scans(plan) == 0
+    assert n_shuffles(plan) <= 4, plan
+
+
+def test_target_encoding_single_category_exchange(spark, sf_dir):
+    # unordered partition windows: one exchange, no sort frame required
+    plan = plan_of("feature_target_encoding_loo", spark, sf_dir)
+    assert n_scans(plan) == 1
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_kcore_rounds_checkpointed(spark, sf_dir):
+    # per-round lineage is cut by localCheckpoint: the live plan carries
+    # only the final degree aggregation, not R compounded join trees
+    plan = plan_of("graph_kcore_decompose", spark, sf_dir)
+    assert n_scans(plan) == 0
+    assert n_shuffles(plan) <= 1, plan
+    assert "CartesianProduct" not in plan

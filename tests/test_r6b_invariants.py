@@ -226,3 +226,96 @@ def test_wordpiece_reconstruction_and_greedy(spark, sf_dir):
     # the vocab on purpose) and some multi-piece merges
     assert any(r.n_unk_words > 0 for r in rows)
     assert any("~" in r.first_word_tokens for r in rows)
+
+
+def test_kappa_between_po_and_chance(spark, sf_dir):
+    r = registry.QUERIES["eval_cohens_kappa"](spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert 0 < r.agree <= r.n
+    assert 0 <= r.pe_micro < r.po_micro <= 1_000_000
+    # kappa < po (chance subtraction can only lower), and consistent
+    assert r.kappa_micro < r.po_micro
+    ref = ((r.po_micro - r.pe_micro) * 1_000_000) // (1_000_000 - r.pe_micro)
+    assert r.kappa_micro == ref
+
+
+def test_target_encoding_loo_excludes_self(spark, sf_dir):
+    from dig_aggregator_core_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r.event_type, []).append(r)
+    out = registry.QUERIES["feature_target_encoding_loo"](spark, sf_dir)
+    got = {r.event_id: r.te_loo_micro for r in out.collect()}
+    for t, rs in by.items():
+        s, n = sum(r.c for r in rs), len(rs)
+        for r in rs:
+            assert got[r.event_id] == ((s - r.c) * 1_000_000) // (n - 1)
+
+
+def test_kcore_matches_bruteforce_peel(spark, sf_dir):
+    from dig_aggregator_core_spark.operators.graph import (
+        _BFS_BAND,
+        _KCORE_K,
+        _KCORE_R,
+    )
+    from dig_aggregator_core_spark.tables import load
+
+    cooc = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+        .collect()
+    )
+    buckets = {}
+    for r in cooc:
+        buckets.setdefault((r.event_type, r.h), []).append(r.user_id)
+    edges = set()
+    for members in buckets.values():
+        members.sort()
+        for i, u in enumerate(members):
+            for v in members[i + 1 : i + 1 + _BFS_BAND]:
+                edges.add((u, v))
+                edges.add((v, u))
+    for _ in range(_KCORE_R):
+        deg = {}
+        for u, _v in edges:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {u for u, d in deg.items() if d >= _KCORE_K}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    ref = {}
+    for u, _v in edges:
+        ref[u] = ref.get(u, 0) + 1
+    out = registry.QUERIES["graph_kcore_decompose"](spark, sf_dir).collect()
+    assert {r.user_id: r.degree for r in out} == ref
+    # peeling never INCREASES degree vs the raw graph, and survivors
+    # meet the k bound after every completed round
+    assert all(d >= _KCORE_K for d in ref.values()) or _KCORE_R == 0
+
+
+def test_stream_interval_coalesce_matches_batch_islands(spark, sf_dir):
+    # the streaming twin must produce the batch op's islands (modulo the
+    # half-open exact-touch rule, absent from this fixture): same island
+    # count per user, same covered span
+    batch = registry.QUERIES["interval_coalesce"](spark, sf_dir).collect()
+    stream = registry.QUERIES["stream_interval_coalesce"](
+        spark, sf_dir
+    ).collect()
+    assert len(stream) == len(batch)
+    b_n = {}
+    for r in batch:
+        b_n[r.user_id] = b_n.get(r.user_id, 0) + 1
+    s_n = {}
+    for r in stream:
+        s_n[r.user_id] = s_n.get(r.user_id, 0) + 1
+    assert s_n == b_n

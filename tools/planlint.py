@@ -101,6 +101,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "eval_ndcg_at_k": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
         "stats_mann_whitney_u": "|domain|-row control histogram crossed onto the |groups| spine",
         "privacy_t_closeness": "|langs|-row global-distribution frame + 1-row grand total crossed onto the class grid",
+        "eval_cohens_kappa": "1-row chance-agreement frame crossed with the 1-row totals frame",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
