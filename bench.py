@@ -206,6 +206,9 @@ HEADLINE = [
     "feature_target_encoding_loo",
     "graph_kcore_decompose",
     "stream_interval_coalesce",
+    "asof_join_tolerance",
+    "timeseries_holt_linear",
+    "dedup_phonetic_key",
 ]
 
 

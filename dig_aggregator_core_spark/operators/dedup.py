@@ -1819,3 +1819,112 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pairs")
         )
     )
+
+
+# deterministic misspelling fixture for dedup_phonetic_key: surface
+# variants of the customer's segment word keyed by custkey. Variants 1-3
+# are phonetically-equivalent corruptions (vowel noise, doubled
+# consonant); variant 4 genuinely changes the consonant skeleton, so the
+# key SPLITS it — blocking must separate real differences, not just
+# merge noise. replace() is all-occurrence on both engines.
+_PHON_SURFACE = (
+    "CASE CAST({k} % 5 AS INT)"
+    " WHEN 1 THEN replace(lower({seg}), 'a', 'aa')"
+    " WHEN 2 THEN replace(lower({seg}), 'e', '')"
+    " WHEN 3 THEN replace(lower({seg}), 'r', 'rr')"
+    " WHEN 4 THEN replace(lower({seg}), 'm', 'n')"
+    " ELSE lower({seg}) END"
+)
+
+
+def _phon_key(name: str, dialect: str) -> str:
+    """First letter + vowel-stripped, run-collapsed consonant skeleton,
+    capped at 4 chars — a Soundex-family match key buildable from the
+    same primitives on both engines. Run collapsing is an
+    adjacent-dedupe FOLD over characters, not a backreference regex:
+    DuckDB's RE2 engine has no backreferences (the canonicalizer's
+    RE2-safe rule), and the fold is identical on both sides."""
+    if dialect == "spark":
+        strip = f"regexp_replace(substring({name}, 2), '[aeiouy]', '')"
+        skel = f"concat(substring({name}, 1, 1), {strip})"
+        collapsed = (
+            f"aggregate(transform(sequence(1, length({skel})),"
+            f" i -> substring({skel}, i, 1)), '',"
+            " (a, ch) -> CASE WHEN right(a, 1) = ch THEN a"
+            " ELSE concat(a, ch) END)"
+        )
+    else:
+        strip = f"regexp_replace({name}[2:], '[aeiouy]', '', 'g')"
+        skel = f"({name}[1] || {strip})"
+        collapsed = (
+            f"list_reduce(list_prepend('',"
+            f" list_transform(range(1, length({skel}) + 1),"
+            f" i -> {skel}[i])),"
+            " (a, ch) -> CASE WHEN right(a, 1) = ch THEN a"
+            " ELSE a || ch END)"
+        )
+    return f"substring({collapsed}, 1, 4)"
+
+
+_PHON_SURFACE_DUCK = _PHON_SURFACE.format(k="c_custkey", seg="c_mktsegment")
+
+
+@query(
+    "dedup_phonetic_key",
+    oracle=f"""
+    WITH s AS (
+      SELECT c_custkey, {_PHON_SURFACE_DUCK} AS surface
+      FROM customer
+    ),
+    keyed AS (
+      SELECT c_custkey, surface,
+             {_phon_key('surface', 'duck')} AS pkey
+      FROM s
+    )
+    SELECT pkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT surface) AS BIGINT) AS n_surface_forms,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT)
+             AS n_candidate_pairs,
+           MIN(surface) AS example_surface
+    FROM keyed GROUP BY pkey
+    """,
+)
+def dedup_phonetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for entity dedup (the Soundex/match-key family):
+    map each surface form to first-letter + vowel-stripped,
+    run-collapsed consonant skeleton, then block on the key — misspelled
+    variants of one name land in one block (vowel noise and doubled
+    consonants vanish) while genuine consonant changes split, which is
+    exactly the recall/precision trade a blocking key must make. The
+    cheap high-recall front end to record_linkage_score's Fellegi-Sunter
+    scoring (block here, score within blocks there); surface variants
+    are a deterministic misspelling fixture over customer segments.
+
+    Plan: pure codegen string ops per row, then ONE aggregation on the
+    key — no pairwise comparison anywhere (the blocked candidate-pair
+    count is reported per key as n·(n-1)/2, the quantity a linkage run
+    budgets against; the all-pairs join a phoneticless dedup would need
+    is exactly what this avoids at 100 TB). Skewed blocks (common
+    names) surface directly in n_rows for salting decisions.
+    """
+    c = load(spark, sf_dir, "customer")
+    s = c.select(
+        "c_custkey",
+        F.expr(
+            _PHON_SURFACE.format(k="c_custkey", seg="c_mktsegment")
+        ).alias("surface"),
+    )
+    keyed = s.select(
+        "c_custkey",
+        "surface",
+        F.expr(_phon_key("surface", "spark")).alias("pkey"),
+    )
+    return keyed.groupBy("pkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("surface").alias("n_surface_forms"),
+        F.expr(
+            "CAST(COUNT(1) * (COUNT(1) - 1) / 2 AS BIGINT)"
+        ).alias("n_candidate_pairs"),
+        F.min("surface").alias("example_surface"),
+    )

@@ -845,3 +845,94 @@ def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w_bal + w_nd, 1).alias("score"),
         ((w_bal + w_nd) >= 2.0).alias("is_match"),
     )
+
+
+_ASOF_TOL_US = 6 * 3600 * 1_000_000  # 6-hour match tolerance
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           CASE WHEN p.ts IS NOT NULL
+                 AND epoch_us(CAST(c.ts AS TIMESTAMP))
+                     - epoch_us(CAST(p.ts AS TIMESTAMP)) <= {_ASOF_TOL_US}
+                THEN ROUND(p.purchase_value, 6) + 0.0 END
+             AS last_purchase_value,
+           COALESCE(p.ts IS NOT NULL
+                    AND epoch_us(CAST(c.ts AS TIMESTAMP))
+                        - epoch_us(CAST(p.ts AS TIMESTAMP))
+                        <= {_ASOF_TOL_US}, FALSE) AS within_tolerance
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join WITH a match tolerance (pandas merge_asof's
+    `tolerance=` parameter): the most recent purchase counts only when it
+    happened within {h} hours of the click — the staleness guard every
+    feature-store lookup wants (an hours-old price is a feature; a
+    months-old one is a bug). Completes the as-of matrix
+    (backward/forward/nearest/+tolerance).
+
+    Same union+window engine as asof_join — ONE user_id exchange, no
+    range explosion: the window additionally carries the matched row's
+    OWN timestamp (last ignorenulls over the same frame), and the
+    tolerance is a post-window filter in exact naive microseconds
+    (timestampdiff on TIMESTAMP_NTZ — pure naive arithmetic, tz-proof).
+    Stale matches degrade to NULL rather than dropping the left row,
+    preserving left-join cardinality.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("double").alias("pval"),
+        F.lit(None).cast("timestamp_ntz").alias("pts"),
+        F.lit(1).alias("kind"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id", "ts", "pval",
+            F.col("ts").alias("pts"), F.lit(0).alias("kind"),
+        )
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hit = F.expr(
+        "last_pts IS NOT NULL AND"
+        f" timestampdiff(MICROSECOND, last_pts, ts) <= {_ASOF_TOL_US}"
+    )
+    return (
+        merged.withColumn(
+            "last_pval", F.last("pval", ignorenulls=True).over(w)
+        )
+        .withColumn("last_pts", F.last("pts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.when(hit, F.round("last_pval", 6) + 0.0).alias(
+                "last_purchase_value"
+            ),
+            F.coalesce(hit, F.lit(False)).alias("within_tolerance"),
+        )
+    )
+
+
+asof_join_tolerance.__doc__ = asof_join_tolerance.__doc__.format(
+    h=_ASOF_TOL_US // 3_600_000_000
+)

@@ -708,3 +708,89 @@ def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "direction"
         ),
     )
+
+
+_HOLT_A = "0.3"  # level smoothing (alpha)
+_HOLT_G = "0.2"  # trend smoothing (gamma)
+
+
+_HOLT_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(len(vals) AS INT) AS n_events,
+       ROUND(st[1], 6) AS level,
+       ROUND(st[2], 6) AS trend,
+       ROUND(st[1] + st[2], 6) AS forecast_1
+FROM (
+  SELECT event_type, vals,
+         list_reduce(
+           list_prepend([vals[1], vals[2] - vals[1]],
+             list_transform(vals[3:len(vals)], x -> [x])),
+           (acc, xl) -> [
+             {_HOLT_A} * xl[1] + (1 - {_HOLT_A}) * (acc[1] + acc[2]),
+             {_HOLT_G} * (({_HOLT_A} * xl[1]
+                           + (1 - {_HOLT_A}) * (acc[1] + acc[2]))
+                          - acc[1])
+               + (1 - {_HOLT_G}) * acc[2]
+           ]) AS st
+  FROM seq WHERE len(vals) >= 3
+)
+"""
+
+
+@query("timeseries_holt_linear", oracle=_HOLT_ORACLE)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per series — the
+    trend-aware forecaster one rung above timeseries_ewma (whose single
+    state lags any trending metric by construction): coupled level/trend
+    recurrences l_t = α·x_t + (1-α)(l+b), b_t = γ(l_t-l) + (1-γ)b, with
+    the classic seeds l₀=x₁, b₀=x₂-x₁, emitting the final state and the
+    one-step-ahead forecast l+b (h-step = l + h·b).
+
+    The EWMA exact-fold device, extended to VECTOR state: both engines
+    run the identical IEEE recurrence over the identically-ordered
+    history with a 2-element double array as the fold accumulator (a
+    struct accumulator trips DuckDB's list_reduce; a flat array does
+    not — the pack_bins_ffd lesson). One shuffle on the series key;
+    per-series history must fit a row, and the unbounded-stream form is
+    the same recurrence in applyInPandasWithState with O(1) state
+    (stream_ewma_stateful shows the machinery).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.col("value").cast("double").alias("v"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "v"))
+        ).alias("pairs")
+    )
+    a, g = _HOLT_A, _HOLT_G
+    l2 = (
+        f"{a}D * p.v + (1 - {a}D)"
+        " * (element_at(acc, 1) + element_at(acc, 2))"
+    )
+    st = F.expr(
+        "aggregate(slice(pairs, 3, size(pairs) - 2),"
+        " array(element_at(pairs, 1).v,"
+        "       element_at(pairs, 2).v - element_at(pairs, 1).v),"
+        f" (acc, p) -> array({l2},"
+        f"   {g}D * (({l2}) - element_at(acc, 1))"
+        f"   + (1 - {g}D) * element_at(acc, 2)))"
+    )
+    return (
+        per.filter(F.size("pairs") >= 3)
+        .withColumn("st", st)
+        .select(
+            "event_type",
+            F.size("pairs").alias("n_events"),
+            F.round(F.expr("element_at(st, 1)"), 6).alias("level"),
+            F.round(F.expr("element_at(st, 2)"), 6).alias("trend"),
+            F.round(
+                F.expr("element_at(st, 1) + element_at(st, 2)"), 6
+            ).alias("forecast_1"),
+        )
+    )

@@ -219,6 +219,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "feature_target_encoding_loo",
         "graph_kcore_decompose",
         "stream_interval_coalesce",
+        "asof_join_tolerance",
+        "timeseries_holt_linear",
+        "dedup_phonetic_key",
     }
 )
 

@@ -75,6 +75,9 @@ EMPTY_SAFE = [
     "eval_cohens_kappa",
     "feature_target_encoding_loo",
     "graph_kcore_decompose",
+    "asof_join_tolerance",
+    "timeseries_holt_linear",
+    "dedup_phonetic_key",
 ]
 
 

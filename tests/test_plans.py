@@ -564,3 +564,27 @@ def test_kcore_rounds_checkpointed(spark, sf_dir):
     assert n_scans(plan) == 0
     assert n_shuffles(plan) <= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_tolerance_stays_union_window(spark, sf_dir):
+    # same engine as asof_join: union + window, never a range join
+    plan = plan_of("asof_join_tolerance", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n_shuffles(plan) <= 2, plan
+
+
+def test_holt_single_series_exchange(spark, sf_dir):
+    # collect + vector-state fold: one exchange on the series key
+    plan = plan_of("timeseries_holt_linear", spark, sf_dir)
+    assert n_scans(plan) == 1
+    assert n_shuffles(plan) == 1, plan
+    assert "Python" not in plan
+
+
+def test_phonetic_key_no_pairwise_join(spark, sf_dir):
+    # blocking must never enumerate pairs: key projection + aggregation
+    plan = plan_of("dedup_phonetic_key", spark, sf_dir)
+    assert "Join" not in plan
+    assert n_shuffles(plan) <= 2, plan
+    assert "Python" not in plan

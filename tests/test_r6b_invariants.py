@@ -162,7 +162,7 @@ def test_t_closeness_bounds_and_coverage(spark, sf_dir):
 
 def test_neighborhood_2hop_excludes_1hop(spark, sf_dir):
     # brute-force the banded edge relation and FoF counts at fixture scale
-    from dig_aggregator_core_spark.operators.graph import _BFS_BAND
+    from dig_aggregator_core_spark.operators.graph import _BFS_BAND, _FOF_CAP
 
     cooc = (
         load(spark, sf_dir, "events")
@@ -183,6 +183,8 @@ def test_neighborhood_2hop_excludes_1hop(spark, sf_dir):
     adj = {}
     for u, v in edges:
         adj.setdefault(u, set()).add(v)
+    # the op caps each node's adjacency to its _FOF_CAP smallest ids
+    adj = {u: set(sorted(vs)[:_FOF_CAP]) for u, vs in adj.items()}
     out = registry.QUERIES["graph_neighborhood_2hop"](spark, sf_dir).collect()
     assert len(out) == len(adj)
     for r in out:
@@ -319,3 +321,63 @@ def test_stream_interval_coalesce_matches_batch_islands(spark, sf_dir):
     for r in stream:
         s_n[r.user_id] = s_n.get(r.user_id, 0) + 1
     assert s_n == b_n
+
+
+def test_asof_tolerance_is_filtered_asof(spark, sf_dir):
+    # tolerance keeps left cardinality and only NULLs stale matches: the
+    # non-null rows must be a subset of the untolerated as-of's matches
+    base = {
+        r.click_id: r.last_purchase_value
+        for r in registry.QUERIES["asof_join"](spark, sf_dir).collect()
+    }
+    tol = registry.QUERIES["asof_join_tolerance"](spark, sf_dir).collect()
+    assert len(tol) == len(base)
+    hits = 0
+    for r in tol:
+        if r.within_tolerance:
+            hits += 1
+            assert r.last_purchase_value == base[r.click_id]
+        else:
+            assert r.last_purchase_value is None
+    assert 0 < hits < len(tol)  # the 6h window both keeps and drops some
+
+
+def test_holt_matches_bruteforce(spark, sf_dir):
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r.event_type, []).append(r)
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["timeseries_holt_linear"](
+            spark, sf_dir
+        ).collect()
+    }
+    for t, rs in by.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        xs = [r.value for r in rs]
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[2:]:
+            l2 = 0.3 * x + 0.7 * (l + b)
+            b = 0.2 * (l2 - l) + 0.8 * b
+            l = l2
+        assert abs(out[t].level - round(l, 6)) < 1e-6, t
+        assert abs(out[t].trend - round(b, 6)) < 1e-6, t
+        assert out[t].n_events == len(xs)
+
+
+def test_phonetic_key_merges_noise_splits_changes(spark, sf_dir):
+    rows = registry.QUERIES["dedup_phonetic_key"](spark, sf_dir).collect()
+    by_key = {r.pkey: r for r in rows}
+    # vowel noise and doubled consonants collapse into the base key
+    # (machinery + maachinery + machinry share 'mchn'), while the m->n
+    # consonant change splits off its own block
+    assert "mchn" in by_key and by_key["mchn"].n_surface_forms >= 2
+    assert "nchn" in by_key  # the genuine skeleton change is separated
+    for r in rows:
+        assert r.n_candidate_pairs == r.n_rows * (r.n_rows - 1) // 2
+        assert 1 <= len(r.pkey) <= 4
