@@ -209,6 +209,12 @@ HEADLINE = [
     "asof_join_tolerance",
     "timeseries_holt_linear",
     "dedup_phonetic_key",
+    "stats_spearman_corr",
+    "stats_fdr_bh",
+    "feature_mutual_information",
+    "timeseries_acf",
+    "eval_rouge_n_recall",
+    "link_prediction_adamic_adar",
 ]
 
 

@@ -1574,3 +1574,413 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(((sum_c - c) * 1000000) DIV (n_c - 1) AS BIGINT)"
         ).alias("te_loo_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank / information-theoretic association — the monotone-relationship and
+# nonlinear-dependence siblings of stats_correlation (Pearson measures
+# linear association only). Both follow the module's histogram-first
+# device: ranks and probabilities come from bounded-domain histograms, so
+# no corpus-sized sort or window ever runs.
+
+_SP_HOD = "hour(ts)"  # wall-clock hour of the naive ts, identical engines
+_SP_HOD_DUCK = "EXTRACT(hour FROM ts)"
+
+
+_SPEARMAN_ORACLE = f"""
+WITH j AS (
+  SELECT event_type, {_TT_CENTS} AS c, {_SP_HOD_DUCK} AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+mx AS (
+  SELECT event_type, c, CAST(SUM(n) AS BIGINT) AS nx,
+         CAST(2 * COALESCE(SUM(SUM(n)) OVER (PARTITION BY event_type
+             ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) + SUM(n) + 1 AS BIGINT) AS r2x
+  FROM j GROUP BY event_type, c
+),
+my AS (
+  SELECT event_type, hod, CAST(SUM(n) AS BIGINT) AS ny,
+         CAST(2 * COALESCE(SUM(SUM(n)) OVER (PARTITION BY event_type
+             ORDER BY hod ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) + SUM(n) + 1 AS BIGINT) AS r2y
+  FROM j GROUP BY event_type, hod
+),
+s AS (
+  SELECT j.event_type,
+         CAST(SUM(j.n) AS BIGINT) AS nn,
+         CAST(SUM(j.n * mx.r2x) AS BIGINT) AS sx,
+         CAST(SUM(j.n * my.r2y) AS BIGINT) AS sy,
+         CAST(SUM(j.n * mx.r2x * my.r2y) AS BIGINT) AS sxy,
+         CAST(SUM(j.n * mx.r2x * mx.r2x) AS BIGINT) AS sxx,
+         CAST(SUM(j.n * my.r2y * my.r2y) AS BIGINT) AS syy
+  FROM j
+  JOIN mx ON mx.event_type = j.event_type AND mx.c = j.c
+  JOIN my ON my.event_type = j.event_type AND my.hod = j.hod
+  GROUP BY j.event_type
+)
+SELECT event_type, nn AS n,
+       ROUND((CAST(nn AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(nn AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6) AS rho
+FROM s
+WHERE CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+  AND CAST(nn AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+"""
+
+
+@query("stats_spearman_corr", oracle=_SPEARMAN_ORACLE)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904) between a metric's value
+    and the hour of day, per event_type — the monotone-association
+    readout next to stats_correlation's Pearson r (rank correlation is
+    invariant to monotone transforms and robust to the heavy tails that
+    dominate revenue/latency metrics). Tied observations receive the
+    standard average (fractional) rank.
+
+    HISTOGRAM-FIRST (the stats_mann_whitney_u device): ranks never touch
+    raw rows. ONE scan reduces to the (group, cents, hour) joint
+    histogram — bounded by the value domain (≤ 5e4 cents) × 24 hours
+    regardless of corpus size — marginals and average ranks derive from
+    that grid (2·avg-rank kept as an exact BIGINT: R2 = 2·cum_prev+n+1),
+    and rho is Pearson over the n-weighted rank pairs, computed from six
+    exact integer moments in one closed-form double expression per
+    engine. A rank() window over raw rows would be a corpus-wide total
+    sort; this is one groupBy plus windows over metadata-sized grids.
+    Overflow bound: Σ n·R2² ≤ 4N³ fits BIGINT to N ≈ 1.3e6 rows/group;
+    past that lift the two square moments to DECIMAL(38,0) (same plan,
+    the pca_power_component device).
+
+    Reference analog: frequencyAnalysis.py's per-group statistics layer
+    (frequencyAnalysis.py:31-35), extended to rank association.
+    """
+    ev = load(spark, sf_dir, "events")
+    j = ev.groupBy(
+        "event_type",
+        F.expr(_TT_CENTS).alias("c"),
+        F.expr(_SP_HOD).alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # the joint grid feeds both marginals and the weighted moments —
+    # materialize the bounded relation once so the corpus is scanned ONCE
+    j = j.localCheckpoint()
+    wx = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mx = (
+        j.groupBy("event_type", "c")
+        .agg(F.sum("n").alias("nx"))
+        .withColumn("cumx", F.coalesce(F.sum("nx").over(wx), F.lit(0)))
+        .select(
+            "event_type",
+            "c",
+            F.expr("CAST(2 * cumx + nx + 1 AS BIGINT)").alias("r2x"),
+        )
+    )
+    wy = (
+        Window.partitionBy("event_type")
+        .orderBy("hod")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    my = (
+        j.groupBy("event_type", "hod")
+        .agg(F.sum("n").alias("ny"))
+        .withColumn("cumy", F.coalesce(F.sum("ny").over(wy), F.lit(0)))
+        .select(
+            "event_type",
+            "hod",
+            F.expr("CAST(2 * cumy + ny + 1 AS BIGINT)").alias("r2y"),
+        )
+    )
+    s = (
+        j.join(mx, ["event_type", "c"])
+        .join(my, ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("nn"),
+            F.sum(F.expr("n * r2x")).alias("sx"),
+            F.sum(F.expr("n * r2y")).alias("sy"),
+            F.sum(F.expr("n * r2x * r2y")).alias("sxy"),
+            F.sum(F.expr("n * r2x * r2x")).alias("sxx"),
+            F.sum(F.expr("n * r2y * r2y")).alias("syy"),
+        )
+    )
+    varx = "CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"
+    vary = "CAST(nn AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"
+    return s.filter(F.expr(f"{varx} > 0 AND {vary} > 0")).select(
+        "event_type",
+        F.col("nn").alias("n"),
+        F.expr(
+            "ROUND((CAST(nn AS DOUBLE) * sxy"
+            f" - CAST(sx AS DOUBLE) * sy) / sqrt(({varx}) * ({vary})), 6)"
+        ).alias("rho"),
+    )
+
+
+_FDR_ALPHA = 0.05  # family-wise false-discovery target
+
+
+_FDR_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, {_TT_CENTS} AS c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+hy AS (SELECT c, n AS ny FROM h WHERE event_type = '{_TT_BASELINE}'),
+types AS (
+  SELECT DISTINCT event_type FROM h WHERE event_type <> '{_TT_BASELINE}'
+),
+grid AS (
+  SELECT COALESCE(hx.event_type, gy.event_type) AS event_type,
+         COALESCE(hx.c, gy.c) AS c,
+         COALESCE(hx.n, 0) AS nx, COALESCE(gy.ny, 0) AS ny
+  FROM (SELECT * FROM h WHERE event_type <> '{_TT_BASELINE}') hx
+  FULL OUTER JOIN (SELECT t.event_type, hy.c, hy.ny
+                   FROM types t CROSS JOIN hy) gy
+    ON hx.event_type = gy.event_type AND hx.c = gy.c
+),
+cdf AS (
+  SELECT event_type, nx, ny,
+         SUM(nx) OVER (PARTITION BY event_type ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+         SUM(ny) OVER (PARTITION BY event_type ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy,
+         SUM(nx) OVER (PARTITION BY event_type) AS n_x,
+         SUM(ny) OVER (PARTITION BY event_type) AS n_y
+  FROM grid
+),
+ks1 AS (
+  SELECT event_type,
+         CAST(MAX(n_x) AS BIGINT) AS n_x,
+         CAST(MAX(n_y) AS BIGINT) AS n_y,
+         MAX(ABS(CAST(cx AS DOUBLE) / n_x - CAST(cy AS DOUBLE) / n_y))
+           AS d
+  FROM cdf GROUP BY event_type
+),
+pv AS (
+  SELECT event_type, n_x, n_y, d,
+         LEAST(1.0, 2 * exp(-2.0 * (CAST(n_x AS DOUBLE) * n_y
+                                    / (n_x + n_y)) * d * d)) AS p
+  FROM ks1
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p, event_type) AS bh_rank,
+         COUNT(*) OVER () AS m
+  FROM pv
+),
+cut AS (
+  SELECT *,
+         MAX(CASE WHEN p * m <= bh_rank * {_FDR_ALPHA} THEN bh_rank
+                  ELSE 0 END) OVER () AS k
+  FROM ranked
+)
+SELECT event_type, n_x, n_y,
+       ROUND(d, 6) AS d,
+       ROUND(p, 6) AS p_value,
+       CAST(bh_rank AS BIGINT) AS bh_rank,
+       bh_rank <= k AS reject
+FROM cut
+"""
+
+
+@query("stats_fdr_bh", oracle=_FDR_ORACLE)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control (Benjamini &
+    Hochberg 1995) over the family of per-variant KS two-sample tests
+    against the '{base}' control — the multiple-comparisons layer the
+    A/B family (stats_welch_ttest / stats_mann_whitney_u / stats_ks_drift)
+    needs once many variants are tested at once: per-test 5% thresholds
+    inflate family-wise false positives, BH rejects the largest prefix of
+    the p-ordered tests with p_(i) <= i*alpha/m. p-values come from the
+    asymptotic KS tail bound p = min(1, 2*exp(-2*ne*D^2)).
+
+    HISTOGRAM-FIRST: the KS statistic per variant derives from the same
+    bounded (group, cents) grid as stats_mann_whitney_u — CDFs are
+    cumulative windows over <= 5e4 grid rows per group; raw rows are
+    touched by exactly ONE scan-and-aggregate. The BH ranking itself is
+    a window over the |variants|-row test table (metadata-sized by
+    construction). Determinism: D is pure IEEE arithmetic (division/
+    max/abs are correctly rounded, identical across engines); exp enters
+    only the reported p and the threshold comparison, where a last-ulp
+    libm difference flips nothing away from the measure-zero boundary.
+
+    Reference analog: the frequency stage's per-group comparison layer
+    (frequencyAnalysis.py:31-35) lifted to a controlled test family.
+    """
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.expr(_TT_CENTS).alias("c")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    h = h.localCheckpoint()  # one corpus scan feeds both grid sides
+    hy = h.filter(F.col("event_type") == _TT_BASELINE).select(
+        "c", F.col("n").alias("ny")
+    )
+    hx = h.filter(F.col("event_type") != _TT_BASELINE)
+    types = hx.select("event_type").distinct()
+    gy = types.crossJoin(F.broadcast(hy))
+    grid = hx.join(gy, ["event_type", "c"], "full_outer").select(
+        "event_type",
+        "c",
+        F.coalesce("n", F.lit(0)).alias("nx"),
+        F.coalesce("ny", F.lit(0)).alias("ny"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall_g = Window.partitionBy("event_type")
+    cdf = grid.select(
+        "event_type",
+        "nx",
+        "ny",
+        F.sum("nx").over(wcum).alias("cx"),
+        F.sum("ny").over(wcum).alias("cy"),
+    )
+    ks = (
+        cdf.select(
+            "event_type",
+            F.sum("nx").over(wall_g).alias("n_x"),
+            F.sum("ny").over(wall_g).alias("n_y"),
+            "cx",
+            "cy",
+        )
+        .select(
+            "event_type",
+            "n_x",
+            "n_y",
+            F.expr(
+                "ABS(CAST(cx AS DOUBLE) / n_x - CAST(cy AS DOUBLE) / n_y)"
+            ).alias("dstep"),
+        )
+        .groupBy("event_type", "n_x", "n_y")
+        .agg(F.max("dstep").alias("d"))
+    )
+    pv = ks.withColumn(
+        "p",
+        F.expr(
+            "LEAST(1.0, 2 * exp(-2.0 * (CAST(n_x AS DOUBLE) * n_y"
+            " / (n_x + n_y)) * d * d))"
+        ),
+    )
+    wrank = Window.partitionBy().orderBy("p", "event_type")
+    wall = Window.partitionBy()
+    ranked = pv.select(
+        "*",
+        F.row_number().over(wrank).alias("bh_rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    cut = ranked.withColumn(
+        "k",
+        F.max(
+            F.when(
+                F.expr(f"p * m <= bh_rank * {_FDR_ALPHA}"),
+                F.col("bh_rank"),
+            ).otherwise(F.lit(0))
+        ).over(wall),
+    )
+    return cut.select(
+        "event_type",
+        "n_x",
+        "n_y",
+        F.expr("ROUND(d, 6)").alias("d"),
+        F.expr("ROUND(p, 6)").alias("p_value"),
+        F.col("bh_rank").cast("bigint").alias("bh_rank"),
+        F.expr("bh_rank <= k").alias("reject"),
+    )
+
+
+stats_fdr_bh.__doc__ = stats_fdr_bh.__doc__.format(base=_TT_BASELINE)
+
+
+_MI_XB = "CAST(FLOOR(value * 2) AS BIGINT)"  # half-unit value buckets
+
+
+_MI_ORACLE = f"""
+WITH j AS (
+  SELECT {_MI_XB} AS xb, event_type AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT xb, y, n,
+         SUM(n) OVER (PARTITION BY xb) AS nx,
+         SUM(n) OVER (PARTITION BY y) AS ny,
+         SUM(n) OVER () AS nn
+  FROM j
+)
+SELECT CAST(MAX(nn) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT xb) AS BIGINT) AS n_x_buckets,
+       CAST(COUNT(DISTINCT y) AS BIGINT) AS n_y_classes,
+       ROUND(SUM((CAST(n AS DOUBLE) / nn)
+                 * ln(CAST(n AS DOUBLE) * nn
+                      / (CAST(nx AS DOUBLE) * ny))), 6) AS mi_nats,
+       ROUND(-SUM((CAST(n AS DOUBLE) / nn)
+                  * ln(CAST(nx AS DOUBLE) / nn)), 6) AS hx_nats,
+       ROUND(-SUM((CAST(n AS DOUBLE) / nn)
+                  * ln(CAST(ny AS DOUBLE) / nn)), 6) AS hy_nats,
+       ROUND(SUM((CAST(n AS DOUBLE) / nn)
+                 * ln(CAST(n AS DOUBLE) * nn
+                      / (CAST(nx AS DOUBLE) * ny)))
+             / sqrt(SUM((CAST(n AS DOUBLE) / nn)
+                        * ln(CAST(nx AS DOUBLE) / nn))
+                    * SUM((CAST(n AS DOUBLE) / nn)
+                          * ln(CAST(ny AS DOUBLE) / nn))), 6) AS nmi
+FROM m
+"""
+
+
+@query("feature_mutual_information", oracle=_MI_ORACLE)
+def feature_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between the bucketized metric value and
+    the event class, plus both marginal entropies and the normalized MI
+    (Cover & Thomas ch.2) — the feature-relevance score behind MI-based
+    feature selection (a feature with near-zero MI against the label
+    carries no signal regardless of its Pearson r, and MI catches the
+    nonlinear dependence Pearson misses).
+
+    HISTOGRAM-FIRST: ONE scan reduces to the (bucket, class) joint
+    histogram — bounded by the value domain (~1e3 half-unit buckets ×
+    |classes|) regardless of corpus size — marginals are window sums
+    over that grid, and all three information quantities are one
+    aggregate over the grid (the Hx/Hy terms reuse the joint rows:
+    Σ_xy (n/N)·ln(nx/N) telescopes to Σ_x (nx/N)·ln(nx/N), so no second
+    pass over the marginals is needed). Exact integers everywhere until
+    the final double expression; ROUND(,6) absorbs summation-order ulps
+    (registry contract).
+
+    Reference analog: frequencyAnalysis.py's per-group frequency layer
+    (frequencyAnalysis.py:31-35) read through an information-theoretic
+    lens.
+    """
+    ev = load(spark, sf_dir, "events")
+    j = ev.groupBy(
+        F.expr(_MI_XB).alias("xb"), F.col("event_type").alias("y")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # the joint grid feeds three window partitionings plus the distinct
+    # counts — materialize the bounded relation once (ONE corpus scan)
+    j = j.localCheckpoint()
+    m = j.select(
+        "xb",
+        "y",
+        "n",
+        F.sum("n").over(Window.partitionBy("xb")).alias("nx"),
+        F.sum("n").over(Window.partitionBy("y")).alias("ny"),
+        F.sum("n").over(Window.partitionBy()).alias("nn"),
+    )
+    mi = (
+        "SUM((CAST(n AS DOUBLE) / nn)"
+        " * ln(CAST(n AS DOUBLE) * nn / (CAST(nx AS DOUBLE) * ny)))"
+    )
+    hx = "SUM((CAST(n AS DOUBLE) / nn) * ln(CAST(nx AS DOUBLE) / nn))"
+    hy = "SUM((CAST(n AS DOUBLE) / nn) * ln(CAST(ny AS DOUBLE) / nn))"
+    return m.agg(
+        F.expr("CAST(MAX(nn) AS BIGINT)").alias("n"),
+        F.expr("CAST(COUNT(DISTINCT xb) AS BIGINT)").alias("n_x_buckets"),
+        F.expr("CAST(COUNT(DISTINCT y) AS BIGINT)").alias("n_y_classes"),
+        F.expr(f"ROUND({mi}, 6)").alias("mi_nats"),
+        F.expr(f"ROUND(-{hx}, 6)").alias("hx_nats"),
+        F.expr(f"ROUND(-{hy}, 6)").alias("hy_nats"),
+        F.expr(f"ROUND({mi} / sqrt(({hx}) * ({hy})), 6)").alias("nmi"),
+    )

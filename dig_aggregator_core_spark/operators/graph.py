@@ -718,3 +718,160 @@ def graph_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy("u").agg(
         F.count(F.lit(1)).alias("degree")
     ).select(F.col("u").alias("user_id"), "degree")
+
+
+_AA_TOPK = 5  # suggestions kept per node
+
+
+_AA_ORACLE = f"""
+WITH {_FOF_EDGE_SQL},
+ec AS (
+  SELECT u, v FROM (
+    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rk
+    FROM e
+  ) WHERE rk <= {_FOF_CAP}
+),
+ecr AS (
+  SELECT u, v FROM (
+    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY v ORDER BY u) AS rk
+    FROM ec
+  ) WHERE rk <= {_FOF_CAP}
+),
+deg AS (
+  SELECT u AS z, CAST(COUNT(*) AS BIGINT) AS d FROM ec GROUP BY u
+),
+cand AS (
+  SELECT a.u AS u, b.u AS w, a.v AS z
+  FROM ecr a JOIN ecr b ON a.v = b.v AND a.u < b.u
+),
+nonedge AS (
+  SELECT c.u, c.w, c.z FROM cand c
+  LEFT JOIN ec e1 ON e1.u = c.u AND e1.v = c.w
+  LEFT JOIN ec e2 ON e2.u = c.w AND e2.v = c.u
+  WHERE e1.u IS NULL AND e2.u IS NULL
+),
+scored AS (
+  SELECT n.u, n.w,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(CAST(FLOOR(1000000.0 / ln(d)) AS BIGINT))
+              AS BIGINT) AS aa_micro
+  FROM nonedge n JOIN deg ON deg.z = n.z
+  WHERE deg.d >= 2
+  GROUP BY n.u, n.w
+)
+SELECT u AS user_a, w AS user_b, n_common, aa_micro
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+             ORDER BY aa_micro DESC, n_common DESC, w) AS rk
+  FROM scored
+) WHERE rk <= {_AA_TOPK}
+"""
+
+
+@query("link_prediction_adamic_adar", oracle=_AA_ORACLE)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003): score each
+    non-adjacent node pair by Σ_z 1/ln(deg(z)) over their common
+    neighbors z — rare shared contacts weigh more than hubs — and keep
+    each node's top-{k} suggestions. The "people you may know" / related-
+    item primitive next to graph_neighborhood_2hop (which counts the
+    2-hop frontier; this RANKS it).
+
+    Scale shape: the adjacency is capped twice — forward (each node's
+    {cap} smallest-id neighbors, the module's FoF device) and REVERSE
+    (each neighbor keeps its {cap} smallest-id inviters) — so the
+    common-neighbor self-join emits ≤ |V|·{cap}² candidate rows, linear
+    in nodes, where the one-sided cap still lets a popular smallest-id
+    neighbor fan out quadratically (Σ_z indeg(z)² is unbounded by the
+    forward cap alone). Both caps are deterministic row_numbers, keeping
+    the oracle exact. Scoring is an equi-join to the |V|-row degree
+    table; per-term weights are floored to exact integer micro-units so
+    the sum is order-free and the top-{k} ranking (window over ≤ {cap}²
+    candidates per node) is cross-engine deterministic — no float
+    summation order anywhere. Existing edges drop via two hash
+    anti-joins on the capped relation. deg(z) ≥ 2 guards ln(1) = 0
+    (a degree-1 neighbor carries no AA evidence by definition).
+    """
+    ev = load(spark, sf_dir, "events")
+    cooc = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("event_type", "h").orderBy("user_id")
+    r = cooc.withColumn("rn", F.row_number().over(w))
+    probe = r.withColumn(
+        "d", F.explode(F.sequence(F.lit(1), F.lit(_BFS_BAND)))
+    ).select(
+        "event_type", "h", F.col("user_id").alias("u"),
+        (F.col("rn") + F.col("d")).alias("rn2"),
+    )
+    other = r.select(
+        F.col("event_type").alias("e2"), F.col("h").alias("h2"),
+        F.col("user_id").alias("v"), F.col("rn").alias("rn2"),
+    )
+    bp = probe.join(
+        other,
+        (F.col("event_type") == F.col("e2"))
+        & (F.col("h") == F.col("h2"))
+        & (probe.rn2 == other.rn2),
+    ).select("u", "v")
+    edges = bp.unionByName(
+        bp.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    wcap = Window.partitionBy("u").orderBy("v")
+    ec = (
+        edges.withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= _FOF_CAP)
+        .drop("rk")
+        .localCheckpoint()  # reused by reverse cap, degree, 2 anti-joins
+    )
+    wrev = Window.partitionBy("v").orderBy("u")
+    ecr = (
+        ec.withColumn("rk", F.row_number().over(wrev))
+        .filter(F.col("rk") <= _FOF_CAP)
+        .drop("rk")
+    )
+    deg = ec.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    b = ecr.select(F.col("u").alias("w_"), F.col("v").alias("z"))
+    cand = (
+        ecr.select(F.col("u").alias("u"), F.col("v").alias("z"))
+        .join(b, "z")
+        .filter(F.col("u") < F.col("w_"))
+    )
+    nonedge = cand.join(
+        ec.select(F.col("u"), F.col("v").alias("w_")), ["u", "w_"],
+        "left_anti",
+    ).join(
+        ec.select(F.col("v").alias("u"), F.col("u").alias("w_")),
+        ["u", "w_"],
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(deg.filter(F.col("d") >= 2), "z")
+        .groupBy("u", "w_")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                F.expr("CAST(FLOOR(1000000.0 / ln(d)) AS BIGINT)")
+            ).alias("aa_micro"),
+        )
+    )
+    wtop = Window.partitionBy("u").orderBy(
+        F.col("aa_micro").desc(), F.col("n_common").desc(), F.col("w_")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= _AA_TOPK)
+        .select(
+            F.col("u").alias("user_a"),
+            F.col("w_").alias("user_b"),
+            "n_common",
+            "aa_micro",
+        )
+    )
+
+
+link_prediction_adamic_adar.__doc__ = (
+    link_prediction_adamic_adar.__doc__.format(k=_AA_TOPK, cap=_FOF_CAP)
+)

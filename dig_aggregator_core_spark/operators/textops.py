@@ -1291,3 +1291,159 @@ def eval_bleu_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((SUM(clip2) * 1000000 DIV SUM(c2len)) / 1e6)), 6)"
         ).alias("bleu2"),
     )
+
+
+_ROUGE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS pair_id, source,
+         {_BLEU_TOKS_DUCK} AS ct,
+         LEAD({_BLEU_TOKS_DUCK}) OVER (PARTITION BY source
+                                       ORDER BY doc_id) AS rt
+  FROM documents
+),
+pp AS (SELECT * FROM p WHERE rt IS NOT NULL),
+grams AS (
+  SELECT pair_id, source, 1 AS n, unnest(ct) AS g, 'c' AS side FROM pp
+  UNION ALL
+  SELECT pair_id, source, 1 AS n, unnest(rt) AS g, 'r' AS side FROM pp
+  UNION ALL
+  SELECT pair_id, source, 2 AS n,
+         unnest(list_transform(range(1, len(ct)),
+                i -> ct[i] || ' ' || ct[i + 1])) AS g, 'c' AS side
+  FROM pp
+  UNION ALL
+  SELECT pair_id, source, 2 AS n,
+         unnest(list_transform(range(1, len(rt)),
+                i -> rt[i] || ' ' || rt[i + 1])) AS g, 'r' AS side
+  FROM pp
+),
+cnt AS (
+  SELECT pair_id, source, n, g,
+         SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc,
+         SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS rc
+  FROM grams GROUP BY ALL
+),
+per_pair AS (
+  SELECT pair_id, source,
+         SUM(CASE WHEN n = 1 THEN LEAST(cc, rc) ELSE 0 END) AS clip1,
+         SUM(CASE WHEN n = 2 THEN LEAST(cc, rc) ELSE 0 END) AS clip2,
+         SUM(CASE WHEN n = 1 THEN cc ELSE 0 END) AS clen,
+         SUM(CASE WHEN n = 1 THEN rc ELSE 0 END) AS rlen,
+         SUM(CASE WHEN n = 2 THEN rc ELSE 0 END) AS r2len
+  FROM cnt GROUP BY 1, 2
+),
+src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST((SUM(clip1) * 1000000) // SUM(rlen) AS BIGINT) AS r1_micro,
+         CAST((SUM(clip2) * 1000000) // SUM(r2len) AS BIGINT) AS r2_micro,
+         CAST((SUM(clip1) * 1000000) // SUM(clen) AS BIGINT) AS p1_micro
+  FROM per_pair GROUP BY source
+)
+SELECT source, n_pairs, r1_micro, r2_micro,
+       CASE WHEN p1_micro + r1_micro = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((2 * p1_micro * r1_micro)
+                      // (p1_micro + r1_micro) AS BIGINT)
+       END AS f1_micro
+FROM src
+"""
+
+
+@query("eval_rouge_n_recall", oracle=_ROUGE_ORACLE)
+def eval_rouge_n_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-N recall (Lin, ACL 2004) between candidate/reference text
+    pairs — the recall-side complement of eval_bleu_ngram_precision
+    (BLEU asks "how much of the candidate is in the reference"; ROUGE
+    asks "how much of the reference did the candidate cover", the
+    summarization-eval convention). Emits per-source micro-averaged
+    clipped recall for n=1,2 plus the ROUGE-1 F-measure
+    2PR/(P+R) from the same gram counts. Pairing is the module's
+    deterministic successor-within-source fixture device; a real
+    (cand, ref) table swaps in unchanged.
+
+    Scale: identical four-exchange shape to the BLEU op — both sides'
+    grams union into ONE (pair, n, gram)-keyed aggregation, the per-pair
+    clips and lengths fall out of one further per-pair aggregation, the
+    source rollup is last. Gram rows linear in corpus tokens, keyed by
+    pair throughout; ratios are single divisions over exact integer
+    sums (micro-averaged), never means of per-pair floats.
+    """
+    d = load(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("pair_id")
+    p = (
+        d.select(
+            F.col("doc_id").alias("pair_id"),
+            "source",
+            F.expr(_BLEU_TOKS_SPARK).alias("ct"),
+        )
+        .withColumn("rt", F.lead("ct").over(wsrc))
+        .filter(F.col("rt").isNotNull())
+    )
+    p = p.localCheckpoint()  # pairs reused by 4 gram branches
+
+    def grams(col: str, side: str, n: int) -> DataFrame:
+        if n == 1:
+            garr = F.col(col)
+        else:
+            garr = F.expr(
+                f"transform(sequence(1, size({col}) - 1),"
+                f" i -> element_at({col}, i) || ' '"
+                f" || element_at({col}, i + 1))"
+            )
+        return p.select(
+            "pair_id",
+            "source",
+            F.lit(n).alias("n"),
+            F.explode(garr).alias("g"),
+            F.lit(side).alias("side"),
+        )
+
+    cnt = (
+        grams("ct", "c", 1)
+        .unionByName(grams("rt", "r", 1))
+        .unionByName(grams("ct", "c", 2))
+        .unionByName(grams("rt", "r", 2))
+        .groupBy("pair_id", "source", "n", "g")
+        .agg(
+            F.sum(F.expr("CASE WHEN side = 'c' THEN 1 ELSE 0 END")).alias(
+                "cc"
+            ),
+            F.sum(F.expr("CASE WHEN side = 'r' THEN 1 ELSE 0 END")).alias(
+                "rc"
+            ),
+        )
+    )
+    per_pair = cnt.groupBy("pair_id", "source").agg(
+        F.sum(
+            F.expr("CASE WHEN n = 1 THEN LEAST(cc, rc) ELSE 0 END")
+        ).alias("clip1"),
+        F.sum(
+            F.expr("CASE WHEN n = 2 THEN LEAST(cc, rc) ELSE 0 END")
+        ).alias("clip2"),
+        F.sum(F.expr("CASE WHEN n = 1 THEN cc ELSE 0 END")).alias("clen"),
+        F.sum(F.expr("CASE WHEN n = 1 THEN rc ELSE 0 END")).alias("rlen"),
+        F.sum(F.expr("CASE WHEN n = 2 THEN rc ELSE 0 END")).alias("r2len"),
+    )
+    src = per_pair.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("CAST((SUM(clip1) * 1000000) DIV SUM(rlen) AS BIGINT)").alias(
+            "r1_micro"
+        ),
+        F.expr(
+            "CAST((SUM(clip2) * 1000000) DIV SUM(r2len) AS BIGINT)"
+        ).alias("r2_micro"),
+        F.expr(
+            "CAST((SUM(clip1) * 1000000) DIV SUM(clen) AS BIGINT)"
+        ).alias("p1_micro"),
+    )
+    return src.select(
+        "source",
+        "n_pairs",
+        "r1_micro",
+        "r2_micro",
+        F.expr(
+            "CASE WHEN p1_micro + r1_micro = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((2 * p1_micro * r1_micro)"
+            " DIV (p1_micro + r1_micro) AS BIGINT) END"
+        ).alias("f1_micro"),
+    )

@@ -794,3 +794,118 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("forecast_1"),
         )
     )
+
+
+_ACF_MAX_LAG = 7  # autocorrelation horizon (days)
+_ACF_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM({_ACF_CENTS}) AS BIGINT) AS sc
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, date_diff('day', DATE '1970-01-01', day) AS di, sc
+  FROM daily
+),
+lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, a.sc AS x, b.sc AS y
+  FROM d a CROSS JOIN lags l
+  JOIN d b ON b.event_type = a.event_type AND b.di = a.di - l.lag
+),
+s AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+       ROUND((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n_pairs AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n_pairs AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6) AS acf
+FROM s
+WHERE CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+  AND CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+"""
+
+
+@query("timeseries_acf", oracle=_ACF_ORACLE)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function at lags 1..{maxlag} of each
+    event_type's daily total — the seasonality/persistence diagnostic
+    (Box & Jenkins ch.2) that sits before the smoothing family
+    (timeseries_ewma / timeseries_holt_linear decide their constants off
+    exactly this decay profile; a spike at lag 7 says weekly
+    seasonality). Each lag's coefficient is the Pearson correlation of
+    the aligned (x_t, x_(t-k)) pairs.
+
+    Scale shape: ONE corpus scan collapses to the (group, day) daily
+    grid — bounded by |groups| × calendar days, metadata-sized
+    regardless of row count (partial aggregation does the heavy lift
+    map-side). The lag alignment is an equi-join of that tiny grid to
+    itself on (group, day_index - k) after exploding the {maxlag}-row
+    lag spine — no window over raw rows, no global sort anywhere. All
+    moments are exact BIGINT over integer cents (Σx² of daily sums fits
+    to ~3e9 cents/day across ~1e3 days; past that lift the square
+    moments to DECIMAL(38,0), the pca_power_component device), and the
+    correlation is one closed-form double expression per engine.
+
+    Reference analog: the frequency stage's per-group time bucketing
+    (frequencyAnalysis.py:31-35) extended to serial dependence.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("CAST(ts AS DATE)").alias("day")
+    ).agg(F.sum(F.expr(_ACF_CENTS)).alias("sc"))
+    d = daily.select(
+        "event_type",
+        F.expr("datediff(day, DATE '1970-01-01')").alias("di"),
+        "sc",
+    )
+    # the daily grid feeds both sides of the lag join — materialize the
+    # bounded relation once so the corpus is scanned ONCE (plan-pinned)
+    d = d.localCheckpoint()
+    lags = d.sparkSession.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = d.crossJoin(F.broadcast(lags))
+    b = d.select(
+        F.col("event_type").alias("b_et"),
+        F.col("di").alias("b_di"),
+        F.col("sc").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("b_et") == F.col("event_type"))
+        & (F.col("b_di") == F.col("di") - F.col("lag")),
+    ).select("event_type", "lag", F.col("sc").alias("x"), "y")
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    vx = "CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"
+    vy = "CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"
+    return s.filter(F.expr(f"{vx} > 0 AND {vy} > 0")).select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        F.expr(
+            "ROUND((CAST(n_pairs AS DOUBLE) * sxy"
+            f" - CAST(sx AS DOUBLE) * sy) / sqrt(({vx}) * ({vy})), 6)"
+        ).alias("acf"),
+    )
+
+
+timeseries_acf.__doc__ = timeseries_acf.__doc__.format(maxlag=_ACF_MAX_LAG)

@@ -588,3 +588,58 @@ def test_phonetic_key_no_pairwise_join(spark, sf_dir):
     assert "Join" not in plan
     assert n_shuffles(plan) <= 2, plan
     assert "Python" not in plan
+
+
+def test_spearman_grid_only(spark, sf_dir):
+    # ranks come from the checkpointed joint histogram: 0 live scans,
+    # every downstream relation is |domain|-bounded; no pairwise join
+    plan = plan_of("stats_spearman_corr", spark, sf_dir)
+    assert n_scans(plan) == 0
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 6, plan
+
+
+def test_fdr_bh_histogram_first(spark, sf_dir):
+    # KS statistics ride the checkpointed cents grid (the MWU device);
+    # the BH ranking windows run over the |variants|-row test table
+    plan = plan_of("stats_fdr_bh", spark, sf_dir)
+    assert n_scans(plan) == 0
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 6, plan
+
+
+def test_mutual_information_grid_only(spark, sf_dir):
+    # ONE corpus scan absorbed by the joint-grid checkpoint; marginals
+    # are window sums over the grid, output is one row
+    plan = plan_of("feature_mutual_information", spark, sf_dir)
+    assert n_scans(plan) == 0
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 5, plan
+
+
+def test_acf_daily_grid_lag_join(spark, sf_dir):
+    # the daily series grid is checkpointed (one corpus scan at build);
+    # the lag spine is broadcast; alignment is an equi join on the grid
+    plan = plan_of("timeseries_acf", spark, sf_dir)
+    assert n_scans(plan) == 0
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 2, plan
+
+
+def test_rouge_no_pair_self_join(spark, sf_dir):
+    # same side-conditional aggregation shape as BLEU: no cand x ref
+    # self-join, gram rows shuffled once then rolled up
+    plan = plan_of("eval_rouge_n_recall", spark, sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 3, plan
+
+
+def test_adamic_adar_equi_joins_only(spark, sf_dir):
+    # doubly-capped adjacency is checkpointed (0 live scans); candidate
+    # generation and scoring are equi joins on node keys, never cartesian
+    plan = plan_of("link_prediction_adamic_adar", spark, sf_dir)
+    assert n_scans(plan) == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n_shuffles(plan) <= 10, plan

@@ -102,6 +102,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "stats_mann_whitney_u": "|domain|-row control histogram crossed onto the |groups| spine",
         "privacy_t_closeness": "|langs|-row global-distribution frame + 1-row grand total crossed onto the class grid",
         "eval_cohens_kappa": "1-row chance-agreement frame crossed with the 1-row totals frame",
+        "stats_fdr_bh": "|domain|-row control histogram crossed onto the |variants| spine (inherits stats_mann_whitney_u)",
+        "timeseries_acf": "7-row lag spine broadcast-crossed onto the |groups|x|days| daily grid",
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
@@ -140,6 +142,7 @@ SHUFFLE_CEILING: dict[str, int] = {
     "source_similarity_matrix": 10,  # distinct + by-shingle + pair grid + totals
     "pipeline_corpus_curation": 12,  # 4 composed stages, one plan
     "graph_bfs_distance": 16,  # fixed frontier rounds x (join + distinct + anti)
+    "link_prediction_adamic_adar": 10,  # reverse cap + candidate join + 2 anti + score + top-k over the checkpointed capped adjacency
 }
 
 
