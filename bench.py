@@ -215,6 +215,9 @@ HEADLINE = [
     "timeseries_acf",
     "eval_rouge_n_recall",
     "link_prediction_adamic_adar",
+    "feature_hashing_trick",
+    "rlhf_best_of_n",
+    "stream_changepoint_cusum",
 ]
 
 

@@ -1610,24 +1610,29 @@ my AS (
 s AS (
   SELECT j.event_type,
          CAST(SUM(j.n) AS BIGINT) AS nn,
-         CAST(SUM(j.n * mx.r2x) AS BIGINT) AS sx,
-         CAST(SUM(j.n * my.r2y) AS BIGINT) AS sy,
-         CAST(SUM(j.n * mx.r2x * my.r2y) AS BIGINT) AS sxy,
-         CAST(SUM(j.n * mx.r2x * mx.r2x) AS BIGINT) AS sxx,
-         CAST(SUM(j.n * my.r2y * my.r2y) AS BIGINT) AS syy
+         SUM(CAST(j.n AS HUGEINT) * mx.r2x) AS sx,
+         SUM(CAST(j.n AS HUGEINT) * my.r2y) AS sy,
+         SUM(CAST(j.n AS HUGEINT) * mx.r2x * my.r2y) AS sxy,
+         SUM(CAST(j.n AS HUGEINT) * mx.r2x * mx.r2x) AS sxx,
+         SUM(CAST(j.n AS HUGEINT) * my.r2y * my.r2y) AS syy
   FROM j
   JOIN mx ON mx.event_type = j.event_type AND mx.c = j.c
   JOIN my ON my.event_type = j.event_type AND my.hod = j.hod
   GROUP BY j.event_type
 )
 SELECT event_type, nn AS n,
-       ROUND((CAST(nn AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / sqrt((CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(nn AS DOUBLE) * syy
-                       - CAST(sy AS DOUBLE) * sy)), 6) AS rho
+       ROUND((CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS rho
 FROM s
-WHERE CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
-  AND CAST(nn AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+WHERE CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+  AND CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE)
+        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
 """
 
 
@@ -1649,9 +1654,11 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer moments in one closed-form double expression per
     engine. A rank() window over raw rows would be a corpus-wide total
     sort; this is one groupBy plus windows over metadata-sized grids.
-    Overflow bound: Σ n·R2² ≤ 4N³ fits BIGINT to N ≈ 1.3e6 rows/group;
-    past that lift the two square moments to DECIMAL(38,0) (same plan,
-    the pca_power_component device).
+    Overflow: Σ n·R2² grows as 4N³, which bursts BIGINT at N ≈ 1.3e6
+    rows/group (the x100 scaleproof caught the BIGINT draft doing
+    exactly that), so the weighted moment products are lifted to
+    DECIMAL(38,0) / HUGEINT — headroom to N ≈ 1e12 — and only the final
+    closed form drops to DOUBLE (the pca_power_component device).
 
     Reference analog: frequencyAnalysis.py's per-group statistics layer
     (frequencyAnalysis.py:31-35), extended to rank association.
@@ -1701,21 +1708,34 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("n").alias("nn"),
-            F.sum(F.expr("n * r2x")).alias("sx"),
-            F.sum(F.expr("n * r2y")).alias("sy"),
-            F.sum(F.expr("n * r2x * r2y")).alias("sxy"),
-            F.sum(F.expr("n * r2x * r2x")).alias("sxx"),
-            F.sum(F.expr("n * r2y * r2y")).alias("syy"),
+            F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * r2x")).alias("sx"),
+            F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * r2y")).alias("sy"),
+            F.sum(
+                F.expr("CAST(n AS DECIMAL(38,0)) * r2x * r2y")
+            ).alias("sxy"),
+            F.sum(
+                F.expr("CAST(n AS DECIMAL(38,0)) * r2x * r2x")
+            ).alias("sxx"),
+            F.sum(
+                F.expr("CAST(n AS DECIMAL(38,0)) * r2y * r2y")
+            ).alias("syy"),
         )
     )
-    varx = "CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"
-    vary = "CAST(nn AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"
+    varx = (
+        "CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    )
+    vary = (
+        "CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
     return s.filter(F.expr(f"{varx} > 0 AND {vary} > 0")).select(
         "event_type",
         F.col("nn").alias("n"),
         F.expr(
-            "ROUND((CAST(nn AS DOUBLE) * sxy"
-            f" - CAST(sx AS DOUBLE) * sy) / sqrt(({varx}) * ({vary})), 6)"
+            "ROUND((CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            f" / sqrt(({varx}) * ({vary})), 6)"
         ).alias("rho"),
     )
 
@@ -1984,3 +2004,106 @@ def feature_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND(-{hy}, 6)").alias("hy_nats"),
         F.expr(f"ROUND({mi} / sqrt(({hx}) * ({hy})), 6)").alias("nmi"),
     )
+
+
+_FH_B = 256  # hashed feature dimensionality
+
+
+_FH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS h32
+  FROM toks
+),
+v AS (
+  SELECT doc_id, h32 % {_FH_B} AS bucket,
+         CAST(SUM(CASE WHEN (h32 // {_FH_B}) % 2 = 0 THEN 1 ELSE -1 END)
+              AS BIGINT) AS wgt
+  FROM h GROUP BY 1, 2
+),
+nz AS (SELECT * FROM v WHERE wgt <> 0)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS nnz,
+       CAST(SUM(ABS(wgt)) AS BIGINT) AS l1,
+       CAST(SUM(wgt * wgt) AS BIGINT) AS l2sq,
+       md5(array_to_string(
+           list_sort(list(CAST(bucket AS VARCHAR) || ':'
+                          || CAST(wgt AS VARCHAR))), ',')) AS vec_digest
+FROM nz GROUP BY doc_id
+"""
+
+
+@query("feature_hashing_trick", oracle=_FH_ORACLE)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick vectorization (Weinberger et al., ICML 2009):
+    tokens hash into a fixed {b}-dimensional space with a ±1 sign bit
+    drawn from the same hash, so collisions cancel in expectation and no
+    vocabulary table exists at all — the streaming-friendly featurizer
+    for unbounded vocabularies (contrast tokenizer_vocab_coverage, which
+    needs the trained vocab broadcast). Emits each document's sparse
+    vector as exact counts: nnz / L1 / L2², plus an md5 digest of the
+    canonically-ordered (bucket, weight) pairs — the driver-hashable
+    witness of the full vector (the training.py digest device).
+
+    Scale shape: token explode is linear in corpus tokens; BOTH
+    aggregations key on doc_id (bucket fan-in, then vector rollup), so
+    the heavy shuffle happens once and the second is a near-local
+    re-group of ≤ {b} rows per doc. No vocabulary join, no driver state,
+    no Python — the hash, sign, and digest are all codegen expressions
+    via the module-standard md5-conv device (bit-identical on both
+    engines). Weights that cancel to exactly 0 are dropped (absent from
+    a sparse vector by definition).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), w -> w <> '')")
+        ).alias("w"),
+    )
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h32"),
+    )
+    v = (
+        h.groupBy(
+            "doc_id", F.expr(f"h32 % {_FH_B}").alias("bucket")
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN (h32 DIV {_FH_B}) % 2 = 0"
+                    " THEN 1 ELSE -1 END"
+                )
+            ).alias("wgt")
+        )
+        .filter(F.col("wgt") != 0)
+    )
+    return v.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum(F.abs(F.col("wgt"))).alias("l1"),
+        F.sum(F.expr("wgt * wgt")).alias("l2sq"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.expr(
+                            "CAST(bucket AS STRING) || ':'"
+                            " || CAST(wgt AS STRING)"
+                        )
+                    )
+                ),
+            )
+        ).alias("vec_digest"),
+    )
+
+
+feature_hashing_trick.__doc__ = feature_hashing_trick.__doc__.format(b=_FH_B)

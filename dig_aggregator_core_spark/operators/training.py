@@ -1582,3 +1582,129 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ew", 1).alias("first_word_tokens"),
         F.md5(F.array_join("ew", " ")).alias("tok_digest"),
     )
+
+
+_BON_N = 4  # group size: 1 prompt + 3 sampled candidates
+
+
+_BON_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, source, text, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+),
+g AS (
+  SELECT *, CAST((rk - 1) // {_BON_N} AS BIGINT) AS grp,
+         rk % {_BON_N} = 1 AS is_prompt
+  FROM r
+),
+full_g AS (
+  SELECT source, grp FROM g GROUP BY 1, 2 HAVING COUNT(*) = {_BON_N}
+),
+cand AS (
+  SELECT g.source, g.grp, g.doc_id, g.text, g.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY g.source, g.grp
+           ORDER BY g.n_chars DESC, g.doc_id) AS cr
+  FROM g JOIN full_g USING (source, grp)
+  WHERE NOT g.is_prompt
+),
+p AS (
+  SELECT g.source, g.grp, g.doc_id AS prompt_doc, g.text AS p_text
+  FROM g JOIN full_g USING (source, grp)
+  WHERE g.is_prompt
+)
+SELECT p.source, p.prompt_doc,
+       CAST(b.doc_id AS BIGINT) AS best_doc,
+       CAST(b.n_chars AS BIGINT) AS reward_best,
+       CAST(b.n_chars - s.n_chars AS BIGINT) AS margin,
+       CAST({_BON_N} - 1 AS BIGINT) AS n_candidates,
+       md5('### Prompt:' || chr(10) || p.p_text
+           || chr(10) || '### Best:' || chr(10) || b.text)
+         AS bon_digest
+FROM p
+JOIN cand b ON b.source = p.source AND b.grp = p.grp AND b.cr = 1
+JOIN cand s ON s.source = p.source AND s.grp = p.grp AND s.cr = 2
+"""
+
+
+@query("rlhf_best_of_n", oracle=_BON_ORACLE)
+def rlhf_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling (the RLHF data-collection primitive:
+    sample n candidates per prompt, keep the reward argmax — Stiennon et
+    al. 2020 / Nakano et al. 2021): documents group into
+    1-prompt + {n}-candidate blocks within source in md5 order (the
+    dpo_pair_assembly fixture device, n_chars as the deterministic
+    reward stand-in), and each block emits the winning candidate, its
+    reward, the margin over the runner-up (the best-of-n confidence
+    signal used to filter low-separation prompts), and an md5 digest of
+    the assembled prompt+best text. Incomplete trailing blocks drop —
+    a partial candidate set is not a valid best-of-n draw.
+
+    Scale shape: ONE corpus scan. The source-partition window orders
+    the corpus (md5 order — the sampling family's partitioning-invariant
+    device), then the whole block assembly is a SINGLE (source, block)
+    aggregation: the prompt splices in via a conditional max_by, and the
+    winner/runner-up come from a sort_array over the block's
+    ({n}+1)-element candidate structs — no joins back to the corpus (a
+    three-way join draft re-read the scan six times; this form reads it
+    once). Ordering inside the array struct is (-reward, doc_id), so
+    the argmax and tie-break are exact and cross-engine deterministic.
+    Digests make the assembled text driver-hashable (the training.py
+    digest device).
+    """
+    d = load(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = d.select("doc_id", "source", "text", "n_chars").withColumn(
+        "rk", F.row_number().over(wsrc)
+    )
+    g = r.select(
+        "*",
+        F.expr(f"CAST((rk - 1) DIV {_BON_N} AS BIGINT)").alias("grp"),
+        F.expr(f"rk % {_BON_N} = 1").alias("is_prompt"),
+    )
+    blocks = g.groupBy("source", "grp").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max_by(
+            F.struct("doc_id", "text"), F.when(F.col("is_prompt"), 1)
+        ).alias("prompt"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    ~F.col("is_prompt"),
+                    F.struct(
+                        (-F.col("n_chars")).alias("neg_q"),
+                        "doc_id",
+                        "n_chars",
+                        "text",
+                    ),
+                )
+            )
+        ).alias("cands"),
+    )
+    return blocks.filter(F.col("cnt") == _BON_N).select(
+        "source",
+        F.col("prompt.doc_id").alias("prompt_doc"),
+        F.col("cands")[0]["doc_id"].cast("bigint").alias("best_doc"),
+        F.col("cands")[0]["n_chars"].cast("bigint").alias("reward_best"),
+        (
+            F.col("cands")[0]["n_chars"] - F.col("cands")[1]["n_chars"]
+        ).cast("bigint").alias("margin"),
+        F.lit(_BON_N - 1).cast("bigint").alias("n_candidates"),
+        F.md5(
+            F.concat(
+                F.lit("### Prompt:"),
+                F.expr("chr(10)"),
+                F.col("prompt.text"),
+                F.expr("chr(10)"),
+                F.lit("### Best:"),
+                F.expr("chr(10)"),
+                F.col("cands")[0]["text"],
+            )
+        ).alias("bon_digest"),
+    )
+
+
+rlhf_best_of_n.__doc__ = rlhf_best_of_n.__doc__.format(n=_BON_N - 1)

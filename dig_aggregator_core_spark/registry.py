@@ -228,6 +228,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "timeseries_acf",
         "eval_rouge_n_recall",
         "link_prediction_adamic_adar",
+        "feature_hashing_trick",
+        "rlhf_best_of_n",
+        "stream_changepoint_cusum",
     }
 )
 

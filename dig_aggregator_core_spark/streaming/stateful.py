@@ -1632,3 +1632,122 @@ def stream_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import warehouse as _warehouse  # noqa: E402
 
 _ORACLES["stream_golden_record"] = _ORACLES["golden_record_survivorship"]
+
+
+_CUSUM_STATE = "k bigint, cum bigint"
+_CUSUM_OUT = "event_type string, rn bigint, cum bigint"
+
+
+def _cusum_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-series cumulative-sum fold with O(1) state: carry only
+    (position k, running cents sum) across micro-batches; each batch
+    concat + sorts by (us, event_id) (the chunk-ordering lesson) and
+    emits one (rn, cum) prefix row per event — exact integers, so any
+    batch seam reproduces the batch window's cumsum bit-for-bit."""
+    k, cum = state.get if state.exists else (0, 0)
+    chunks = [p for p in pdfs if len(p)]
+    out_rn: list[int] = []
+    out_cum: list[int] = []
+    if chunks:
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        for _us, _eid, c in (
+            batch.sort_values(["us", "event_id"], kind="mergesort")[
+                ["us", "event_id", "c"]
+            ].itertuples(index=False, name=None)
+        ):
+            k += 1
+            cum += int(c)
+            out_rn.append(k)
+            out_cum.append(cum)
+        state.update((k, cum))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(out_rn),
+            "rn": pd.array(out_rn, dtype="Int64"),
+            "cum": pd.array(out_cum, dtype="Int64"),
+        }
+    )
+
+
+@query("stream_changepoint_cusum")
+def stream_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection maintained INCREMENTALLY: the
+    cumulative-deviation peak needs the series TOTAL, which no one-pass
+    stream knows until it drains — so the op splits stream-reduce /
+    batch-finalize (the stream_assoc_rules device): an
+    applyInPandasWithState fold carries O(1) state per series (position,
+    running integer-cents sum) and APPENDS one exact prefix row per
+    event, then the argmax of |n·cum_k − k·total| runs as the batch
+    finalize over the drained sink — the identical exact-BIGINT
+    statistic as the batch twin, so the two must agree bit-for-bit once
+    the stream drains (shared ORACLE, registered below). A monitoring
+    dashboard re-runs only the finalize; the event stream is never
+    re-read.
+
+    Cross-batch equivalence holds when batches arrive in event-time
+    order per series (exact under AvailableNow replay) — the same
+    documented reorder-buffer limit as the EWMA/transition folds."""
+    stream = _events_stream(spark, sf_dir)
+    prepared = stream.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+    )
+    deltas = prepared.groupBy("event_type").applyInPandasWithState(
+        _cusum_fn,
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _run_to_memory(deltas, "append")
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("event_type")
+    s = drained.select(
+        "event_type",
+        "rn",
+        "cum",
+        F.max("rn").over(wp).alias("n"),
+        F.max_by("cum", "rn").over(wp).alias("tot"),
+    )
+    d = s.select(
+        "event_type",
+        "rn",
+        "n",
+        F.expr("n * cum - rn * tot").alias("num"),
+    ).withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("num")).desc(), F.col("rn").asc()
+            )
+        ),
+    )
+    return d.filter(F.col("pick") == 1).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("rn").cast("bigint").alias("peak_rn"),
+        F.expr("ROUND(abs(CAST(num AS DOUBLE)) / n / 100.0, 6)").alias(
+            "peak_dev"
+        ),
+        F.when(F.col("num") > 0, F.lit(1)).otherwise(F.lit(-1)).alias(
+            "direction"
+        ),
+    )
+
+
+from ..operators import timeseries as _timeseries  # noqa: E402
+
+_ORACLES["stream_changepoint_cusum"] = _ORACLES[
+    "timeseries_changepoint_cusum"
+]
