@@ -663,3 +663,130 @@ def engagement_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness_micro"
         ),
     )
+
+
+_KM_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         MIN(CAST(ts AS DATE)) AS first_day,
+         MAX(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY user_id
+),
+p AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS purch_day
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+lt AS (
+  SELECT date_diff('day', f.first_day,
+                   COALESCE(p.purch_day, f.last_day)) AS t,
+         p.user_id IS NOT NULL AS observed
+  FROM f LEFT JOIN p USING (user_id)
+),
+grid AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS total_t
+  FROM lt GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         CAST(SUM(total_t) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+  FROM grid
+),
+surv AS (
+  SELECT t, d, n_risk,
+         SUM(CASE WHEN d > 0 AND d < n_risk
+               THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+               ELSE 0.0 END) OVER (ORDER BY t ASC) AS logsurv,
+         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ASC) AS hit_zero
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS t_days, n_risk, d AS d_events,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE ROUND(exp(logsurv), 6) + 0.0 END AS survival
+FROM surv WHERE d > 0
+"""
+
+
+@query("survival_kaplan_meier", oracle=_KM_ORACLE)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion estimator with right censoring:
+    t is days from a user's FIRST event to their FIRST purchase; users
+    who never purchase are censored at their last activity day (their t
+    is a lower bound, not a conversion) — the estimator the naive
+    "average days-to-purchase" metric silently corrupts by dropping or
+    mis-counting non-converters. At each observed conversion time t the
+    curve multiplies by (1 - d_t / n_t), n_t counting everyone whose
+    follow-up reached t, converted or censored. The final grid row where d_t = n_t is the
+    absorbing state: S drops to exactly 0 there, handled as a flag so
+    neither engine evaluates ln(0).
+
+    Plan: TWO user_id-keyed aggregations (activity span, first purchase)
+    that AQE resolves into one exchange-sharing join on user_id — the
+    corpus collapses to one (t, observed) pair per user before anything
+    else runs. Everything after operates on the t-keyed GRID, bounded by
+    the follow-up span in days — metadata-sized by construction — so the
+    reverse-cumulative at-risk window and the forward log-survival
+    prefix run on a single tiny partition BY DESIGN (the table_profile
+    grid-finale pattern); the sort input is the grid, never the corpus.
+    d and n_risk stay exact BIGINTs; only the curve is a double — the
+    ln/exp fold visits grid rows in identical order on both engines and
+    ROUND(,6)+0.0 absorbs libm-vs-JVM last-ulp drift. Reference analog:
+    frequencyAnalysis.py's per-group summary layer
+    (frequencyAnalysis.py:31-35) extended to censored durations.
+    """
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("purch_day"))
+    )
+    lt = f.join(p, "user_id", "left").select(
+        F.datediff(
+            F.coalesce("purch_day", "last_day"), F.col("first_day")
+        ).alias("t"),
+        F.col("purch_day").isNotNull().alias("observed"),
+    )
+    grid = lt.groupBy("t").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("total_t"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.withColumn(
+        "n_risk", F.sum("total_t").over(w_desc).cast("bigint")
+    )
+    w_asc = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = risk.withColumn(
+        "logsurv",
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk")
+                ),
+            ).otherwise(F.lit(0.0))
+        ).over(w_asc),
+    ).withColumn(
+        "hit_zero",
+        F.max(
+            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+        ).over(w_asc),
+    )
+    return surv.filter(F.col("d") > 0).select(
+        F.col("t").cast("bigint").alias("t_days"),
+        "n_risk",
+        F.col("d").cast("bigint").alias("d_events"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("logsurv"), 6) + F.lit(0.0))
+        .alias("survival"),
+    )

@@ -623,3 +623,71 @@ def mixture_temperature_reweight(
 mixture_temperature_reweight.__doc__ = (
     mixture_temperature_reweight.__doc__.format(a=_TEMP_ALPHA)
 )
+
+
+_GINI_ORACLE = """
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS i
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND((2.0 * CAST(SUM(i * n_chars) AS DOUBLE)
+              - (COUNT(*) + 1.0) * CAST(SUM(n_chars) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE)
+                * CAST(SUM(n_chars) AS DOUBLE)), 6) + 0.0 AS gini
+FROM r GROUP BY source
+"""
+
+
+@query("source_gini_concentration", oracle=_GINI_ORACLE)
+def source_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document-size concentration — the
+    inequality diagnostic a mixture designer reads BEFORE trusting a
+    per-source token budget: a source whose byte mass hides in a few
+    huge documents (gini → 1) needs document-level capping before the
+    epoch sharder can honor its mixture weight, while an even source
+    (gini → 0) can be sampled uniformly. Uses the exact rank formula
+    G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x) over ascending sizes —
+    tie-invariant because equal x values contribute the same rank-sum
+    under any permutation, and the (n_chars, doc_id) tiebreak makes both
+    engines' rankings identical anyway.
+
+    Plan: the rank window and the final aggregation BOTH key on source,
+    so the corpus shuffles exactly once and the groupBy is partition-
+    local after the window's exchange (the user_activity_streaks
+    exchange-reuse shape). The rank moment Σ i·x stays exact BIGINT —
+    bound n·max(i)·max(x) ≈ n²·x̄, inside BIGINT to ~3e6 docs/source at
+    1 MB averages; past that lift to DECIMAL(38,0) (the
+    pca_power_component device). Only the closed-form ratio is a double.
+    Reference analog: frequencyAnalysis.py's per-group summary layer
+    (frequencyAnalysis.py:31-35) as a concentration statistic.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (
+            F.round(
+                (
+                    F.lit(2.0)
+                    * F.sum(F.expr("i * n_chars")).cast("double")
+                    - (F.count(F.lit(1)) + F.lit(1.0))
+                    * F.sum("n_chars").cast("double")
+                )
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.sum("n_chars").cast("double")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )

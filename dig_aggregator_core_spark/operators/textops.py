@@ -1447,3 +1447,118 @@ def eval_rouge_n_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (p1_micro + r1_micro) AS BIGINT) END"
         ).alias("f1_micro"),
     )
+
+
+_SGT_MAX_R = 8  # small counts, where Good-Turing discounting matters
+
+
+_SGT_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+),
+uni AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS r
+  FROM toks GROUP BY 1, 2
+),
+coc AS (
+  SELECT source, r, CAST(COUNT(*) AS BIGINT) AS n_r
+  FROM uni GROUP BY 1, 2
+),
+tot AS (
+  SELECT source,
+         CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+  FROM coc GROUP BY 1
+)
+SELECT c.source, c.r, c.n_r,
+       nxt.n_r AS n_r_next,
+       CAST(CASE WHEN nxt.n_r IS NULL THEN NULL
+            ELSE ((c.r + 1) * nxt.n_r * 1000000) // c.n_r END
+         AS BIGINT) AS r_star_micro,
+       t.n_tokens,
+       CAST((t.n1 * 1000000) // t.n_tokens AS BIGINT) AS p_unseen_micro
+FROM coc c
+LEFT JOIN coc nxt ON nxt.source = c.source AND nxt.r = c.r + 1
+JOIN tot t ON t.source = c.source
+WHERE c.r <= {_SGT_MAX_R}
+"""
+
+
+@query("lm_good_turing", oracle=_SGT_ORACLE)
+def lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency re-estimation (Good 1953, the count-of-
+    counts smoother): for small r, a token seen r times should be
+    re-counted as r* = (r+1)·N_(r+1)/N_r, and the total probability mass
+    reserved for UNSEEN types is N_1/N — the companion estimate every
+    open-vocabulary LM needs and the Kneser-Ney discount approximates.
+    Emits per (source, r ≤ {m}): the count-of-counts N_r, the adjusted
+    r*, and the source's unseen-mass estimate, all in exact integer
+    micro-units (truncating DIV — no float anywhere, bit-identical
+    across engines).
+
+    Scale shape: the corpus collapses to the unigram TYPE table in one
+    (source, w)-keyed aggregation — the only heavy shuffle, shared with
+    every op in the tokenizer family — then to the (source, r)
+    count-of-counts GRID, bounded by sources × max count: metadata-sized
+    by construction. The r+1 lookup is a self-equi-join ON THE GRID and
+    the token totals ride the same grid aggregation, so nothing after
+    the first shuffle touches corpus-sized data. Reference analog:
+    frequencyAnalysis.py's frequency-table layer
+    (frequencyAnalysis.py:31-35) re-used as an LM estimator.
+    """
+    d = load(spark, sf_dir, "documents")
+    d = maybe_spread(d, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(text, ' '), w -> w <> '')")
+        ).alias("w"),
+    )
+    uni = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    # the count-of-counts grid feeds three consumers (the r-filter, the
+    # r+1 lookup, the totals) — checkpoint it so the corpus-sized
+    # unigram shuffle underneath runs ONCE (the KN/RAKE type-table
+    # device at :999/:1109); the grid itself is metadata-sized
+    coc = (
+        uni.groupBy("source", "r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+        .localCheckpoint()
+    )
+    tot = coc.groupBy("source").agg(
+        F.sum(F.expr("r * n_r")).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    nxt = coc.select(
+        F.col("source").alias("source"),
+        (F.col("r") - 1).alias("r"),
+        F.col("n_r").alias("n_r_next"),
+    )
+    out = (
+        coc.filter(F.col("r") <= _SGT_MAX_R)
+        .join(F.broadcast(nxt), ["source", "r"], "left")
+        .join(F.broadcast(tot), "source")
+    )
+    return out.select(
+        "source",
+        F.col("r").cast("bigint").alias("r"),
+        "n_r",
+        "n_r_next",
+        F.expr(
+            "CAST(CASE WHEN n_r_next IS NULL THEN NULL"
+            " ELSE ((r + 1) * n_r_next * 1000000) DIV n_r END"
+            " AS BIGINT)"
+        ).alias("r_star_micro"),
+        "n_tokens",
+        F.expr("CAST((n1 * 1000000) DIV n_tokens AS BIGINT)").alias(
+            "p_unseen_micro"
+        ),
+    )
+
+
+lm_good_turing.__doc__ = lm_good_turing.__doc__.format(m=_SGT_MAX_R)

@@ -1033,3 +1033,108 @@ def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_min.alias("lag_minutes"),
         (lag_min > 1440).alias("stale"),
     )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem
+),
+g AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM d GROUP BY digit
+),
+t AS (
+  SELECT digit, observed,
+         CAST(SUM(observed) OVER () AS BIGINT) AS total,
+         log10(1.0 + 1.0 / digit) AS p_benford
+  FROM g
+)
+SELECT digit, observed, total,
+       ROUND(p_benford, 6) AS expected_p,
+       ROUND(CAST(observed AS DOUBLE) / total - p_benford, 6) + 0.0
+         AS deviation,
+       ROUND(POW(observed - total * p_benford, 2)
+             / (total * p_benford), 6) + 0.0 AS chi2_term
+FROM t
+"""
+
+
+@query("dq_benford_audit", oracle=_BENFORD_ORACLE)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over a monetary column — the
+    fraud/ETL-corruption screen: naturally-occurring multiplicative
+    amounts follow P(d) = log10(1 + 1/d), and a digit whose chi²
+    contribution spikes marks synthetic, truncated, or unit-mangled
+    data (the classic data-quality tripwire alongside the freshness and
+    null-rate audits in this family). Emits per first digit: observed
+    count, the Benford expectation, signed deviation, and the chi² term
+    whose 8-d.f. total the dashboard thresholds.
+
+    First-digit extraction is STRING-based on the exact DECIMAL(18,2)
+    rendering, never floor(x / 10^floor(log10 x)) — the float-log form
+    misassigns boundary values (1000.0 → log10 = 2.9999…) differently
+    per engine, the string form cannot. TPC-H extendedprice ≥ 900 so
+    the lead character is always a significant digit; a general-domain
+    run would first strip sign/'0.' prefixes with the same regexp
+    device as fn_url_parse.
+
+    Plan: one scan projecting a single column, a 9-group aggregation
+    (map-side combined to 9 rows per task), then the total via a window
+    over the 9-row GRID — metadata-sized by construction, the
+    table_profile grid-finale pattern. Counts stay exact BIGINT; the
+    Benford constants and ratio terms are the only doubles, ROUND(,6)+0.0
+    absorbing last-ulp drift. Reference analog: the reference's variant
+    frequency QC layer (frequencyAnalysis.py:31-35) generalized to
+    digit-distribution conformance.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.substring(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    t = g.select(
+        "digit",
+        "observed",
+        F.sum("observed")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("total"),
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")).alias(
+            "p_benford"
+        ),
+    )
+    return t.select(
+        "digit",
+        "observed",
+        "total",
+        F.round("p_benford", 6).alias("expected_p"),
+        (
+            F.round(
+                F.col("observed").cast("double") / F.col("total")
+                - F.col("p_benford"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("deviation"),
+        (
+            F.round(
+                F.pow(
+                    F.col("observed") - F.col("total") * F.col("p_benford"),
+                    F.lit(2),
+                )
+                / (F.col("total") * F.col("p_benford")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("chi2_term"),
+    )

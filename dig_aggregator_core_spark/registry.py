@@ -231,6 +231,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "feature_hashing_trick",
         "rlhf_best_of_n",
         "stream_changepoint_cusum",
+        "survival_kaplan_meier",
+        "source_gini_concentration",
+        "dq_benford_audit",
+        "lm_good_turing",
     }
 )
 
