@@ -222,6 +222,10 @@ HEADLINE = [
     "source_gini_concentration",
     "dq_benford_audit",
     "lm_good_turing",
+    "eval_rank_fusion_rrf",
+    "drift_js_divergence",
+    "text_zipf_fit",
+    "feature_winsorize",
 ]
 
 

@@ -2107,3 +2107,248 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 feature_hashing_trick.__doc__ = feature_hashing_trick.__doc__.format(b=_FH_B)
+
+
+_JSD_ORACLE = f"""
+WITH c AS (
+  SELECT source, LEAST({_PSI_B - 1}, n_chars // {_PSI_W}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, CAST(b.bin AS BIGINT) AS bin, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT unnest(range({_PSI_B})) AS bin) b
+  LEFT JOIN c ON c.source = s.source AND c.bin = b.bin
+),
+w AS (
+  SELECT *,
+         SUM(n) OVER (PARTITION BY source) AS n_s,
+         SUM(n) OVER (PARTITION BY bin) AS n_b,
+         SUM(n) OVER () AS n_t
+  FROM grid
+),
+k AS (
+  SELECT source, bin, n,
+         CAST(((n + 1) * 1000000) // (n_s + {_PSI_B}) AS BIGINT) AS p_micro,
+         CAST(((n_b + 1) * 1000000) // (n_t + {_PSI_B}) AS BIGINT)
+           AS q_micro,
+         CAST(ROUND((
+             0.5 * (CAST(n + 1 AS DOUBLE) / (n_s + {_PSI_B}))
+               * (ln(CAST(2 * (n + 1) * (n_t + {_PSI_B}) AS DOUBLE))
+                  - ln(CAST((n + 1) * (n_t + {_PSI_B})
+                            + (n_b + 1) * (n_s + {_PSI_B}) AS DOUBLE)))
+           + 0.5 * (CAST(n_b + 1 AS DOUBLE) / (n_t + {_PSI_B}))
+               * (ln(CAST(2 * (n_b + 1) * (n_s + {_PSI_B}) AS DOUBLE))
+                  - ln(CAST((n + 1) * (n_t + {_PSI_B})
+                            + (n_b + 1) * (n_s + {_PSI_B}) AS DOUBLE)))
+         ) * 1000000, 0) AS BIGINT) AS contrib_micro
+  FROM w
+)
+SELECT source, bin, n, p_micro, q_micro, contrib_micro,
+       CAST(SUM(contrib_micro) OVER (PARTITION BY source) AS BIGINT)
+         AS jsd_micro
+FROM k
+"""
+
+
+@query("drift_js_divergence", oracle=_JSD_ORACLE)
+def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence per source against the corpus-wide
+    distribution — the SYMMETRIC, bounded (≤ ln 2) drift score that PSI
+    is not: PSI blows up on near-empty bins and is asymmetric in (p, q),
+    so monitoring stacks pair it with JSD when sources can be tiny or
+    spiky (JSD is also the distance underlying the classic n-gram corpus
+    similarity literature). Same watched distribution and add-one
+    smoothing as drift_psi_by_source: document length, {b} fixed-width
+    bins — the two scores ride IDENTICAL histogram plumbing, so a
+    dashboard computes both from one pass.
+
+    Plan: identical to the PSI op (the array-slot histogram aggregates
+    in ONE corpus pass; posexplode densifies; baseline/total attach via
+    windows over the |sources| × {b} grid — never a corpus re-scan).
+    Determinism: p/q are exact integer micros; each JSD term's ln runs
+    on exact-integer-valued doubles (2p/(p+m) recast as an integer
+    ratio), is rounded ONCE to integer micros, and the per-source total
+    is an exact integer sum of those — the PSI determinism argument
+    verbatim. Reference analog: frequencyAnalysis.py's per-group
+    distribution layer (frequencyAnalysis.py:31-35) as a divergence.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.least(
+            F.lit(_PSI_B - 1), F.floor(F.col("n_chars") / _PSI_W)
+        ).alias("bin"),
+    )
+    hist = docs.groupBy("source").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("bin") == b, 1).otherwise(0)).cast(
+                    "bigint"
+                )
+                for b in range(_PSI_B)
+            ]
+        ).alias("h")
+    )
+    grid = hist.select(
+        "source", F.posexplode("h").alias("bin_i", "n")
+    ).select("source", F.col("bin_i").cast("bigint").alias("bin"), "n")
+    w = (
+        grid.withColumn(
+            "n_s", F.sum("n").over(Window.partitionBy("source"))
+        )
+        .withColumn("n_b", F.sum("n").over(Window.partitionBy("bin")))
+        .withColumn("n_t", F.sum("n").over(Window.partitionBy()))
+    )
+    mden = (
+        f"(n + 1) * (n_t + {_PSI_B}) + (n_b + 1) * (n_s + {_PSI_B})"
+    )
+    contrib = F.round(
+        (
+            F.lit(0.5)
+            * ((F.col("n") + 1) / (F.col("n_s") + _PSI_B))
+            * (
+                F.log(
+                    F.expr(
+                        f"CAST(2 * (n + 1) * (n_t + {_PSI_B}) AS DOUBLE)"
+                    )
+                )
+                - F.log(F.expr(f"CAST({mden} AS DOUBLE)"))
+            )
+            + F.lit(0.5)
+            * ((F.col("n_b") + 1) / (F.col("n_t") + _PSI_B))
+            * (
+                F.log(
+                    F.expr(
+                        f"CAST(2 * (n_b + 1) * (n_s + {_PSI_B}) AS DOUBLE)"
+                    )
+                )
+                - F.log(F.expr(f"CAST({mden} AS DOUBLE)"))
+            )
+        )
+        * 1000000,
+        0,
+    ).cast("bigint")
+    k = w.select(
+        "source",
+        "bin",
+        "n",
+        F.expr(f"((n + 1) * 1000000) div (n_s + {_PSI_B})").alias(
+            "p_micro"
+        ),
+        F.expr(f"((n_b + 1) * 1000000) div (n_t + {_PSI_B})").alias(
+            "q_micro"
+        ),
+        contrib.alias("contrib_micro"),
+    )
+    return k.withColumn(
+        "jsd_micro",
+        F.sum("contrib_micro").over(Window.partitionBy("source")),
+    )
+
+
+drift_js_divergence.__doc__ = drift_js_divergence.__doc__.format(b=_PSI_B)
+
+
+_WINSOR_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+k AS (
+  SELECT *,
+         GREATEST(1, (5 * n) // 100) AS k_lo,
+         LEAST(n, (95 * n + 99) // 100) AS k_hi
+  FROM r
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN rn = k_lo THEN cents END) AS BIGINT)
+         AS lo_cents,
+       CAST(MIN(CASE WHEN rn = k_hi THEN cents END) AS BIGINT)
+         AS hi_cents,
+       CAST(MAX(k_lo) - 1 AS BIGINT) AS n_clipped_low,
+       CAST(MAX(n) - MAX(k_hi) AS BIGINT) AS n_clipped_high,
+       CAST(((SUM(CASE WHEN rn >= k_lo AND rn <= k_hi THEN cents
+                       ELSE 0 END)
+              + (MAX(k_lo) - 1)
+                * MIN(CASE WHEN rn = k_lo THEN cents END)
+              + (MAX(n) - MAX(k_hi))
+                * MIN(CASE WHEN rn = k_hi THEN cents END))
+             * 10000) // MAX(n) AS BIGINT) AS winsor_mean_micro
+FROM k GROUP BY event_type
+"""
+
+
+@query("feature_winsorize", oracle=_WINSOR_ORACLE)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-exact winsorization (5th/95th) per event_type: the outlier-
+    robust scaling step feature pipelines run before z-scoring — values
+    below the k_lo-th order statistic are pulled UP to it and values
+    above the k_hi-th pulled DOWN, unlike trimming (feature_mad_outliers
+    flags, this one replaces). Cutoffs are EXACT order statistics, not
+    percentile_approx — the approx twin pattern (table_profile_approx)
+    applies when the rank window gets expensive.
+
+    The winsorized sum never materializes clipped per-row values: with
+    ranks in hand it is mid_sum + (k_lo−1)·x_(k_lo) + (n−k_hi)·x_(k_hi),
+    so ONE conditional aggregation finishes the job. Values become
+    integer cents first (the stream-CUSUM device) — every moment is
+    exact BIGINT and the mean is a truncating-DIV micro, bit-identical
+    across engines; NaN/NULL are excluded up front (the P2 predicate).
+
+    Scale shape: the rank window and the final groupBy share the single
+    event_type-keyed exchange (the streaks shape). Per-group state is
+    the partition sort — at 100 TB swap the exact ranks for
+    percentile_approx cutoffs (documented swap, same output contract
+    modulo the approximation bound). Reference analog:
+    frequencyAnalysis.py's per-group statistics layer
+    (frequencyAnalysis.py:31-35) made outlier-robust.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wp = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wp.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    k = r.select(
+        "*",
+        F.expr("GREATEST(1, (5 * n) DIV 100)").alias("k_lo"),
+        F.expr("LEAST(n, (95 * n + 99) DIV 100)").alias("k_hi"),
+    )
+    return k.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("rn") == F.col("k_lo"), F.col("cents")))
+        .cast("bigint")
+        .alias("lo_cents"),
+        F.min(F.when(F.col("rn") == F.col("k_hi"), F.col("cents")))
+        .cast("bigint")
+        .alias("hi_cents"),
+        (F.max("k_lo") - 1).cast("bigint").alias("n_clipped_low"),
+        (F.max("n") - F.max("k_hi")).cast("bigint").alias(
+            "n_clipped_high"
+        ),
+        F.expr(
+            "CAST(((SUM(CASE WHEN rn >= k_lo AND rn <= k_hi THEN cents"
+            " ELSE 0 END)"
+            " + (MAX(k_lo) - 1) * MIN(CASE WHEN rn = k_lo THEN cents END)"
+            " + (MAX(n) - MAX(k_hi)) * MIN(CASE WHEN rn = k_hi THEN cents"
+            " END)) * 10000) DIV MAX(n) AS BIGINT)"
+        ).alias("winsor_mean_micro"),
+    )

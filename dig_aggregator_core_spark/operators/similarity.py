@@ -1404,3 +1404,162 @@ def eval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("ap_micro"),
     )
+
+
+_RRF_K = 60  # the standard Cormack et al. (2009) rank-fusion constant
+
+
+_RRF_ORACLE = f"""
+WITH {_VECS_SQL},
+qz AS (
+  SELECT vec_id, v, nrm,
+         list_transform(v, x -> CAST(round((x * 127.0) /
+           greatest(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(v, y -> abs(y))),
+             (acc, y) -> greatest(acc, y)), 1e-30)) AS INT)) AS qvec
+  FROM vecs
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+           (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, len(q.qvec) + 1),
+             i -> CAST(q.qvec[i] AS BIGINT) * CAST(c.qvec[i] AS BIGINT))),
+           (acc, x) -> acc + x) AS qdot
+  FROM (SELECT * FROM qz WHERE {_QUERY_FILTER}) q
+  JOIN qz c ON c.vec_id <> q.vec_id
+),
+rk AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank_cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, neighbor_id) AS rank_q
+  FROM pairs
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         CAST(rank_cos AS INT) AS rank_cos, CAST(rank_q AS INT) AS rank_q,
+         CAST(1000000 // ({_RRF_K} + rank_cos)
+              + 1000000 // ({_RRF_K} + rank_q) AS BIGINT) AS rrf_micro
+  FROM rk
+)
+SELECT query_id, neighbor_id, rank_cos, rank_q, rrf_micro,
+       CAST(fr AS INT) AS fused_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf_micro DESC, neighbor_id) AS fr
+  FROM fused
+) WHERE fr <= {_TOPK}
+"""
+
+
+@query("eval_rank_fusion_rrf", oracle=_RRF_ORACLE)
+def eval_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of two retrieval rankings — the standard score-free way to merge
+    heterogeneous retrievers (here: the exact-cosine ranking and the
+    int8-quantized dot ranking, i.e. full-precision vs compressed-index
+    views of the same corpus): each list contributes 1/(k + rank) with
+    k = {k}, and candidates are re-ranked by the sum. Rank-based, so no
+    score calibration between the retrievers is needed — exactly why RRF
+    is the default fuser in hybrid (BM25 + dense) search stacks.
+
+    Exactness: both input ranks use deterministic tiebreaks, the
+    quantized ranking is pure BIGINT, and the RRF contributions are
+    integer micro-units via truncating DIV — the fused ordering is
+    bit-identical across engines; no float leaves the cosine stage.
+
+    Scale shape: one broadcast of the query panel against the corpus
+    scores both signals in the SAME pass (one pair row carries cos and
+    qdot), so fusion costs nothing beyond the brute-force baseline it
+    rides (ann_topk_bruteforce); the three ranking windows all key on
+    query_id — one exchange, panel-bounded partitions. The production
+    path swaps the brute-force pair source for the bucket-confined one
+    (ann_lsh_multiprobe) with the fusion layer unchanged.
+
+    Reference analog: frequencyAnalysis.py's top-variant ranking layer
+    (frequencyAnalysis.py:31-35) lifted to multi-signal rank fusion.
+    """
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "qvec",
+        F.expr(
+            "transform(v, x -> CAST(round((x * 127.0) /"
+            " greatest(aggregate(transform(v, y -> abs(y)),"
+            " CAST(0.0 AS DOUBLE), (acc, y) -> greatest(acc, y)),"
+            " 1e-30)) AS INT))"
+        ),
+    )
+    q = vecs.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("qvec").alias("qq"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+                F.col("qvec").alias("cq"),
+            )
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+            ).alias("cos"),
+            F.expr(
+                "aggregate(zip_with(qq, cq,"
+                " (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("qdot"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    rk = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_cos).alias("rank_cos"),
+        F.row_number().over(w_q).alias("rank_q"),
+    )
+    fused = rk.select(
+        "query_id",
+        "neighbor_id",
+        "rank_cos",
+        "rank_q",
+        F.expr(
+            f"CAST(1000000 DIV ({_RRF_K} + rank_cos)"
+            f" + 1000000 DIV ({_RRF_K} + rank_q) AS BIGINT)"
+        ).alias("rrf_micro"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_cos",
+            "rank_q",
+            "rrf_micro",
+            "fused_rank",
+        )
+    )
+
+
+eval_rank_fusion_rrf.__doc__ = eval_rank_fusion_rrf.__doc__.format(k=_RRF_K)

@@ -1562,3 +1562,138 @@ def lm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 lm_good_turing.__doc__ = lm_good_turing.__doc__.format(m=_SGT_MAX_R)
+
+
+_ZIPF_K = 100  # head ranks used for the log-log fit
+
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+),
+uni AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+rk AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, w) AS r
+  FROM uni
+),
+m AS (
+  SELECT source,
+         CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+  FROM rk WHERE r <= {_ZIPF_K}
+),
+s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM m GROUP BY source
+)
+SELECT source, k AS n_terms,
+       ROUND((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         + 0.0 AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE) - ((CAST(k AS DOUBLE) * sxy
+                - CAST(sx AS DOUBLE) * sy)
+               / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+              * sx) / k / 1000000.0, 6) + 0.0 AS intercept_nats,
+       ROUND(POW(CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
+             / ((CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) + 0.0 AS r2
+FROM s
+WHERE CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+  AND CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+"""
+
+
+@query("text_zipf_fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(frequency) against
+    ln(rank) over the top-{k} token ranks — natural text sits near
+    slope −1, and a source that deviates hard (machine-generated
+    boilerplate: too flat; key-value dumps: too steep) is the classic
+    corpus-pathology screen run BEFORE tokenizer training (a skewed
+    head distorts BPE merge order). Emits slope, intercept, and R² of
+    the log-log fit.
+
+    Determinism: ranks use the (count DESC, token) tiebreak; ln runs on
+    exact-integer-valued doubles and is rounded ONCE per row to integer
+    micros (the PSI single-rounding argument), after which ALL OLS
+    moments are exact BIGINT sums — Σxy ≤ K·(ln K·10⁶)² ≈ 2e15 at
+    K={k}, five orders inside BIGINT — and only the closed-form
+    slope/intercept/R² drop to doubles.
+
+    Scale shape: the corpus collapses to the unigram type table in one
+    (source, w)-keyed shuffle (shared with the tokenizer/Good-Turing
+    family); the rank window keys on source over the TYPE table (vocab-
+    sized, not corpus-sized), the head filter keeps {k} rows per source,
+    and the moment aggregation reuses the same source partitioning.
+    Reference analog: frequencyAnalysis.py's frequency-table layer
+    (frequencyAnalysis.py:31-35) fitted against its theoretical law.
+    """
+    d = load(spark, sf_dir, "documents")
+    d = maybe_spread(d, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(text, ' '), w -> w <> '')")
+        ).alias("w"),
+    )
+    uni = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_rk = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("w")
+    )
+    m = (
+        uni.withColumn("r", F.row_number().over(w_rk))
+        .filter(F.col("r") <= _ZIPF_K)
+        .select(
+            "source",
+            F.expr(
+                "CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000, 0)"
+                " AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000, 0)"
+                " AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    s = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    slope_num = "CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy"
+    varx = "CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"
+    vary = "CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"
+    return s.filter(F.expr(f"{varx} > 0 AND {vary} > 0")).select(
+        "source",
+        F.col("k").alias("n_terms"),
+        F.expr(f"ROUND(({slope_num}) / ({varx}), 6) + 0.0").alias(
+            "zipf_slope"
+        ),
+        F.expr(
+            f"ROUND((CAST(sy AS DOUBLE) - (({slope_num}) / ({varx}))"
+            " * sx) / k / 1000000.0, 6) + 0.0"
+        ).alias("intercept_nats"),
+        F.expr(
+            f"ROUND(POW({slope_num}, 2) / (({varx}) * ({vary})), 6)"
+            " + 0.0"
+        ).alias("r2"),
+    )

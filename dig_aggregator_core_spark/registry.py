@@ -235,6 +235,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "source_gini_concentration",
         "dq_benford_audit",
         "lm_good_turing",
+        "eval_rank_fusion_rrf",
+        "drift_js_divergence",
+        "text_zipf_fit",
+        "feature_winsorize",
     }
 )
 

@@ -98,6 +98,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "feature_quantile_normalize_approx": "1-row (approx grid, exact band) frame broadcast onto ranked docs",
         "lm_kneser_ney_bigram": "1-row bigram-type-total frame broadcast for continuation probs",
         "ann_index_persist": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
+        "eval_rank_fusion_rrf": "query panel broadcast against the corpus (inherits the ann_topk_bruteforce yardstick shape)",
         "eval_ndcg_at_k": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
         "stats_mann_whitney_u": "|domain|-row control histogram crossed onto the |groups| spine",
         "privacy_t_closeness": "|langs|-row global-distribution frame + 1-row grand total crossed onto the class grid",
