@@ -226,6 +226,10 @@ HEADLINE = [
     "drift_js_divergence",
     "text_zipf_fit",
     "feature_winsorize",
+    "eval_brier_decomposition",
+    "feature_rfm_segmentation",
+    "text_ngram_novelty",
+    "quality_compression_ratio",
 ]
 
 

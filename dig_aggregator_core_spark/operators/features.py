@@ -2352,3 +2352,129 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END)) * 10000) DIV MAX(n) AS BIGINT)"
         ).alias("winsor_mean_micro"),
     )
+
+
+_BRIER_ORACLE = f"""
+WITH scored AS ({_eval_scored_sql("list_distinct", "len", "string_split", "list_filter")}),
+b AS (
+  SELECT LEAST(9, CAST(su // 100000 AS BIGINT)) AS bin, su, pos
+  FROM scored
+),
+g AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(su) AS BIGINT) AS ssu,
+         CAST(SUM((su - pos * 1000000) * (su - pos * 1000000))
+              AS BIGINT) AS se2
+  FROM b GROUP BY bin
+),
+t AS (
+  SELECT bin, n, n_pos, ssu, se2,
+         CAST(SUM(n) OVER () AS BIGINT) AS nt,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS pt,
+         CAST(SUM(se2) OVER () AS BIGINT) AS se2t
+  FROM g
+)
+SELECT bin, n, n_pos,
+       ROUND(CAST(ssu AS DOUBLE) / n / 1000000.0, 6) AS mean_score,
+       ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+       ROUND(POW(CAST(ssu - n_pos * 1000000 AS DOUBLE)
+                 / 1000000.0 / n, 2) * n / nt * 1000000.0, 0)
+         AS rel_contrib_micro,
+       ROUND(POW(CAST(n_pos AS DOUBLE) / n
+                 - CAST(pt AS DOUBLE) / nt, 2) * n / nt * 1000000.0, 0)
+         AS res_contrib_micro,
+       ROUND(CAST(se2t AS DOUBLE) / nt / 1e12, 6) AS brier,
+       ROUND(CAST(pt AS DOUBLE) / nt
+             * (1.0 - CAST(pt AS DOUBLE) / nt), 6) AS uncertainty
+FROM t
+"""
+
+
+@query("eval_brier_decomposition", oracle=_BRIER_ORACLE)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score into
+    reliability − resolution + uncertainty over the 10-bin reliability
+    grid — the eval that separates "the filter's scores are mis-scaled"
+    (reliability: bin mean score vs bin positive rate) from "the filter
+    can't discriminate at all" (resolution: bin rate vs base rate) —
+    complementing eval_calibration_bins (which shows the diagram, not
+    the attribution) and eval_auc_binned (rank-only). Shares this
+    family's deterministic micro-unit scorer, so every moment entering
+    the decomposition is an exact integer.
+
+    Exactness: the raw Brier numerator Σ(su − pos·10⁶)² is exact BIGINT
+    (≤ 10¹² per row — lift to DECIMAL(38,0) past ~9e6 rows, the
+    pca_power_component device); bin moments are exact; each reported
+    term is a single closed-form double rounding. Per-bin REL/RES
+    contributions are emitted in micros so the dashboard's sums
+    reconstruct the decomposition identity up to within-bin variance
+    (scores vary inside a bin — the standard caveat).
+
+    Scale: one scan reduces map-side to the 10-bin grid; totals attach
+    via windows over that grid (the PSI finale). Nothing else moves.
+    Reference analog: frequencyAnalysis.py's per-group statistics layer
+    (frequencyAnalysis.py:31-35) as a forecast-quality decomposition.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"),
+    )
+    scored = d.select(
+        F.expr(
+            "CAST(round(("
+            + _EVAL_SCORE.format(
+                nd="size(array_distinct(w))", n="size(w)"
+            )
+            + ") * 1000000.0) AS BIGINT)"
+        ).alias("su"),
+        F.expr(f"CASE WHEN {_EVAL_LABEL} THEN 1 ELSE 0 END").alias("pos"),
+    )
+    b = scored.select(
+        F.least(F.lit(9), (F.col("su") / 100000).cast("long")).alias(
+            "bin"
+        ),
+        "su",
+        "pos",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("su").cast("bigint").alias("ssu"),
+        F.sum(
+            F.expr("(su - pos * 1000000) * (su - pos * 1000000)")
+        )
+        .cast("bigint")
+        .alias("se2"),
+    )
+    wg = Window.partitionBy()
+    t = (
+        g.withColumn("nt", F.sum("n").over(wg).cast("bigint"))
+        .withColumn("pt", F.sum("n_pos").over(wg).cast("bigint"))
+        .withColumn("se2t", F.sum("se2").over(wg).cast("bigint"))
+    )
+    return t.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr(
+            "ROUND(CAST(ssu AS DOUBLE) / n / 1000000.0, 6)"
+        ).alias("mean_score"),
+        F.expr("ROUND(CAST(n_pos AS DOUBLE) / n, 6)").alias("pos_rate"),
+        F.expr(
+            "ROUND(POW(CAST(ssu - n_pos * 1000000 AS DOUBLE)"
+            " / 1000000.0 / n, 2) * n / nt * 1000000.0, 0)"
+        ).alias("rel_contrib_micro"),
+        F.expr(
+            "ROUND(POW(CAST(n_pos AS DOUBLE) / n"
+            " - CAST(pt AS DOUBLE) / nt, 2) * n / nt * 1000000.0, 0)"
+        ).alias("res_contrib_micro"),
+        F.expr("ROUND(CAST(se2t AS DOUBLE) / nt / 1e12, 6)").alias(
+            "brier"
+        ),
+        F.expr(
+            "ROUND(CAST(pt AS DOUBLE) / nt"
+            " * (1.0 - CAST(pt AS DOUBLE) / nt), 6)"
+        ).alias("uncertainty"),
+    )

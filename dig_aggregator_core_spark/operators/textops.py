@@ -1697,3 +1697,155 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 0.0"
         ).alias("r2"),
     )
+
+
+_NOVEL_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS gd
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+    FROM base WHERE len(toks) >= 3
+  )
+),
+firstdoc AS (
+  SELECT doc_id, gd,
+         MIN(doc_id) OVER (PARTITION BY gd) AS fd
+  FROM grams
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS novelty_micro
+FROM firstdoc GROUP BY doc_id
+"""
+
+
+@query("text_ngram_novelty", oracle=_NOVEL_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against everything BEFORE it in
+    corpus order: the share of a document's distinct word-3-grams whose
+    FIRST corpus occurrence is this document — the streaming-ingest
+    freshness signal (a near-zero novelty doc is boilerplate or a
+    near-dup; contrast dedup_minhash_lsh which asks the pairwise
+    question, this asks the longitudinal one, cf. the memorization /
+    train-set-overlap analyses of Lee et al. 2022).
+
+    Shuffle discipline: grams leave the scan as 60-bit md5 DIGESTS, so
+    both wide stages move (doc_id, int64) pairs, never text (the dedup
+    module's signature rule). Three linear stages: distinct (doc, gram)
+    pairs; first-occurrence via a gram-keyed window min (attribution
+    rides the same exchange); per-doc rollup keyed on doc_id. ~60-bit
+    digests make cross-doc collisions negligible (~n²/2⁶⁰) and, being
+    md5-derived, IDENTICAL on both engines (the module-standard
+    md5-conv device).
+
+    Corpus order = doc_id (ingest sequence in this schema); at 100 TB
+    the same plan runs with the ledger's monotone batch ids as the
+    order key. Reference analog: frequencyAnalysis.py's first-seen
+    variant accounting (frequencyAnalysis.py:31-35) lifted to n-grams.
+    """
+    d = load(spark, sf_dir, "documents")
+    d = maybe_spread(d, sf_dir, "documents", "doc_id")
+    base = d.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), w -> w <> '')").alias("toks"),
+    ).filter(F.expr("size(toks) >= 3"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("gd"),
+    )
+    pairs = grams.groupBy("doc_id", "gd").agg(F.lit(1).alias("_one"))
+    fd = pairs.select(
+        "doc_id",
+        "gd",
+        F.min("doc_id").over(Window.partitionBy("gd")).alias("fd"),
+    )
+    return fd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.expr(
+            "CAST((SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)"
+            " * 1000000) DIV COUNT(*) AS BIGINT)"
+        ).alias("novelty_micro"),
+    )
+
+
+def _zlib_ratio_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched zlib probe: level 6, raw UTF-8 bytes. Emits exact
+    integer byte counts; the ratio is quantized to micros here (one
+    rounding site) so downstream filters compare integers."""
+    import zlib
+
+    for pdf in batches:
+        raw = pdf["text"].fillna("").str.encode("utf-8")
+        n_raw = raw.str.len().astype("int64")
+        n_comp = raw.map(
+            lambda b: len(zlib.compress(b, 6))
+        ).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": n_raw,
+                "n_compressed": n_comp,
+                "ratio_micro": (
+                    n_comp * 1000000 // n_raw.clip(lower=1)
+                ).astype("int64"),
+            }
+        )
+
+
+@query("quality_compression_ratio")
+def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the Gopher / RefinedWeb
+    quality rule the heuristic proxies (entropy_filter,
+    text_bigram_diversity) approximate: highly compressible text
+    (ratio → 0) is repetitive boilerplate, incompressible text
+    (ratio → 1) is noise/binary-in-text; natural prose sits in a band.
+    Kept as REAL compression (DEFLATE level 6 over raw UTF-8), because
+    the band thresholds in the literature are calibrated against actual
+    deflate output, not entropy proxies.
+
+    Execution: mapInPandas — Arrow batches in, vectorized pandas string
+    ops + per-doc zlib calls, exact integer byte counts out; the only
+    Python in the plan is the codec itself (allowlisted, the text_langid
+    pattern). Embarrassingly parallel, zero shuffle, scales with scan
+    partitions. No SQL oracle exists for DEFLATE, so this op is
+    rows-only at the driver; tests/test_zlib_ratio.py pins exact byte
+    counts against direct zlib calls instead (the compression is
+    deterministic for a fixed level + library, both pinned in this
+    container). Reference analog: the reference's QC filter layer
+    (frequencyAnalysis.py:31-35) upgraded to codec-grade repetition
+    detection.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _zlib_ratio_batches,
+        schema=(
+            "doc_id long, n_bytes long, n_compressed long,"
+            " ratio_micro long"
+        ),
+    )

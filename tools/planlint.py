@@ -99,6 +99,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "lm_kneser_ney_bigram": "1-row bigram-type-total frame broadcast for continuation probs",
         "ann_index_persist": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
         "eval_rank_fusion_rrf": "query panel broadcast against the corpus (inherits the ann_topk_bruteforce yardstick shape)",
+        "feature_rfm_segmentation": "1-row study-end anchor frame broadcast onto the user table",
         "eval_ndcg_at_k": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
         "stats_mann_whitney_u": "|domain|-row control histogram crossed onto the |groups| spine",
         "privacy_t_closeness": "|langs|-row global-distribution frame + 1-row grand total crossed onto the class grid",
@@ -108,6 +109,7 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
+        "quality_compression_ratio": "the codec IS the operator — zlib has no SQL form; Arrow-batched",
         "udaf_pandas_geomean": "the designated grouped-agg pandas UDAF",
         "mm_decode_features": "multimodal decode is Pandas-UDF plumbing by brief",
         "mm_frame_sample": "multimodal frame sampling, mapInPandas by brief",
