@@ -691,3 +691,135 @@ def source_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("gini"),
     )
+
+
+_NEYMAN_BUDGET = 1000  # total sample size to apportion
+
+
+_NEYMAN_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                  * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc2
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY event_type
+),
+w AS (
+  SELECT event_type, n_h,
+         CAST(ROUND(n_h * sqrt(
+             (CAST(n_h AS DOUBLE) * sc2 - CAST(sc AS DOUBLE) * sc)
+             / (CAST(n_h AS DOUBLE) * (n_h - 1))) * 1000000, 0)
+           AS BIGINT) AS w_micro
+  FROM s WHERE n_h >= 2
+),
+t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot FROM w),
+q AS (
+  SELECT event_type, n_h, w_micro,
+         ({_NEYMAN_BUDGET} * w_micro) // t.tot AS base,
+         ({_NEYMAN_BUDGET} * w_micro) % t.tot AS rem
+  FROM w CROSS JOIN t
+),
+lo AS (
+  SELECT CAST({_NEYMAN_BUDGET} - SUM(base) AS BIGINT) AS leftover FROM q
+),
+rk AS (
+  SELECT q.*, lo.leftover,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rr
+  FROM q CROSS JOIN lo
+)
+SELECT event_type, n_h, w_micro,
+       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM rk
+"""
+
+
+@query("sample_stratified_neyman", oracle=_NEYMAN_ORACLE)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation (Neyman 1934): split a fixed sampling
+    budget of {b} across strata proportional to N_h·S_h — the
+    minimum-variance design for a stratified mean, vs the proportional
+    allocation sample_stratified_hash implicitly uses (high-variance
+    strata deserve MORE than their population share). The integer
+    apportionment uses the largest-remainder method, so allocations sum
+    to the budget EXACTLY.
+
+    Determinism: stratum weights quantize to integer micros at the one
+    sqrt site (exact integer variance moments underneath — the
+    stats-family device), after which quota, base (DIV), remainder
+    (MOD), and the remainder ranking are ALL exact integer arithmetic —
+    no float enters the apportionment, so both engines apportion
+    identically even where quotas tie.
+
+    Scale shape: one scan collapses map-side to per-stratum moments (a
+    k-row grid); the total, leftover, and remainder rank all operate on
+    that grid (the dq_benford finale). The allocation table then drives
+    the actual draw via the existing deterministic hash-rank sampler
+    (sample_k_per_group), k_h = alloc. Reference analog:
+    frequencyAnalysis.py's per-group summary layer
+    (frequencyAnalysis.py:31-35) as a sampling design.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_h"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sc"),
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(value * 100) AS BIGINT)"
+                    " * CAST(ROUND(value * 100) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("sc2"),
+        )
+    )
+    w = s.filter(F.col("n_h") >= 2).select(
+        "event_type",
+        "n_h",
+        F.expr(
+            "CAST(ROUND(n_h * sqrt("
+            "(CAST(n_h AS DOUBLE) * sc2 - CAST(sc AS DOUBLE) * sc)"
+            " / (CAST(n_h AS DOUBLE) * (n_h - 1))) * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("w_micro"),
+    ).localCheckpoint()  # k-row grid feeds total + quota + leftover
+    t = w.agg(F.sum("w_micro").cast("bigint").alias("tot"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_h",
+        "w_micro",
+        F.expr(f"({_NEYMAN_BUDGET} * w_micro) DIV tot").alias("base"),
+        F.expr(f"({_NEYMAN_BUDGET} * w_micro) % tot").alias("rem"),
+    )
+    lo = q.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base"))
+        .cast("bigint")
+        .alias("leftover")
+    )
+    rk = q.crossJoin(F.broadcast(lo)).withColumn(
+        "rr",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("event_type"))
+        ),
+    )
+    return rk.select(
+        "event_type",
+        "n_h",
+        "w_micro",
+        F.expr(
+            "CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("alloc"),
+    )
+
+
+sample_stratified_neyman.__doc__ = sample_stratified_neyman.__doc__.format(
+    b=_NEYMAN_BUDGET
+)

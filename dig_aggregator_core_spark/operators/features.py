@@ -2478,3 +2478,128 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (1.0 - CAST(pt AS DOUBLE) / nt), 6)"
         ).alias("uncertainty"),
     )
+
+
+# two-sided 5% chi-square critical values, df 1..10 (Abramowitz-Stegun
+# table 26.8) — literal on both engines, df is data-derived
+_KW_CRIT = "ARRAY(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507, 16.919, 18.307)"
+_KW_CRIT_DUCK = "[3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507, 16.919, 18.307]"
+
+
+_KW_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, {_TT_CENTS.replace("value", "value")} AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT c, CAST(SUM(n) AS BIGINT) AS nv FROM h GROUP BY c
+),
+r AS (
+  SELECT c, nv,
+         2 * COALESCE(SUM(nv) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + nv + 1 AS rank2
+  FROM v
+),
+g AS (
+  SELECT h.event_type,
+         CAST(SUM(h.n) AS BIGINT) AS n_h,
+         CAST(SUM(h.n * r.rank2) AS BIGINT) AS r2_h
+  FROM h JOIN r ON r.c = h.c
+  GROUP BY h.event_type
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_h) AS BIGINT) AS n,
+         SUM(CAST(r2_h AS DOUBLE) * r2_h / (4.0 * n_h)) AS sr
+  FROM g
+),
+tie AS (
+  SELECT CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS ties FROM v
+)
+SELECT k, n, CAST(k - 1 AS BIGINT) AS df,
+       ROUND(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr - 3.0 * (n + 1),
+             6) AS h_stat,
+       ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr - 3.0 * (n + 1))
+             / (1.0 - CAST(ties AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_adj,
+       (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr - 3.0 * (n + 1))
+         / (1.0 - CAST(ties AS DOUBLE)
+            / (CAST(n AS DOUBLE) * n * n - n))
+         > {_KW_CRIT_DUCK}[CAST(LEAST(k - 1, 10) AS INT)] AS significant
+FROM t CROSS JOIN tie
+"""
+
+
+@query("stats_kruskal_wallis", oracle=_KW_ORACLE)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: the k-group generalization of Mann-Whitney
+    (one-way ANOVA on ranks) — "does ANY event_type's value distribution
+    differ?" asked once, instead of k pairwise U tests with their
+    multiplicity problem (which stats_fdr_bh then corrects; the three
+    ops form the standard screening ladder). Exact tie correction from
+    the same Σ(t³−t) device.
+
+    HISTOGRAM-FIRST (the Mann-Whitney rule): ranks never touch raw rows.
+    One scan reduces to the (group, cents) histogram; pooled per-value
+    counts give each value's DOUBLED average rank (2·cum_before + n_v +
+    1 — integer, no halves); doubled rank sums per group are exact
+    BIGINT (R2² ≤ 4N⁴: lift past ~5e4 distinct... see MW bound note);
+    H's closed form and the tie correction are single rounded doubles.
+    The cum window runs on the |value-domain| grid (bounded cents), the
+    rank2 map joins back BROADCAST, and df-based significance uses a
+    literal chi² critical array — no SciPy, no engine divergence.
+    Reference analog: frequencyAnalysis.py's per-group comparison layer
+    (frequencyAnalysis.py:31-35) generalized to k groups.
+    """
+    ev = load(spark, sf_dir, "events")
+    h = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("event_type", F.expr(_TT_CENTS).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # feeds the pooled grid AND the group join
+    )
+    v = h.groupBy("c").agg(F.sum("n").cast("bigint").alias("nv"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "c",
+        "nv",
+        (
+            F.lit(2) * F.coalesce(F.sum("nv").over(w), F.lit(0))
+            + F.col("nv")
+            + 1
+        ).alias("rank2"),
+    )
+    g = h.join(F.broadcast(r.select("c", "rank2")), "c").groupBy(
+        "event_type"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_h"),
+        F.sum(F.expr("n * rank2")).cast("bigint").alias("r2_h"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_h").cast("bigint").alias("n"),
+        F.sum(
+            F.expr("CAST(r2_h AS DOUBLE) * r2_h / (4.0 * n_h)")
+        ).alias("sr"),
+    )
+    tie = v.agg(
+        F.sum(F.expr("nv * nv * nv - nv")).cast("bigint").alias("ties")
+    )
+    hexpr = "12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr - 3.0 * (n + 1)"
+    cexpr = (
+        "1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)"
+    )
+    return t.crossJoin(F.broadcast(tie)).select(
+        "k",
+        "n",
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.expr(f"ROUND({hexpr}, 6)").alias("h_stat"),
+        F.expr(f"ROUND(({hexpr}) / ({cexpr}), 6)").alias("h_adj"),
+        F.expr(
+            f"({hexpr}) / ({cexpr})"
+            f" > element_at({_KW_CRIT}, CAST(LEAST(k - 1, 10) AS INT))"
+        ).alias("significant"),
+    )

@@ -875,3 +875,121 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 link_prediction_adamic_adar.__doc__ = (
     link_prediction_adamic_adar.__doc__.format(k=_AA_TOPK, cap=_FOF_CAP)
 )
+
+
+_ASSORT_ORACLE = """
+WITH cooc AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM cooc a JOIN cooc b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id < b.user_id
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges
+        UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(du.d * dv.d) AS BIGINT) AS sjk,
+         CAST(SUM(du.d + dv.d) AS BIGINT) AS sj,
+         CAST(SUM(du.d * du.d + dv.d * dv.d) AS BIGINT) AS sj2
+  FROM edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+)
+SELECT n_edges,
+       CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       ROUND((CAST(sjk AS DOUBLE) / n_edges
+              - POW(CAST(sj AS DOUBLE) / (2 * n_edges), 2))
+             / (CAST(sj2 AS DOUBLE) / (2 * n_edges)
+                - POW(CAST(sj AS DOUBLE) / (2 * n_edges), 2)), 6) + 0.0
+         AS assortativity
+FROM m
+WHERE CAST(sj2 AS DOUBLE) / (2 * n_edges)
+      - POW(CAST(sj AS DOUBLE) / (2 * n_edges), 2) > 0
+"""
+
+
+@query("graph_degree_assortativity", oracle=_ASSORT_ORACLE)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman, PRL 2002): the Pearson correlation
+    of endpoint degrees over edges — positive means hubs attach to hubs
+    (social graphs), negative means hub-and-spoke (the web, biological
+    nets), and the sign drives which partitioning/skew strategy a graph
+    workload needs (disassortative graphs are exactly the ones where
+    salting the hub key pays). Same deterministic co-occurrence graph as
+    graph_triangle_count.
+
+    Exactness: degrees are exact integers; the three edge moments
+    (Σjk, Σ(j+k), Σ(j²+k²)) are exact BIGINT sums — bound m·d_max² ≈
+    10¹⁸ at m=10⁹/d_max=10³, lift to DECIMAL(38,0) past that (the
+    pca_power_component device) — and Newman's closed form is a single
+    rounded double from those integers.
+
+    Scale shape: degrees come from one node-keyed count over the edge
+    endpoints; attaching them to edges is two linear equi-joins keyed on
+    u then v (each a single bounded-key shuffle — the label-propagation
+    join pattern), and everything collapses map-side into the 1-row
+    moment frame. No window over the edge set, no corpus-sized state.
+    Reference analog: frequencyAnalysis.py's per-group statistics layer
+    (frequencyAnalysis.py:31-35) as a graph-topology statistic.
+    """
+    ev = load(spark, sf_dir, "events")
+    cooc = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, b = cooc.alias("a"), cooc.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()  # feeds degrees AND the moment join (2 uses)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    m = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(F.expr("du * dv")).cast("bigint").alias("sjk"),
+            F.sum(F.expr("du + dv")).cast("bigint").alias("sj"),
+            F.sum(F.expr("du * du + dv * dv"))
+            .cast("bigint")
+            .alias("sj2"),
+        )
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    mean = "CAST(sj AS DOUBLE) / (2 * n_edges)"
+    var = f"CAST(sj2 AS DOUBLE) / (2 * n_edges) - POW({mean}, 2)"
+    return (
+        m.crossJoin(F.broadcast(nn))
+        .filter(F.expr(f"{var} > 0"))
+        .select(
+            "n_edges",
+            "n_nodes",
+            F.expr(
+                f"ROUND((CAST(sjk AS DOUBLE) / n_edges"
+                f" - POW({mean}, 2)) / ({var}), 6) + 0.0"
+            ).alias("assortativity"),
+        )
+    )

@@ -909,3 +909,120 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 timeseries_acf.__doc__ = timeseries_acf.__doc__.format(maxlag=_ACF_MAX_LAG)
+
+
+_TS_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         b.sc - a.sc AS num,
+         b.di - a.di AS den
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type AND b.di > a.di
+),
+rk AS (
+  SELECT event_type, num, den,
+         CAST(num AS DOUBLE) / den AS slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY CAST(num AS DOUBLE) / den, num, den) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS np
+  FROM slopes
+),
+med AS (
+  SELECT event_type, np, slope, num, den
+  FROM rk WHERE r = (np + 1) // 2
+),
+span AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+)
+SELECT m.event_type, s.n_days, CAST(m.np AS BIGINT) AS n_pairs,
+       CAST(ROUND(CAST(m.num AS DOUBLE) / m.den * 1000000, 0) AS BIGINT)
+         AS slope_cents_micro
+FROM med m JOIN span s ON s.event_type = m.event_type
+"""
+
+
+@query("timeseries_theil_sen", oracle=_TS_ORACLE)
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes of each
+    event_type's daily total — up to 29% contamination-proof where the
+    OLS trend (feature_ols_trend) follows a single corrupted day; the
+    robust/classical pair mirrors feature_mad_outliers vs z-scores.
+
+    Exactness: slopes stay exact rational (num, den) pairs; the median
+    is an ORDER-STATISTIC pick, not an average — ordered by the IEEE
+    quotient (division is correctly rounded, so the double is a pure
+    function of the rational — identical on both engines) with (num,
+    den) as the deterministic tiebreak for rationals colliding to one
+    double. Only the reported slope is rounded (once, to micros).
+
+    Scale shape: the corpus collapses map-side to the (group, day)
+    daily grid (the ACF device); the pairwise self-join and the rank
+    window run on THAT — n_pairs grows as days², but days is
+    calendar-bounded (~365/decade·10), so the quadratic object is
+    metadata-sized BY CONSTRUCTION, never corpus-sized. One checkpoint
+    keeps the corpus scan single (plan-pinned shape shared with ACF).
+    Reference analog: frequencyAnalysis.py's per-group trend layer
+    (frequencyAnalysis.py:31-35) made robust.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy(
+            "event_type",
+            F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").alias(
+                "di"
+            ),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sc")
+        )
+        .localCheckpoint()  # grid feeds self-join both sides + span
+    )
+    b = daily.select(
+        F.col("event_type").alias("b_et"),
+        F.col("di").alias("b_di"),
+        F.col("sc").alias("b_sc"),
+    )
+    slopes = daily.join(
+        b,
+        (F.col("b_et") == F.col("event_type"))
+        & (F.col("b_di") > F.col("di")),
+    ).select(
+        "event_type",
+        (F.col("b_sc") - F.col("sc")).alias("num"),
+        (F.col("b_di") - F.col("di")).alias("den"),
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.expr("CAST(num AS DOUBLE) / den"), "num", "den"
+    )
+    w_np = Window.partitionBy("event_type")
+    rk = slopes.select(
+        "event_type",
+        "num",
+        "den",
+        F.row_number().over(w_rk).alias("r"),
+        F.count(F.lit(1)).over(w_np).alias("np"),
+    )
+    med = rk.filter(F.expr("r = (np + 1) DIV 2"))
+    span = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return med.join(F.broadcast(span), "event_type").select(
+        "event_type",
+        "n_days",
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(ROUND(CAST(num AS DOUBLE) / den * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("slope_cents_micro"),
+    )

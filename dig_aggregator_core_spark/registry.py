@@ -243,6 +243,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "feature_rfm_segmentation",
         "text_ngram_novelty",
         "quality_compression_ratio",
+        "graph_degree_assortativity",
+        "timeseries_theil_sen",
+        "stats_kruskal_wallis",
+        "sample_stratified_neyman",
     }
 )
 

@@ -100,6 +100,9 @@ ALLOW: dict[str, dict[str, str]] = {
         "ann_index_persist": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
         "eval_rank_fusion_rrf": "query panel broadcast against the corpus (inherits the ann_topk_bruteforce yardstick shape)",
         "feature_rfm_segmentation": "1-row study-end anchor frame broadcast onto the user table",
+        "graph_degree_assortativity": "1-row node-count frame crossed onto the 1-row moment frame",
+        "stats_kruskal_wallis": "1-row tie-correction frame crossed onto the 1-row moment frame",
+        "sample_stratified_neyman": "1-row weight-total and leftover frames crossed onto the k-row strata grid",
         "eval_ndcg_at_k": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
         "stats_mann_whitney_u": "|domain|-row control histogram crossed onto the |groups| spine",
         "privacy_t_closeness": "|langs|-row global-distribution frame + 1-row grand total crossed onto the class grid",
