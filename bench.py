@@ -234,6 +234,9 @@ HEADLINE = [
     "timeseries_theil_sen",
     "stats_kruskal_wallis",
     "sample_stratified_neyman",
+    "timeseries_seasonal_decompose",
+    "feature_pareto_skyline",
+    "eval_kendall_tau_b",
 ]
 
 

@@ -2603,3 +2603,152 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" > element_at({_KW_CRIT}, CAST(LEAST(k - 1, 10) AS INT))"
         ).alias("significant"),
     )
+
+_TAU_ORACLE = """
+WITH pts AS (
+  SELECT source,
+         LEAST(15, n_chars // 64) AS x,
+         LEAST(15, len(list_filter(string_split(text, ' '),
+                                   t -> t <> '')) // 8) AS y
+  FROM documents
+),
+cells AS (
+  SELECT source, x, y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2, 3
+),
+cd AS (
+  SELECT a.source,
+         CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                  THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                  THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d
+  FROM cells a JOIN cells b ON b.source = a.source
+  GROUP BY a.source
+),
+mx AS (
+  SELECT source, CAST(SUM(cx * (cx - 1)) AS BIGINT) AS tx2
+  FROM (SELECT source, x, CAST(SUM(n) AS BIGINT) AS cx
+        FROM cells GROUP BY 1, 2)
+  GROUP BY source
+),
+my AS (
+  SELECT source, CAST(SUM(cy * (cy - 1)) AS BIGINT) AS ty2
+  FROM (SELECT source, y, CAST(SUM(n) AS BIGINT) AS cy
+        FROM cells GROUP BY 1, 2)
+  GROUP BY source
+),
+tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS nn FROM cells GROUP BY source
+)
+SELECT t.source, t.nn AS n_docs, cd.c AS concordant, cd.d AS discordant,
+       ROUND(2.0 * (CAST(cd.c AS DOUBLE) - cd.d)
+             / sqrt((CAST(t.nn AS DOUBLE) * (t.nn - 1) - mx.tx2)
+                    * (CAST(t.nn AS DOUBLE) * (t.nn - 1) - my.ty2)), 6)
+         + 0.0 AS tau_b
+FROM tot t
+JOIN cd ON cd.source = t.source
+JOIN mx ON mx.source = t.source
+JOIN my ON my.source = t.source
+WHERE t.nn * (t.nn - 1) > mx.tx2 AND t.nn * (t.nn - 1) > my.ty2
+"""
+
+
+@query("eval_kendall_tau_b", oracle=_TAU_ORACLE)
+def eval_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b per source between document length and token count
+    on a 16×16 bucket grid — the tie-corrected concordance coefficient
+    that completes the association family (Pearson = stats_correlation,
+    Spearman = stats_spearman_corr): τ-b is the one of the three defined
+    directly on ORDERED PAIRS, so it survives monotone transforms AND
+    heavy ties, which bucketed/quantized features always have.
+
+    GRID-FIRST (the Mann-Whitney rule, two-dimensional): raw rows
+    reduce map-side to ≤256 (x, y) cells per source; concordant /
+    discordant pair counts are ONE grid self-join (≤256² cell pairs per
+    source — metadata-sized by construction, never row pairs); tie
+    corrections come from the grid marginals. Every count is exact
+    BIGINT, and τ-b's closed form is one rounded double —
+    2(C−D)/√((n(n−1)−Σtx(tx−1))·(n(n−1)−Σty(ty−1))), kept in the
+    doubled-integer form so no /2 ever truncates.
+
+    Scale: the heavy shuffle is the cell aggregation keyed on (source,
+    x, y); the grid join, marginals, and totals all ride source-keyed
+    exchanges over cell counts. Reference analog:
+    frequencyAnalysis.py's per-group statistics layer
+    (frequencyAnalysis.py:31-35) as rank association, tie-robust form.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("LEAST(15, n_chars DIV 64)").alias("x"),
+        F.expr(
+            "LEAST(15, size(filter(split(text, ' '),"
+            " t -> t <> '')) DIV 8)"
+        ).alias("y"),
+    )
+    cells = (
+        d.groupBy("source", "x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()  # grid feeds pair join (both sides) + 3 rollups
+    )
+    b = cells.select(
+        F.col("source").alias("b_source"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("n").alias("bn"),
+    )
+    cd = (
+        cells.join(b, F.col("b_source") == F.col("source"))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN bx > x AND by > y THEN n * bn ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("c"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN bx > x AND by < y THEN n * bn ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    mx = (
+        cells.groupBy("source", "x")
+        .agg(F.sum("n").alias("cx"))
+        .groupBy("source")
+        .agg(F.sum(F.expr("cx * (cx - 1)")).cast("bigint").alias("tx2"))
+    )
+    my = (
+        cells.groupBy("source", "y")
+        .agg(F.sum("n").alias("cy"))
+        .groupBy("source")
+        .agg(F.sum(F.expr("cy * (cy - 1)")).cast("bigint").alias("ty2"))
+    )
+    tot = cells.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("nn")
+    )
+    out = (
+        tot.join(cd, "source")
+        .join(F.broadcast(mx), "source")
+        .join(F.broadcast(my), "source")
+        .filter(
+            F.expr(
+                "nn * (nn - 1) > tx2 AND nn * (nn - 1) > ty2"
+            )
+        )
+    )
+    return out.select(
+        "source",
+        F.col("nn").alias("n_docs"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.expr(
+            "ROUND(2.0 * (CAST(c AS DOUBLE) - d)"
+            " / sqrt((CAST(nn AS DOUBLE) * (nn - 1) - tx2)"
+            " * (CAST(nn AS DOUBLE) * (nn - 1) - ty2)), 6) + 0.0"
+        ).alias("tau_b"),
+    )

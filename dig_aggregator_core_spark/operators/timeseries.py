@@ -1026,3 +1026,105 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("slope_cents_micro"),
     )
+
+
+_SEAS_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, di, sc,
+         CAST(SUM(sc) OVER w AS BIGINT) AS s7,
+         COUNT(*) OVER w AS c7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY di
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT event_type, di % 7 AS dow,
+         sc * 7000000 - s7 * 1000000 AS dm7
+  FROM tr WHERE c7 = 7
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(dm7) AS DOUBLE) / COUNT(*) / 7000000.0 / 100.0, 6)
+         + 0.0 AS seasonal_idx
+FROM det GROUP BY event_type, dow
+"""
+
+
+@query("timeseries_seasonal_decompose", oracle=_SEAS_ORACLE)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal-means decomposition (the moving-average STL
+    ancestor, Kendall & Stuart ch.46): trend = centered 7-day moving
+    average of the daily total, seasonal index = mean detrended value
+    per day-of-week — the additive y = T + S + R split that tells the
+    Holt/EWMA smoothers (this module) whether they need the seasonal
+    term at all, and the backtest op which weekday bias to expect.
+
+    Exactness: the detrended value is kept as the EXACT integer
+    7·sc − Σ₇sc in micro-cents (never mean-then-subtract, which would
+    divide early and round per row); days lacking a full 7-day
+    neighborhood are excluded by the window COUNT guard (edge effects,
+    the standard rule). The per-dow mean is ONE rounded double from
+    exact integer sums — no truncating DIV on signed values (Spark DIV
+    truncates toward zero, DuckDB // floors: signed integer division is
+    BANNED in this repo's cross-engine contract; the double mean is the
+    deterministic form).
+
+    Scale shape: corpus → (group, day) grid map-side (the ACF device);
+    the RANGE frame and the dow rollup run on the calendar-bounded
+    grid. Reference analog: frequencyAnalysis.py's per-group time
+    bucketing (frequencyAnalysis.py:31-35) decomposed.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy(
+            "event_type",
+            F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").alias(
+                "di"
+            ),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sc")
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rangeBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "di",
+        "sc",
+        F.sum("sc").over(w7).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    det = tr.filter(F.col("c7") == 7).select(
+        "event_type",
+        F.expr("di % 7").alias("dow"),
+        F.expr("sc * 7000000 - s7 * 1000000").alias("dm7"),
+    )
+    return det.groupBy(
+        "event_type", F.col("dow").cast("bigint").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (
+            F.round(
+                F.sum("dm7").cast("double")
+                / F.count(F.lit(1))
+                / 7000000.0
+                / 100.0,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("seasonal_idx"),
+    )

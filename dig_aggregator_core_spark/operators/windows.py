@@ -337,3 +337,93 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 window_moving_median.__doc__ = window_moving_median.__doc__.format(
     k=_MED_FRAME
 )
+
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+  SELECT source, n_chars,
+         CAST((len(list_distinct(w)) * 1000000)
+              // greatest(len(w), 1) AS BIGINT) AS div_micro,
+         doc_id
+  FROM (SELECT source, n_chars, doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents)
+),
+dd AS (
+  SELECT source, n_chars, div_micro,
+         CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup
+  FROM pts GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT *,
+         MAX(div_micro) OVER (PARTITION BY source
+           ORDER BY n_chars DESC, div_micro DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+  FROM dd
+)
+SELECT source, CAST(n_chars AS BIGINT) AS n_chars, div_micro, doc_id,
+       n_dup
+FROM sc WHERE best_prev IS NULL OR div_micro > best_prev
+"""
+
+
+@query("feature_pareto_skyline", oracle=_SKYLINE_ORACLE)
+def feature_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) per source — the classic
+    Börszönyi/Kossmann SKYLINE OF operator: documents not dominated on
+    (length, lexical diversity), i.e. the frontier a curation pass picks
+    exemplars from ("as long AND as diverse as anything available").
+    Dominance = ≥ on both axes with at least one strict.
+
+    The O(n log n) sort-filter algorithm expressed as ONE window: after
+    exact-duplicate (x, y) collapse, scan in (x DESC, y DESC) order —
+    every earlier row has x>cur, or x=cur with y>cur (a dominator) — so
+    a row is on the frontier iff its y strictly exceeds the running max
+    of all earlier y. No self-join, no quadratic dominance test; the
+    naive EXISTS anti-join is O(n²) and planlint-unexpressible at scale.
+    Diversity is an exact integer micro ratio (distinct/total tokens),
+    so ordering and the frontier test are integer-deterministic.
+
+    Scale shape: one shuffle on source; the frontier window is a
+    partition-local sorted scan (the window_rank class — per-source
+    sort, never global). Exact-dup collapse happens in the same
+    exchange and also bounds the window input. Reference analog:
+    frequencyAnalysis.py's best-variant selection layer
+    (frequencyAnalysis.py:31-35) lifted to multi-criteria dominance.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("w"),
+    )
+    pts = d.select(
+        "source",
+        "n_chars",
+        F.expr(
+            "CAST((size(array_distinct(w)) * 1000000)"
+            " DIV greatest(size(w), 1) AS BIGINT)"
+        ).alias("div_micro"),
+        "doc_id",
+    )
+    dd = pts.groupBy("source", "n_chars", "div_micro").agg(
+        F.min("doc_id").cast("bigint").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dup"),
+    )
+    w_sky = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("div_micro").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sc = dd.withColumn("best_prev", F.max("div_micro").over(w_sky))
+    return sc.filter(
+        F.col("best_prev").isNull()
+        | (F.col("div_micro") > F.col("best_prev"))
+    ).select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "div_micro",
+        "doc_id",
+        "n_dup",
+    )

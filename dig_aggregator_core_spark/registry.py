@@ -247,6 +247,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "timeseries_theil_sen",
         "stats_kruskal_wallis",
         "sample_stratified_neyman",
+        "timeseries_seasonal_decompose",
+        "feature_pareto_skyline",
+        "eval_kendall_tau_b",
     }
 )
 
