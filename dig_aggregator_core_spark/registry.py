@@ -24,6 +24,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Queries with NO DuckDB oracle BY DESIGN — each must name why and carry
+# a pytest that pins its semantics instead (the driver records a weaker
+# rows-only check for these; keep this set near-empty).
+ROWS_ONLY_BY_DESIGN: frozenset[str] = frozenset(
+    {
+        # DEFLATE has no SQL form; exact byte counts pinned against
+        # direct zlib calls in tests/test_zlib_ratio.py
+        "quality_compression_ratio",
+    }
+)
+
 
 def query(name: str, oracle: Optional[str] = None):
     """Register a named query and (optionally) its DuckDB oracle SQL."""

@@ -51,5 +51,12 @@ def test_registry_bookkeeping_invariants():
     assert not unknown, f"verified names not registered: {sorted(unknown)}"
     undeferred = registry._DEFER_TO_NEXT_ROUND - set(registry.QUERIES)
     assert not undeferred, f"deferred names not registered: {sorted(undeferred)}"
-    missing = set(registry.QUERIES) - set(registry.ORACLES)
+    missing = (
+        set(registry.QUERIES)
+        - set(registry.ORACLES)
+        - registry.ROWS_ONLY_BY_DESIGN
+    )
     assert not missing, f"queries without an oracle: {sorted(missing)}"
+    # the by-design set must stay honest: registered, and truly oracle-less
+    assert registry.ROWS_ONLY_BY_DESIGN <= set(registry.QUERIES)
+    assert not (registry.ROWS_ONLY_BY_DESIGN & set(registry.ORACLES))

@@ -75,6 +75,15 @@ OPS = [
     "dpo_pair_assembly",
     "eval_f1_confusion",
     "asof_join_forward",
+    # r6 late-session additions
+    "feature_hashing_trick",
+    "lm_good_turing",
+    "text_zipf_fit",
+    "text_ngram_novelty",
+    "graph_degree_assortativity",
+    "feature_rfm_segmentation",
+    "eval_kendall_tau_b",
+    "survival_kaplan_meier",
 ]
 
 
