@@ -237,6 +237,9 @@ HEADLINE = [
     "timeseries_seasonal_decompose",
     "feature_pareto_skyline",
     "eval_kendall_tau_b",
+    "stream_stream_semi_join",
+    "scan_parquet_footer_stats",
+    "graph_clustering_coefficient",
 ]
 
 

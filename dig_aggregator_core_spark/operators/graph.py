@@ -993,3 +993,129 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assortativity"),
         )
     )
+
+
+_LCC_ORACLE = """
+WITH cooc AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM cooc a JOIN cooc b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id < b.user_id
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges
+        UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+),
+tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pert AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+  FROM (SELECT a AS node FROM tris
+        UNION ALL SELECT b AS node FROM tris
+        UNION ALL SELECT c AS node FROM tris)
+  GROUP BY node
+)
+SELECT deg.node AS user_id, deg.d AS degree,
+       COALESCE(pert.tri, 0) AS n_triangles,
+       CAST((COALESCE(pert.tri, 0) * 2000000)
+            // (deg.d * (deg.d - 1)) AS BIGINT) AS lcc_micro
+FROM deg LEFT JOIN pert ON pert.node = deg.node
+WHERE deg.d >= 2
+"""
+
+
+@query("graph_clustering_coefficient", oracle=_LCC_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998):
+    the share of a node's neighbor pairs that are themselves connected,
+    2·T(v)/(d(d−1)) — the node-level refinement of
+    graph_triangle_count's global number, and the standard community-
+    structure / spam-subgraph feature (dense local cliques score ~1,
+    star centers score 0). Same deterministic co-occurrence graph and
+    the same oriented (u<v) triangle join — each triangle found ONCE,
+    then credited to its three corners by an explode-style union, so
+    the per-node count needs no /2 or /6 correction juggling beyond the
+    closed form's own factor.
+
+    Exactness: triangles and degrees are exact integers; the
+    coefficient is a truncating-DIV micro on NONNEGATIVE values (the
+    signed-DIV cross-engine trap doesn't apply). Nodes with d < 2 have
+    no defined coefficient and are excluded (division guard).
+
+    Scale shape: inherits the triangle join's single-node-key shuffles
+    and low->high orientation (the skew guard); the corner-credit union
+    and both count aggregations key on node. Output is nodes-sized — a
+    per-node FEATURE, not a report, so no top-k window is imposed.
+    Reference analog: frequencyAnalysis.py's per-group statistics layer
+    (frequencyAnalysis.py:31-35) as a topology feature.
+    """
+    ev = load(spark, sf_dir, "events")
+    cooc = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a, b = cooc.alias("a"), cooc.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()  # feeds degrees + all three triangle legs
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    pert = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(pert, "node", "left")
+        .select(
+            F.col("node").alias("user_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("tri", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "CAST((COALESCE(tri, 0) * 2000000)"
+                " DIV (d * (d - 1)) AS BIGINT)"
+            ).alias("lcc_micro"),
+        )
+    )

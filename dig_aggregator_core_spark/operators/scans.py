@@ -698,3 +698,72 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 4).alias("total"),
         F.count("opt_status").cast("bigint").alias("n_status"),
     )
+
+
+# The driver contract fixes oracle evaluation at sf=0.01 (views and all),
+# so the footer path is bound to that dir — the one oracle in the repo
+# that reads a FILE rather than a view, because parquet_metadata() is the
+# point: footer-vs-footer parity with pyarrow.
+_FOOTER_ORACLE = """
+SELECT CAST(row_group_id AS BIGINT) AS row_group,
+       CAST(row_group_num_rows AS BIGINT) AS num_rows,
+       CAST(stats_min_value AS BIGINT) AS n_chars_min,
+       CAST(stats_max_value AS BIGINT) AS n_chars_max,
+       CAST(stats_null_count AS BIGINT) AS n_nulls
+FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
+WHERE path_in_schema = 'n_chars'
+"""
+
+
+@query("scan_parquet_footer_stats", oracle=_FOOTER_ORACLE)
+def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group statistics from the parquet FOOTER ONLY — the metadata
+    every pushed-down filter is answered from: a predicate like
+    n_chars > 600 skips any row group whose (min, max) excludes it
+    before a single data page is read, and THIS op is how an operator
+    audits whether its layout actually enables that skipping (write
+    paths that sort or z-order — layout_zorder_key,
+    sink_bucketed_partitioned_write — exist to tighten exactly these
+    min/max bands). Emits per row group: row count, n_chars min/max,
+    null count.
+
+    Execution: pyarrow reads ONLY the footer on the driver (a few KB
+    regardless of data size — the same asymmetry the planner exploits);
+    the row-group table is metadata-sized by definition (one row per
+    ~128 MB of data ⇒ ~800 rows per 100 GB file), so
+    spark.createDataFrame on it is the documented metadata-collect
+    class, never a corpus collect. The DuckDB oracle reads the SAME
+    footer via parquet_metadata(), so the check verifies true
+    footer-vs-footer parity (and, transitively, that the stats match
+    the data DuckDB scans elsewhere).
+
+    Reference analog: the reference's S3 listing/manifest layer
+    (Input/Source listing, SURVEY.md §2.1 S1) extended to statistics-
+    bearing manifests.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    col_idx = {
+        md.schema.column(i).name: i for i in range(md.num_columns)
+    }["n_chars"]
+    rows = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        st = g.column(col_idx).statistics
+        rows.append(
+            (
+                rg,
+                g.num_rows,
+                int(st.min) if st is not None else None,
+                int(st.max) if st is not None else None,
+                int(st.null_count) if st is not None else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "row_group long, num_rows long, n_chars_min long,"
+            " n_chars_max long, n_nulls long"
+        ),
+    )

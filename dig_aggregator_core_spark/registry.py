@@ -261,6 +261,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "timeseries_seasonal_decompose",
         "feature_pareto_skyline",
         "eval_kendall_tau_b",
+        "stream_stream_semi_join",
+        "scan_parquet_footer_stats",
+        "graph_clustering_coefficient",
     }
 )
 

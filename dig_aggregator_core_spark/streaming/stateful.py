@@ -724,6 +724,68 @@ def stream_stream_right_outer_join(
     return _run_to_memory(joined, "append")
 
 
+@query(
+    "stream_stream_semi_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    WHERE EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    )
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    """,
+)
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join: converted clicks emitted
+    EXACTLY ONCE regardless of how many purchases land in the window —
+    the dedup-free form of the attribution question that the inner join
+    gets wrong (it multiplies a click by its match count) and a
+    downstream dropDuplicates would fix only with extra state. Semi is
+    also the cheaper state contract: the click side can drop a buffered
+    row the moment its FIRST match arrives, instead of holding it for
+    the full watermark horizon the outer modes need.
+
+    Under AvailableNow the final watermark passes the fixture and the
+    drained result equals the batch EXISTS, which the oracle pins (plus
+    the sentinel pair's own matched click — the sentinel must not be
+    filtered, see the left-outer op). Completes the streaming join-mode
+    matrix: inner / left / right / full outer / semi."""
+    path = _events_with_flush_sentinel(spark, sf_dir)
+    clicks = (
+        _scratch_events_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        _scratch_events_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")
+        ),
+        "leftSemi",
+    ).select("click_id", "user_id")
+    return _run_to_memory(joined, "append")
+
+
 _FUNNEL_STAGES = ("view", "click", "purchase")
 _FUNNEL_STATE = "t1 bigint, t2 bigint, t3 bigint"
 _FUNNEL_OUT = "user_id bigint, t1 bigint, t2 bigint, t3 bigint"

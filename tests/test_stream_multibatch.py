@@ -894,3 +894,35 @@ def test_left_outer_null_emission_across_batches(spark, sf_dir):
     assert set(
         r.click_id for r in orphans.select("click_id").collect()
     ) == set(r.event_id for r in batch_orphans.select("event_id").collect())
+
+
+def test_semi_join_emits_once_across_batches(spark, sf_dir):
+    """The semi join's contract has two halves the seam can break:
+    (1) a click emits AT MOST ONCE even when several purchases match in
+    different micro-batches, (2) a click whose first matching purchase
+    arrives in a LATER batch still emits. Drained result must equal the
+    batch EXISTS semantics exactly, with zero duplicate click_ids."""
+    from dig_aggregator_core_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["stream_stream_semi_join"](spark, sf_dir)
+    rows = out.filter(F.col("user_id") != -1).collect()
+    ids = [r.click_id for r in rows]
+    assert len(ids) == len(set(ids)), "semi join emitted a click twice"
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    batch_semi = c.join(
+        p,
+        (c.user_id == p.p_uid)
+        & (p.p_ts >= c.ts)
+        & (p.p_ts <= c.ts + F.expr("INTERVAL 6 HOURS")),
+        "left_semi",
+    )
+    expected = set(r.event_id for r in batch_semi.collect())
+    assert expected, "fixture produced no converted clicks"
+    assert set(ids) == expected
