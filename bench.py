@@ -240,6 +240,9 @@ HEADLINE = [
     "stream_stream_semi_join",
     "scan_parquet_footer_stats",
     "graph_clustering_coefficient",
+    "stats_proportions_ztest",
+    "dedup_token_sort_fingerprint",
+    "timeseries_ljung_box",
 ]
 
 

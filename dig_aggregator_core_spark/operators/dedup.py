@@ -1928,3 +1928,68 @@ def dedup_phonetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_candidate_pairs"),
         F.min("surface").alias("example_surface"),
     )
+
+
+_TSORT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(
+           list_filter(string_split(text, ' '), w -> w <> '')), ' '))
+           AS h
+  FROM documents
+)
+SELECT h,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       COUNT(*) > 1 AS is_dup
+FROM fp GROUP BY h
+"""
+
+
+@query("dedup_token_sort_fingerprint", oracle=_TSORT_ORACLE)
+def dedup_token_sort_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort fingerprint dedup (the fuzzywuzzy token_sort_ratio
+    idea at exact-match strength): documents whose token MULTISETS are
+    identical collapse to one fingerprint regardless of word order —
+    catching the reordered-boilerplate duplicates that dedup_exact's raw
+    digest misses and MinHash only finds probabilistically (a permuted
+    doc has Jaccard 1.0 but a different md5). The canonical form is the
+    sorted token list; its md5 is the grouping key.
+
+    Shuffle discipline (the module rule): the shuffle carries the
+    16-byte digest, never text — canonicalization (filter, sort, join,
+    hash) happens per-row in codegen array expressions before the
+    exchange. Emits only fingerprints with >1 copy plus a cross-source
+    spread count (reordered dups that cross sources are the syndication
+    signal the mixture designer needs).
+
+    Emits EVERY fingerprint group (is_dup flags the collapse set): the
+    full canonical-fingerprint table IS the artifact an incremental
+    ledger diffs against, and it keeps the oracle hash check exercising
+    all rows even on a fixture with no reordered dups.
+
+    Scale: identical profile to dedup_exact (one digest-keyed
+    aggregation); sort cost is per-row O(tokens log tokens), no
+    candidate explosion anywhere. Reference analog: the variant-key
+    canonicalization layer (frequencyAnalysis.py:31-35; METAL/varId
+    normalization in the reference's variant pipeline) applied to
+    token multisets.
+    """
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.expr(
+                "array_join(array_sort(filter(split(text, ' '),"
+                " w -> w <> '')), ' ')"
+            )
+        ).alias("h"),
+    )
+    return fp.groupBy("h").agg(
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        (F.count(F.lit(1)) > 1).alias("is_dup"),
+    )

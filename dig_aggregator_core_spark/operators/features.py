@@ -2752,3 +2752,121 @@ def eval_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(nn AS DOUBLE) * (nn - 1) - ty2)), 6) + 0.0"
         ).alias("tau_b"),
     )
+
+
+_ABZ_ORACLE = """
+WITH assign AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assign GROUP BY variant
+),
+w AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+         MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+  FROM g
+)
+SELECT n0, c0, n1, c1,
+       ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) + 0.0 AS z,
+       ROUND(POW(CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2, 2)
+             / (CAST(n0 + n1 AS DOUBLE) / 2)
+             + POW(CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2, 2)
+             / (CAST(n0 + n1 AS DOUBLE) / 2), 6) + 0.0 AS srm_chi2,
+       POW(CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2, 2)
+         / (CAST(n0 + n1 AS DOUBLE) / 2)
+         + POW(CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2, 2)
+         / (CAST(n0 + n1 AS DOUBLE) / 2) > 3.841 AS srm_alarm
+FROM w
+WHERE c0 + c1 > 0 AND c0 + c1 < n0 + n1
+"""
+
+
+@query("stats_proportions_ztest", oracle=_ABZ_ORACLE)
+def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test + sample-ratio-mismatch guardrail — the A/B
+    experiment readout pair: the pooled-variance z on conversion rates
+    between the two hash-assigned variants, AND the SRM chi² that must
+    be checked FIRST (a 50/50 assignment that lands 55/45 means the
+    bucketing is broken and the z-test is garbage — the industry's most
+    common silent A/B failure). Completes the test family: means =
+    stats_welch_ttest, ranks = stats_mann_whitney_u /
+    stats_kruskal_wallis, proportions = this.
+
+    Determinism: variant assignment is the repo's md5-hash-mod device
+    (partitioning-invariant, identical on both engines — the
+    sample_hash_systematic rule: never rand()); conversion flags and
+    the 2×2 table are exact integers; z and chi² are single rounded
+    closed forms. Degenerate corners (zero or all conversions) are
+    excluded by the same guard on both engines.
+
+    Scale shape: one user_id-keyed aggregation collapses the corpus to
+    per-user (variant, converted) rows map-side; the 2-row variant
+    rollup and the 1-row pivot are metadata. Reference analog:
+    frequencyAnalysis.py's per-group comparison layer
+    (frequencyAnalysis.py:31-35) as an experiment readout.
+    """
+    ev = load(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 2"
+        ).alias("variant"),
+        "converted",
+    )
+    g = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n")))
+        .cast("bigint")
+        .alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv")))
+        .cast("bigint")
+        .alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n")))
+        .cast("bigint")
+        .alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv")))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    pool = "CAST(c0 + c1 AS DOUBLE) / (n0 + n1)"
+    srm = (
+        "POW(CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2, 2)"
+        " / (CAST(n0 + n1 AS DOUBLE) / 2)"
+        " + POW(CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2, 2)"
+        " / (CAST(n0 + n1 AS DOUBLE) / 2)"
+    )
+    return w.filter(
+        F.expr("c0 + c1 > 0 AND c0 + c1 < n0 + n1")
+    ).select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.expr(
+            "ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)"
+            f" / sqrt(({pool}) * (1.0 - {pool})"
+            " * (1.0 / n0 + 1.0 / n1)), 6) + 0.0"
+        ).alias("z"),
+        F.expr(f"ROUND({srm}, 6) + 0.0").alias("srm_chi2"),
+        F.expr(f"{srm} > 3.841").alias("srm_alarm"),
+    )

@@ -877,16 +877,68 @@ link_prediction_adamic_adar.__doc__ = (
 )
 
 
-_ASSORT_ORACLE = """
+def _banded_edges_lowhigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded co-occurrence edges, low->high oriented (u < v): within
+    each (event_type, hour) bucket every user links to its next
+    {band} id-neighbors — |edges| linear in cooc rows (the
+    graph_bfs_distance device; the all-pairs form measured 14x at the
+    x10 scaleproof). Ordering by user_id makes the band target's id
+    strictly larger, so the orientation is free. Checkpointed: every
+    consumer fans out into multiple joins."""
+    ev = load(spark, sf_dir, "events")
+    cooc = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("event_type", "h").orderBy("user_id")
+    r = cooc.withColumn("rn", F.row_number().over(w))
+    probe = r.withColumn(
+        "d", F.explode(F.sequence(F.lit(1), F.lit(_BFS_BAND)))
+    ).select(
+        "event_type",
+        "h",
+        F.col("user_id").alias("u"),
+        (F.col("rn") + F.col("d")).alias("rn2"),
+    )
+    other = r.select(
+        F.col("event_type").alias("e2"),
+        F.col("h").alias("h2"),
+        F.col("user_id").alias("v"),
+        F.col("rn").alias("rn2"),
+    )
+    return (
+        probe.join(
+            other,
+            (F.col("event_type") == F.col("e2"))
+            & (F.col("h") == F.col("h2"))
+            & (probe.rn2 == other.rn2),
+        )
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+_banded_edges_lowhigh.__doc__ = _banded_edges_lowhigh.__doc__.format(
+    band=3
+)
+
+
+_ASSORT_ORACLE = f"""
 WITH cooc AS (
   SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
   FROM events
 ),
+r AS (
+  SELECT event_type, h, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type, h
+                            ORDER BY user_id) AS rn
+  FROM cooc
+),
 edges AS (
   SELECT DISTINCT a.user_id AS u, b.user_id AS v
-  FROM cooc a JOIN cooc b
-    ON a.event_type = b.event_type AND a.h = b.h
-   AND a.user_id < b.user_id
+  FROM r a JOIN r b
+    ON b.event_type = a.event_type AND b.h = a.h
+   AND b.rn BETWEEN a.rn + 1 AND a.rn + {_BFS_BAND}
 ),
 deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d
@@ -940,24 +992,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: frequencyAnalysis.py's per-group statistics layer
     (frequencyAnalysis.py:31-35) as a graph-topology statistic.
     """
-    ev = load(spark, sf_dir, "events")
-    cooc = ev.select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
-    ).distinct()
-    a, b = cooc.alias("a"), cooc.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
-        .distinct()
-        .localCheckpoint()  # feeds degrees AND the moment join (2 uses)
-    )
+    edges = _banded_edges_lowhigh(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -995,16 +1030,22 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LCC_ORACLE = """
+_LCC_ORACLE = f"""
 WITH cooc AS (
   SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
   FROM events
 ),
+r0 AS (
+  SELECT event_type, h, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type, h
+                            ORDER BY user_id) AS rn
+  FROM cooc
+),
 edges AS (
   SELECT DISTINCT a.user_id AS u, b.user_id AS v
-  FROM cooc a JOIN cooc b
-    ON a.event_type = b.event_type AND a.h = b.h
-   AND a.user_id < b.user_id
+  FROM r0 a JOIN r0 b
+    ON b.event_type = a.event_type AND b.h = a.h
+   AND b.rn BETWEEN a.rn + 1 AND a.rn + {_BFS_BAND}
 ),
 deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d
@@ -1041,8 +1082,10 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·T(v)/(d(d−1)) — the node-level refinement of
     graph_triangle_count's global number, and the standard community-
     structure / spam-subgraph feature (dense local cliques score ~1,
-    star centers score 0). Same deterministic co-occurrence graph and
-    the same oriented (u<v) triangle join — each triangle found ONCE,
+    star centers score 0). Runs on the BANDED co-occurrence graph (the
+    graph_bfs_distance device — linear |edges|, see
+    graph_degree_assortativity) with the same oriented (u<v) triangle
+    join — each triangle found ONCE,
     then credited to its three corners by an explode-style union, so
     the per-node count needs no /2 or /6 correction juggling beyond the
     closed form's own factor.
@@ -1059,24 +1102,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: frequencyAnalysis.py's per-group statistics layer
     (frequencyAnalysis.py:31-35) as a topology feature.
     """
-    ev = load(spark, sf_dir, "events")
-    cooc = ev.select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
-    ).distinct()
-    a, b = cooc.alias("a"), cooc.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
-        .distinct()
-        .localCheckpoint()  # feeds degrees + all three triangle legs
-    )
+    edges = _banded_edges_lowhigh(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

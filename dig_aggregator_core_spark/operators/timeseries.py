@@ -1128,3 +1128,154 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
             + F.lit(0.0)
         ).alias("seasonal_idx"),
     )
+
+
+_LB_MAX_LAG = 7
+_LB_CRIT_DF7 = 14.067  # chi-square 5% critical value, df = 7
+
+
+_LB_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(sc) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+),
+y AS (
+  SELECT d.event_type, d.di, d.sc * t.n - t.s AS yv, t.n
+  FROM daily d JOIN tot t ON t.event_type = d.event_type
+),
+den AS (
+  SELECT event_type, CAST(SUM(yv * yv) AS HUGEINT) AS d2
+  FROM y GROUP BY event_type
+),
+lagk AS (SELECT unnest(range(1, {_LB_MAX_LAG + 1})) AS k),
+num AS (
+  SELECT a.event_type, l.k,
+         CAST(SUM(a.yv * b.yv) AS HUGEINT) AS nk,
+         MAX(a.n) AS n
+  FROM y a
+  CROSS JOIN lagk l
+  JOIN y b ON b.event_type = a.event_type AND b.di = a.di + l.k
+  GROUP BY a.event_type, l.k
+),
+terms AS (
+  SELECT n.event_type, n.n,
+         POW(CAST(n.nk AS DOUBLE) / CAST(d.d2 AS DOUBLE), 2)
+           / (n.n - n.k) AS term
+  FROM num n JOIN den d ON d.event_type = n.event_type
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST({_LB_MAX_LAG} AS BIGINT) AS max_lag,
+       ROUND(MAX(n) * (MAX(n) + 2.0) * SUM(term), 6) + 0.0 AS q_stat,
+       MAX(n) * (MAX(n) + 2.0) * SUM(term) > {_LB_CRIT_DF7}
+         AS autocorrelated
+FROM terms GROUP BY event_type
+"""
+
+
+@query("timeseries_ljung_box", oracle=_LB_ORACLE)
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978): is the daily
+    series white noise, or does SOME autocorrelation up to lag {m}
+    survive? Q = n(n+2)·Σ r_k²/(n−k) against chi²(df={m}) — the
+    one-number gate a forecasting pipeline runs on its RESIDUALS
+    (forecast_residuals_backtest) before trusting a model, where
+    timeseries_acf shows the per-lag picture.
+
+    Exactness: autocorrelations use the mean-centered form scaled by n
+    — y_t = n·x_t − S is an exact integer, so every numerator Σy_t·y_{{t+k}}
+    and the denominator Σy² are exact (HUGEINT/DECIMAL(38,0): y² ~
+    (n·x)² needs the wide type at x100 magnitudes — the spearman
+    lesson applied PREEMPTIVELY); each r_k becomes a double once, and Q
+    is one rounded closed form. Significance uses the literal
+    chi²(7) critical value (the Kruskal-Wallis device).
+
+    Scale shape: the ACF device verbatim — corpus → calendar-bounded
+    daily grid map-side; the lag alignment is the grid equi-joined to
+    itself on di + k after a {m}-row spine explode; totals broadcast.
+    Reference analog: frequencyAnalysis.py's per-group time bucketing
+    (frequencyAnalysis.py:31-35) tested for serial dependence.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy(
+            "event_type",
+            F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").alias(
+                "di"
+            ),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sc")
+        )
+        .localCheckpoint()  # grid feeds totals + both lag-join sides
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sc").cast("bigint").alias("s"),
+    )
+    y = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "di",
+        F.expr("CAST(sc * n - s AS DECIMAL(38,0))").alias("yv"),
+        "n",
+    )
+    den = y.groupBy("event_type").agg(
+        F.sum(F.expr("yv * yv")).cast("decimal(38,0)").alias("d2")
+    )
+    lags = y.sparkSession.range(1, _LB_MAX_LAG + 1).select(
+        F.col("id").alias("k")
+    )
+    b = y.select(
+        F.col("event_type").alias("b_et"),
+        F.col("di").alias("b_di"),
+        F.col("yv").alias("b_yv"),
+    )
+    num = (
+        y.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b_et") == F.col("event_type"))
+            & (F.col("b_di") == F.col("di") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.sum(F.expr("yv * b_yv")).cast("decimal(38,0)").alias("nk"),
+            F.max("n").alias("n"),
+        )
+    )
+    terms = num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "n",
+        F.expr(
+            "POW(CAST(nk AS DOUBLE) / CAST(d2 AS DOUBLE), 2) / (n - k)"
+        ).alias("term"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.lit(_LB_MAX_LAG).cast("bigint").alias("max_lag"),
+        (
+            F.round(
+                F.max("n") * (F.max("n") + F.lit(2.0)) * F.sum("term"), 6
+            )
+            + F.lit(0.0)
+        ).alias("q_stat"),
+        (
+            F.max("n") * (F.max("n") + F.lit(2.0)) * F.sum("term")
+            > _LB_CRIT_DF7
+        ).alias("autocorrelated"),
+    )
+
+
+timeseries_ljung_box.__doc__ = timeseries_ljung_box.__doc__.format(
+    m=_LB_MAX_LAG
+)

@@ -264,6 +264,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "stream_stream_semi_join",
         "scan_parquet_footer_stats",
         "graph_clustering_coefficient",
+        "stats_proportions_ztest",
+        "dedup_token_sort_fingerprint",
+        "timeseries_ljung_box",
     }
 )
 

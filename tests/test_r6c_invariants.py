@@ -247,8 +247,9 @@ def test_assortativity_bounded_and_bruteforce(spark, sf_dir):
     for us in bucket.values():
         us = sorted(set(us))
         for i in range(len(us)):
-            for j in range(i + 1, len(us)):
-                edges.add((us[i], us[j]))
+            for d in range(1, 4):  # the banded-edge device, band = 3
+                if i + d < len(us):
+                    edges.add((us[i], us[i + d]))
     deg = {}
     for u, v in edges:
         deg[u] = deg.get(u, 0) + 1

@@ -103,6 +103,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "graph_degree_assortativity": "1-row node-count frame crossed onto the 1-row moment frame",
         "stats_kruskal_wallis": "1-row tie-correction frame crossed onto the 1-row moment frame",
         "sample_stratified_neyman": "1-row weight-total and leftover frames crossed onto the k-row strata grid",
+        "timeseries_ljung_box": "7-row lag spine crossed onto the calendar-bounded daily grid (the ACF device)",
         "eval_ndcg_at_k": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
         "stats_mann_whitney_u": "|domain|-row control histogram crossed onto the |groups| spine",
         "privacy_t_closeness": "|langs|-row global-distribution frame + 1-row grand total crossed onto the class grid",
