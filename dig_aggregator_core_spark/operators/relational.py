@@ -936,3 +936,149 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 asof_join_tolerance.__doc__ = asof_join_tolerance.__doc__.format(
     h=_ASOF_TOL_US // 3_600_000_000
 )
+
+
+# Synthetic-but-deterministic coordinates in integer MICRO-DEGREES on a
+# [0, 1°)² patch: md5-derived from the id (the module's hash device), so
+# both engines place every point identically and all geometry below is
+# EXACT integer arithmetic — no haversine/trig whose last-ulp drift
+# could flip a borderline pair differently per engine.
+_GEO_CELL_U = 10_000  # grid cell edge, micro-degrees (0.01°)
+_GEO_R_U = 7_000  # match radius, micro-degrees
+
+
+def _geo_xy_sql(idcol: str) -> tuple[str, str]:
+    h = f"md5(CAST({idcol} AS VARCHAR))"
+    return (
+        f"CAST(('0x' || substring({h}, 1, 8)) AS BIGINT) % 1000000",
+        f"CAST(('0x' || substring({h}, 9, 8)) AS BIGINT) % 1000000",
+    )
+
+
+_GEO_X_S, _GEO_Y_S = _geo_xy_sql("user_id")
+_GEO_X_D, _GEO_Y_D = _geo_xy_sql("o_custkey")
+
+
+_SPATIAL_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id AS pid, {_GEO_X_S} AS x, {_GEO_Y_S} AS y
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+sites AS (
+  SELECT o_custkey AS sid, {_GEO_X_D} AS x, {_GEO_Y_D} AS y
+  FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 50 = 0)
+),
+probe AS (
+  SELECT s.sid, s.x AS sx, s.y AS sy,
+         (s.x // {_GEO_CELL_U}) + dx.d AS cx,
+         (s.y // {_GEO_CELL_U}) + dy.d AS cy
+  FROM sites s
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+),
+pairs AS (
+  SELECT p.sid, t.pid,
+         (t.x - p.sx) * (t.x - p.sx) + (t.y - p.sy) * (t.y - p.sy)
+           AS d2
+  FROM probe p
+  JOIN pts t ON t.x // {_GEO_CELL_U} = p.cx
+            AND t.y // {_GEO_CELL_U} = p.cy
+)
+SELECT CAST(sid AS BIGINT) AS site_id, CAST(pid AS BIGINT) AS point_id,
+       CAST(d2 AS BIGINT) AS dist2_u
+FROM pairs WHERE d2 <= {_GEO_R_U * _GEO_R_U}
+"""
+
+
+@query("spatial_join_radius", oracle=_SPATIAL_ORACLE)
+def spatial_join_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial radius join — the canonical distributed
+    spatial pattern (GeoSpark/Sedona's partition-join): points and query
+    sites snap to a {c}-µ° grid, each site probes its 3×3 cell
+    neighborhood (cell edge > radius ⇒ the neighborhood provably covers
+    the disc), and only cell-colocated pairs get the exact distance
+    test — never the all-pairs cross join. Coordinates are md5-derived
+    integer micro-degrees on a unit patch (documented synthetic stand-in
+    for real lat/lon columns; the PLAN is the operator), so the distance
+    test is EXACT integer d² ≤ r² on both engines — no haversine trig,
+    whose last-ulp drift across libm/JVM could flip borderline pairs.
+
+    Scale shape: the probe explode is a fixed 9× fan-out of the SITE
+    side (the small side by the {m}-modulus filter); the join is an
+    EQUI join on the cell key, so it shuffles on bounded keys and never
+    degenerates to a nested loop (planlint-clean). Density skew (a hot
+    cell) is the salted-join case, documented swap. At real-world scale
+    the same plan runs with geohash prefixes as cell keys and a
+    haversine refine tolerant of its float tail.
+
+    Reference analog: the reference's region/locus overlap joins
+    (variant-region containment in the aggregator's pipeline stages;
+    SURVEY.md §2.3 range join) generalized to 2-D.
+    """
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select("user_id").distinct().select(
+        F.col("user_id").alias("pid"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 1000000"
+        ).alias("x"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 9, 8),"
+            " 16, 10) AS BIGINT) % 1000000"
+        ).alias("y"),
+    )
+    orders = load(spark, sf_dir, "orders")
+    sites = (
+        orders.filter(F.expr("o_custkey % 50 = 0"))
+        .select("o_custkey")
+        .distinct()
+        .select(
+            F.col("o_custkey").alias("sid"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(o_custkey AS STRING)),"
+                " 1, 8), 16, 10) AS BIGINT) % 1000000"
+            ).alias("sx"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(o_custkey AS STRING)),"
+                " 9, 8), 16, 10) AS BIGINT) % 1000000"
+            ).alias("sy"),
+        )
+    )
+    d3 = spark.range(-1, 2).select(F.col("id").alias("d"))
+    probe = (
+        sites.crossJoin(F.broadcast(d3.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(d3.select(F.col("d").alias("dy"))))
+        .select(
+            "sid",
+            "sx",
+            "sy",
+            F.expr(f"(sx DIV {_GEO_CELL_U}) + dx").alias("cx"),
+            F.expr(f"(sy DIV {_GEO_CELL_U}) + dy").alias("cy"),
+        )
+    )
+    keyed = pts.select(
+        "pid",
+        "x",
+        "y",
+        F.expr(f"x DIV {_GEO_CELL_U}").alias("cx"),
+        F.expr(f"y DIV {_GEO_CELL_U}").alias("cy"),
+    )
+    pairs = probe.join(keyed, ["cx", "cy"]).select(
+        "sid",
+        "pid",
+        F.expr(
+            "(x - sx) * (x - sx) + (y - sy) * (y - sy)"
+        ).alias("d2"),
+    )
+    return pairs.filter(
+        F.col("d2") <= _GEO_R_U * _GEO_R_U
+    ).select(
+        F.col("sid").cast("bigint").alias("site_id"),
+        F.col("pid").cast("bigint").alias("point_id"),
+        F.col("d2").cast("bigint").alias("dist2_u"),
+    )
+
+
+spatial_join_radius.__doc__ = spatial_join_radius.__doc__.format(
+    c=_GEO_CELL_U, m=50
+)
