@@ -243,6 +243,7 @@ HEADLINE = [
     "stats_proportions_ztest",
     "dedup_token_sort_fingerprint",
     "timeseries_ljung_box",
+    "spatial_join_radius",
 ]
 
 

@@ -267,6 +267,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "stats_proportions_ztest",
         "dedup_token_sort_fingerprint",
         "timeseries_ljung_box",
+        "spatial_join_radius",
     }
 )
 
