@@ -244,6 +244,7 @@ HEADLINE = [
     "dedup_token_sort_fingerprint",
     "timeseries_ljung_box",
     "spatial_join_radius",
+    "attribution_markov_removal",
 ]
 
 

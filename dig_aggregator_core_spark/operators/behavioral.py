@@ -945,3 +945,238 @@ def feature_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rfm"),
     )
+
+
+_MKV_K = 40  # fixed-point iterations; chain mixes in far fewer steps
+_MKV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_oracle() -> str:
+    """Unrolled integer fixed-point over the scenario × state grid. The
+    matrix is ≤ (1 + |channels|) scenarios × ≤ 7 states, so {k} chained
+    CTEs of grid joins are metadata work for DuckDB; every step is the
+    SAME truncating floor-div the Spark-side driver iteration uses, so
+    the vectors agree bit-for-bit at every k."""
+    head = f"""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+           END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prior_p
+  FROM events
+),
+kept AS MATERIALIZED (SELECT * FROM seq WHERE prior_p = 0),
+nxt AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS dst,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS rn
+  FROM kept
+),
+edges AS (
+  SELECT 'START' AS src, src AS dst FROM nxt WHERE rn = 1
+  UNION ALL
+  SELECT src,
+         COALESCE(dst, CASE WHEN src = 'purchase' THEN NULL
+                            ELSE 'END' END) AS dst
+  FROM nxt
+),
+e2 AS (
+  SELECT src, dst FROM edges
+  WHERE dst IS NOT NULL AND src <> 'purchase'
+),
+scen AS (
+  SELECT unnest(['none', {", ".join(f"'{c}'" for c in _MKV_CHANNELS)}])
+    AS scenario
+),
+redges AS (
+  SELECT s.scenario, e.src,
+         CASE WHEN e.dst = s.scenario THEN 'END' ELSE e.dst END AS dst
+  FROM e2 e CROSS JOIN scen s
+  WHERE e.src <> s.scenario
+),
+cnt AS (
+  SELECT scenario, src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM redges GROUP BY 1, 2, 3
+),
+mat AS MATERIALIZED (
+  SELECT scenario, src, dst,
+         (n * 1000000) // (SUM(n) OVER (PARTITION BY scenario, src))
+           AS p_micro
+  FROM cnt
+),
+states AS MATERIALIZED (
+  SELECT DISTINCT scenario, state FROM (
+    SELECT scenario, src AS state FROM mat
+    UNION ALL SELECT scenario, dst FROM mat
+  )
+),
+term AS MATERIALIZED (
+  SELECT scenario, state,
+         CASE WHEN state = 'purchase' THEN 1000000 ELSE 0 END AS pv
+  FROM states WHERE state IN ('purchase', 'END')
+),
+p0 AS (
+  SELECT scenario, state, CAST(0 AS BIGINT) AS pv
+  FROM states WHERE state NOT IN ('purchase', 'END')
+  UNION ALL SELECT scenario, state, CAST(pv AS BIGINT) FROM term
+)"""
+    steps = []
+    for k in range(1, _MKV_K + 1):
+        steps.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT m.scenario, m.src AS state,
+         CAST(SUM(m.p_micro * p.pv) // 1000000 AS BIGINT) AS pv
+  FROM mat m
+  JOIN p{k - 1} p ON p.scenario = m.scenario AND p.state = m.dst
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT scenario, state, CAST(pv AS BIGINT) FROM term
+)""")
+    tail = f""",
+conv AS (
+  SELECT scenario, pv FROM p{_MKV_K} WHERE state = 'START'
+),
+base AS (SELECT pv AS p_full FROM conv WHERE scenario = 'none'),
+rem AS (
+  SELECT c.scenario AS channel,
+         CAST(((b.p_full - c.pv) * 1000000) // b.p_full AS BIGINT)
+           AS removal_micro,
+         CAST(b.p_full AS BIGINT) AS p_conv_micro
+  FROM conv c CROSS JOIN base b
+  WHERE c.scenario <> 'none'
+)
+SELECT channel, removal_micro, p_conv_micro,
+       CAST((removal_micro * 1000000)
+            // (SELECT SUM(removal_micro) FROM rem) AS BIGINT)
+         AS attribution_micro
+FROM rem
+WHERE (SELECT SUM(removal_micro) FROM rem) > 0
+"""
+    return head + "".join(steps) + tail
+
+
+_markov_oracle.__doc__ = _markov_oracle.__doc__.format(k=_MKV_K)
+
+
+@query("attribution_markov_removal", oracle=_markov_oracle())
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution by removal effect (Anderl et al. 2014) —
+    the data-driven capstone of the attribution family: model user
+    journeys as a first-order chain (START → touches → purchase/END,
+    truncated at the FIRST conversion), then credit each channel by how
+    much the conversion probability DROPS when that channel is removed
+    (its transitions redirect to END). Unlike last-touch (positional) or
+    U-shaped (fixed weights), the credit here comes from the journey
+    structure itself.
+
+    Distributed part: ONE user_id-keyed window pass truncates journeys
+    and extracts transitions; the edge grid is |types|²-bounded
+    (event_transition_matrix's shape). Driver part: the ≤ 5-scenario ×
+    ≤ 7-state matrix is a documented METADATA collect (the kmeans-
+    centroid / pca-iterate class), and the absorbing-chain fixed point
+    runs {k} exact integer-micro steps — Python bigints with floor-div,
+    mirrored bit-for-bit by the oracle's {k} unrolled CTE steps (same
+    truncation, same nonnegative domain), so not one float exists
+    anywhere in the pipeline.
+
+    Reference analog: frequencyAnalysis.py's per-group weighting layer
+    (frequencyAnalysis.py:31-35) upgraded to chain-structured credit.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = (
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+    )
+    kept = ev.select(
+        "user_id", "event_type", "ts", "event_id", prior.alias("prior_p")
+    ).filter(F.col("prior_p") == 0)
+    nxt = kept.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        F.row_number().over(w).alias("rn"),
+    )
+    starts = nxt.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("src").alias("dst")
+    )
+    internal = nxt.select(
+        "src",
+        F.coalesce(
+            "dst",
+            F.when(F.col("src") == "purchase", F.lit(None)).otherwise(
+                F.lit("END")
+            ),
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != "purchase"))
+    cnt = (
+        starts.unionByName(internal)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # |types|^2-bounded edge grid: metadata by construction
+    )
+    counts: dict[str, dict[str, int]] = {}
+    for r in cnt:
+        counts.setdefault(r.src, {})[r.dst] = r.n
+
+    def p_conv(removed: str | None) -> int:
+        mat: dict[str, dict[str, int]] = {}
+        for s, row in counts.items():
+            if s == removed:
+                continue
+            red: dict[str, int] = {}
+            for t, n in row.items():
+                red["END" if t == removed else t] = (
+                    red.get("END" if t == removed else t, 0) + n
+                )
+            tot = sum(red.values())
+            mat[s] = {t: (n * 1000000) // tot for t, n in red.items()}
+        states = set(mat) | {t for r in mat.values() for t in r}
+        p = {s: 0 for s in states}
+        if "purchase" in states:
+            p["purchase"] = 1000000
+        for _ in range(_MKV_K):
+            nxt_p = dict(p)
+            for s, row in mat.items():
+                nxt_p[s] = (
+                    sum(pm * p.get(t, 0) for t, pm in row.items())
+                    // 1000000
+                )
+            if "purchase" in states:
+                nxt_p["purchase"] = 1000000
+            if "END" in states:
+                nxt_p["END"] = 0
+            p = nxt_p
+        return p.get("START", 0)
+
+    p_full = p_conv(None)
+    rows = []
+    if p_full > 0:
+        rems = {
+            c: ((p_full - p_conv(c)) * 1000000) // p_full
+            for c in _MKV_CHANNELS
+        }
+        tot = sum(rems.values())
+        if tot > 0:
+            for c in _MKV_CHANNELS:
+                rows.append(
+                    (c, rems[c], p_full, (rems[c] * 1000000) // tot)
+                )
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "channel string, removal_micro long, p_conv_micro long,"
+            " attribution_micro long"
+        ),
+    )
+
+
+attribution_markov_removal.__doc__ = (
+    attribution_markov_removal.__doc__.format(k=_MKV_K)
+)

@@ -1102,12 +1102,39 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: frequencyAnalysis.py's per-group statistics layer
     (frequencyAnalysis.py:31-35) as a topology feature.
     """
-    edges = _banded_edges_lowhigh(spark, sf_dir)
+    edges0 = _banded_edges_lowhigh(spark, sf_dir)
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges0.select(F.col("u").alias("node"))
+        .unionAll(edges0.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint()  # feeds the reorientation AND the report join
+    )
+    # DEGREE-ordered orientation (the triangle_count docstring's "further
+    # 100 TB refinement", applied): re-point every edge from its lower-
+    # (degree, id) endpoint to the higher one. The join fan-out is then
+    # bounded by the graph's degeneracy instead of the max degree — the
+    # classic arboricity argument — which cut this op 11.2 s -> measured
+    # below at sf0.1. The triangle SET is orientation-invariant, so the
+    # oracle keeps the simpler id-ordering.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    edges = (
+        edges0.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("u"), F.col("e.t").alias("v"))
+        .localCheckpoint()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tris = (

@@ -268,6 +268,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "dedup_token_sort_fingerprint",
         "timeseries_ljung_box",
         "spatial_join_radius",
+        "attribution_markov_removal",
     }
 )
 

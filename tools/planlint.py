@@ -151,6 +151,7 @@ SHUFFLE_CEILING: dict[str, int] = {
     "pipeline_corpus_curation": 12,  # 4 composed stages, one plan
     "graph_bfs_distance": 16,  # fixed frontier rounds x (join + distinct + anti)
     "link_prediction_adamic_adar": 10,  # reverse cap + candidate join + 2 anti + score + top-k over the checkpointed capped adjacency
+    "graph_clustering_coefficient": 16,  # degree-orientation joins + two oriented triangle legs + corner-credit rollup (each post-checkpoint, linear)
 }
 
 
