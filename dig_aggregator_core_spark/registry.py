@@ -35,6 +35,14 @@ ROWS_ONLY_BY_DESIGN: frozenset[str] = frozenset(
     }
 )
 
+# Oracles whose SQL references a FILE rather than the registered views
+# are bound to the driver's contractual sf=0.01 dir (DuckDB's
+# parquet_metadata() takes a constant path). Local harnesses running at
+# another SF must evaluate BOTH sides of these at the pinned dir.
+ORACLE_SF_PIN: dict[str, str] = {
+    "scan_parquet_footer_stats": "/root/testdata/sf0.01",
+}
+
 
 def query(name: str, oracle: Optional[str] = None):
     """Register a named query and (optionally) its DuckDB oracle SQL."""

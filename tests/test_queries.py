@@ -22,6 +22,17 @@ def con(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, con):
+    pinned = registry.ORACLE_SF_PIN.get(name)
+    if pinned is not None and pinned != sf_dir:
+        # file-path-bound oracle (e.g. parquet_metadata): evaluate BOTH
+        # sides at the driver's contractual dir instead of skipping
+        df = registry.QUERIES[name](spark, pinned)
+        c2 = duck_con(pinned)
+        try:
+            compare(df, c2, registry.ORACLES[name])
+        finally:
+            c2.close()
+        return
     df = registry.QUERIES[name](spark, sf_dir)
     if name in registry.ORACLES:
         compare(df, con, registry.ORACLES[name])
