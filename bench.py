@@ -245,6 +245,9 @@ HEADLINE = [
     "timeseries_ljung_box",
     "spatial_join_radius",
     "attribution_markov_removal",
+    "timeseries_cross_correlation",
+    "stats_tost_equivalence",
+    "feature_woe_binning",
 ]
 
 

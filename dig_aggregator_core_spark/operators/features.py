@@ -2870,3 +2870,233 @@ def stats_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({srm}, 6) + 0.0").alias("srm_chi2"),
         F.expr(f"{srm} > 3.841").alias("srm_alarm"),
     )
+
+
+_TOST_Z_ONE_SIDED = 1.644854  # 5% one-sided normal critical value
+_TOST_MARGIN_PCT = 5  # equivalence margin: ±5% of the control mean
+
+
+_TOST_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                  * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc2
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY event_type
+),
+b AS (SELECT n AS nb, sc AS scb, sc2 AS sc2b FROM s
+      WHERE event_type = 'view'),
+x AS (SELECT * FROM s WHERE event_type <> 'view'),
+k AS (
+  SELECT x.event_type, x.n, b.nb,
+         CAST(x.sc AS DOUBLE) / x.n - CAST(b.scb AS DOUBLE) / b.nb AS d,
+         ABS(CAST(b.scb AS DOUBLE) / b.nb) * {_TOST_MARGIN_PCT} / 100.0
+           AS margin,
+         sqrt(((CAST(x.n AS DOUBLE) * x.sc2 - CAST(x.sc AS DOUBLE) * x.sc)
+               / (CAST(x.n AS DOUBLE) * (x.n - 1))) / x.n
+              + ((CAST(b.nb AS DOUBLE) * b.sc2b
+                  - CAST(b.scb AS DOUBLE) * b.scb)
+                 / (CAST(b.nb AS DOUBLE) * (b.nb - 1))) / b.nb) AS se
+  FROM x CROSS JOIN b
+)
+SELECT event_type, n AS n_x, nb AS n_y,
+       ROUND(d, 6) + 0.0 AS mean_diff_cents,
+       ROUND(margin, 6) AS margin_cents,
+       ROUND((d + margin) / se, 6) + 0.0 AS t_lower,
+       ROUND((margin - d) / se, 6) + 0.0 AS t_upper,
+       (d + margin) / se > {_TOST_Z_ONE_SIDED}
+         AND (margin - d) / se > {_TOST_Z_ONE_SIDED} AS equivalent
+FROM k WHERE se > 0
+"""
+
+
+@query("stats_tost_equivalence", oracle=_TOST_ORACLE)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two one-sided tests (TOST, Schuirmann 1987) for EQUIVALENCE: is
+    each event_type's mean value within ±{m}% of the '{base}' control?
+    The question a migration/refactor A/B actually asks — "prove it's NO
+    WORSE", which a non-significant Welch t cannot answer (absence of
+    evidence ≠ evidence of absence; TOST inverts the burden of proof).
+    Equivalent iff BOTH one-sided statistics clear the 5% one-sided
+    critical value.
+
+    Exactness: the Welch machinery verbatim — exact integer-cents
+    moments per group (one map-side-combined scan), Welch standard
+    error, and single rounded doubles for the two t statistics. The
+    margin is data-derived (% of control mean), not wall-clock or
+    config.
+
+    Scale: one scan to the |types|-row moment grid; the control row
+    broadcasts. Reference analog: frequencyAnalysis.py's per-group
+    comparison layer (frequencyAnalysis.py:31-35) inverted to
+    equivalence testing.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr(_TT_CENTS)).cast("bigint").alias("sc"),
+            F.sum(F.expr(f"{_TT_CENTS} * {_TT_CENTS}"))
+            .cast("bigint")
+            .alias("sc2"),
+        )
+        .localCheckpoint()  # |types|-row grid feeds control + variants
+    )
+    b = s.filter(F.col("event_type") == _TT_BASELINE).select(
+        F.col("n").alias("nb"),
+        F.col("sc").alias("scb"),
+        F.col("sc2").alias("sc2b"),
+    )
+    x = s.filter(F.col("event_type") != _TT_BASELINE)
+    d = "CAST(sc AS DOUBLE) / n - CAST(scb AS DOUBLE) / nb"
+    margin = (
+        f"ABS(CAST(scb AS DOUBLE) / nb) * {_TOST_MARGIN_PCT} / 100.0"
+    )
+    se = (
+        "sqrt(((CAST(n AS DOUBLE) * sc2 - CAST(sc AS DOUBLE) * sc)"
+        " / (CAST(n AS DOUBLE) * (n - 1))) / n"
+        " + ((CAST(nb AS DOUBLE) * sc2b - CAST(scb AS DOUBLE) * scb)"
+        " / (CAST(nb AS DOUBLE) * (nb - 1))) / nb)"
+    )
+    return (
+        x.crossJoin(F.broadcast(b))
+        .filter(F.expr(f"{se} > 0"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_x"),
+            F.col("nb").alias("n_y"),
+            F.expr(f"ROUND({d}, 6) + 0.0").alias("mean_diff_cents"),
+            F.expr(f"ROUND({margin}, 6)").alias("margin_cents"),
+            F.expr(
+                f"ROUND((({d}) + ({margin})) / ({se}), 6) + 0.0"
+            ).alias("t_lower"),
+            F.expr(
+                f"ROUND((({margin}) - ({d})) / ({se}), 6) + 0.0"
+            ).alias("t_upper"),
+            F.expr(
+                f"(({d}) + ({margin})) / ({se}) > {_TOST_Z_ONE_SIDED}"
+                f" AND (({margin}) - ({d})) / ({se})"
+                f" > {_TOST_Z_ONE_SIDED}"
+            ).alias("equivalent"),
+        )
+    )
+
+
+stats_tost_equivalence.__doc__ = stats_tost_equivalence.__doc__.format(
+    m=_TOST_MARGIN_PCT, base=_TT_BASELINE
+)
+
+
+_WOE_B = 8
+_WOE_W = 2000  # bin width in cents (0..$160 covers the bulk; top bin open)
+
+
+_WOE_ORACLE = f"""
+WITH e AS (
+  SELECT LEAST({_WOE_B - 1},
+               CAST(ROUND(value * 100) AS BIGINT) // {_WOE_W}) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+g AS (
+  SELECT bin,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+  FROM e GROUP BY bin
+),
+t AS (
+  SELECT bin, n_pos, n_neg,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS pt,
+         CAST(SUM(n_neg) OVER () AS BIGINT) AS nt
+  FROM g
+),
+k AS (
+  SELECT bin, n_pos, n_neg,
+         CAST(ROUND((ln(CAST((n_pos + 1) * (nt + {_WOE_B}) AS DOUBLE))
+                     - ln(CAST((n_neg + 1) * (pt + {_WOE_B}) AS DOUBLE)))
+                    * 1000000, 0) AS BIGINT) AS woe_micro,
+         (CAST(n_pos + 1 AS DOUBLE) / (pt + {_WOE_B})
+          - CAST(n_neg + 1 AS DOUBLE) / (nt + {_WOE_B}))
+           * (ln(CAST((n_pos + 1) * (nt + {_WOE_B}) AS DOUBLE))
+              - ln(CAST((n_neg + 1) * (pt + {_WOE_B}) AS DOUBLE))) AS ivt
+  FROM t
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_pos, n_neg, woe_micro,
+       CAST(ROUND(ivt * 1000000, 0) AS BIGINT) AS iv_contrib_micro,
+       CAST(SUM(CAST(ROUND(ivt * 1000000, 0) AS BIGINT)) OVER ()
+            AS BIGINT) AS iv_total_micro
+FROM k
+"""
+
+
+@query("feature_woe_binning", oracle=_WOE_ORACLE)
+def feature_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning + information value — the credit-
+    scoring feature transform (Siddiqi 2006): per value bin,
+    WoE = ln(P(bin|pos) / P(bin|neg)) with add-one smoothing, and the
+    IV total Σ(p_pos − p_neg)·WoE that ranks features BEFORE any model
+    is fit (IV < 0.02 = useless, > 0.5 = suspiciously strong — the
+    leakage tripwire). Label: purchase events vs the rest; feature:
+    value in {b} fixed-width cent bins.
+
+    Determinism: the PSI single-rounding argument verbatim — the class
+    histograms are exact integers, each WoE is ln of an exact-integer
+    cross-ratio rounded ONCE to micros, each IV term rounded once, and
+    the IV total is an exact integer sum of the rounded terms (grid
+    window over {b} rows).
+
+    Scale: one scan reduces map-side to the {b}-bin × 2-class grid;
+    nothing else moves. Reference analog: frequencyAnalysis.py's
+    per-group frequency layer (frequencyAnalysis.py:31-35) as a
+    supervised encoding.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        F.expr(
+            f"LEAST({_WOE_B - 1},"
+            f" CAST(ROUND(value * 100) AS BIGINT) DIV {_WOE_W})"
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    g = e.groupBy("bin").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.expr("1 - pos")).cast("bigint").alias("n_neg"),
+    )
+    wg = Window.partitionBy()
+    t = g.withColumn(
+        "pt", F.sum("n_pos").over(wg).cast("bigint")
+    ).withColumn("nt", F.sum("n_neg").over(wg).cast("bigint"))
+    lnterm = (
+        f"ln(CAST((n_pos + 1) * (nt + {_WOE_B}) AS DOUBLE))"
+        f" - ln(CAST((n_neg + 1) * (pt + {_WOE_B}) AS DOUBLE))"
+    )
+    ivt = (
+        f"(CAST(n_pos + 1 AS DOUBLE) / (pt + {_WOE_B})"
+        f" - CAST(n_neg + 1 AS DOUBLE) / (nt + {_WOE_B})) * ({lnterm})"
+    )
+    k = t.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n_pos",
+        "n_neg",
+        F.expr(
+            f"CAST(ROUND(({lnterm}) * 1000000, 0) AS BIGINT)"
+        ).alias("woe_micro"),
+        F.expr(
+            f"CAST(ROUND(({ivt}) * 1000000, 0) AS BIGINT)"
+        ).alias("iv_contrib_micro"),
+    )
+    return k.withColumn(
+        "iv_total_micro",
+        F.sum("iv_contrib_micro").over(wg).cast("bigint"),
+    )
+
+
+feature_woe_binning.__doc__ = feature_woe_binning.__doc__.format(b=_WOE_B)

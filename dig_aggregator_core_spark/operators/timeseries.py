@@ -1279,3 +1279,138 @@ def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 timeseries_ljung_box.__doc__ = timeseries_ljung_box.__doc__.format(
     m=_LB_MAX_LAG
 )
+
+
+_CCF_MAX_LAG = 7
+_CCF_A, _CCF_B = "view", "purchase"
+
+
+_CCF_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND event_type IN ('{_CCF_A}', '{_CCF_B}')
+  GROUP BY 1, 2
+),
+a AS (SELECT di, sc AS x FROM daily WHERE event_type = '{_CCF_A}'),
+b AS (SELECT di, sc AS y FROM daily WHERE event_type = '{_CCF_B}'),
+lags AS (
+  SELECT unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG + 1})) AS lag
+),
+pairs AS (
+  SELECT l.lag, a.x, b.y
+  FROM lags l
+  JOIN a ON TRUE
+  JOIN b ON b.di = a.di + l.lag
+),
+s AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         + 0.0 AS ccf
+FROM s
+WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+"""
+
+
+@query("timeseries_cross_correlation", oracle=_CCF_ORACLE)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the '{a}' and '{b}' daily
+    series at lags −{m}..+{m} — the lead-lag diagnostic: a peak at
+    positive lag k means {a} activity LEADS {b} by k days (the campaign
+    → conversion question), which neither series' own ACF can show.
+    Completes the serial-dependence suite (ACF, Ljung-Box, this).
+
+    Exactness: the ACF device verbatim — exact BIGINT/DECIMAL(38,0)
+    moments over integer cents on the calendar-bounded daily grid, one
+    closed-form double per lag. The lag spine explode-joins the two
+    per-type grids on di + lag (grid equi-join, never a window over raw
+    rows).
+
+    Reference analog: frequencyAnalysis.py's per-group time bucketing
+    (frequencyAnalysis.py:31-35) extended to cross-series dependence.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & F.col("event_type").isin(_CCF_A, _CCF_B)
+        )
+        .groupBy(
+            "event_type",
+            F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").alias(
+                "di"
+            ),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sc")
+        )
+        .localCheckpoint()  # grid feeds both series slices
+    )
+    a = daily.filter(F.col("event_type") == _CCF_A).select(
+        "di", F.col("sc").alias("x")
+    )
+    b = daily.filter(F.col("event_type") == _CCF_B).select(
+        F.col("di").alias("b_di"), F.col("sc").alias("y")
+    )
+    lags = daily.sparkSession.range(
+        -_CCF_MAX_LAG, _CCF_MAX_LAG + 1
+    ).select(F.col("id").alias("lag"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b_di") == F.col("di") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    varx = (
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    )
+    vary = (
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    return s.filter(F.expr(f"{varx} > 0 AND {vary} > 0")).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            f" / sqrt(({varx}) * ({vary})), 6) + 0.0"
+        ).alias("ccf"),
+    )
+
+
+timeseries_cross_correlation.__doc__ = (
+    timeseries_cross_correlation.__doc__.format(
+        a=_CCF_A, b=_CCF_B, m=_CCF_MAX_LAG
+    )
+)

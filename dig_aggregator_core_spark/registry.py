@@ -277,6 +277,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "timeseries_ljung_box",
         "spatial_join_radius",
         "attribution_markov_removal",
+        "timeseries_cross_correlation",
+        "stats_tost_equivalence",
+        "feature_woe_binning",
     }
 )
 

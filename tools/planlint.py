@@ -104,6 +104,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "stats_kruskal_wallis": "1-row tie-correction frame crossed onto the 1-row moment frame",
         "sample_stratified_neyman": "1-row weight-total and leftover frames crossed onto the k-row strata grid",
         "timeseries_ljung_box": "7-row lag spine crossed onto the calendar-bounded daily grid (the ACF device)",
+        "timeseries_cross_correlation": "15-row lag spine crossed onto the calendar-bounded daily grid (the ACF device)",
+        "stats_tost_equivalence": "1-row control-moments frame crossed onto the |types|-row variant grid",
         "spatial_join_radius": "3x3 literal cell-offset spine crossed onto the SITE side (the salted-join replication shape); the point join itself is equi on the cell key",
         "eval_ndcg_at_k": "1-row bucket-bit-count frame broadcast (inherits ann_lsh_adaptive)",
         "stats_mann_whitney_u": "|domain|-row control histogram crossed onto the |groups| spine",
