@@ -255,3 +255,86 @@ def test_spatial_join_bruteforce(spark, sf_dir):
     assert got == expected
     # the 3x3 neighborhood provably covers the disc: cell edge >= radius
     assert 10_000 >= 7_000
+
+
+def test_ccf_lag_zero_is_pearson_and_bounded(spark, sf_dir):
+    rows = {
+        r.lag: r
+        for r in registry.QUERIES["timeseries_cross_correlation"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows, "fixture must produce aligned day pairs"
+    for r in rows.values():
+        assert -1.0 - 1e-9 <= r.ccf <= 1.0 + 1e-9
+    # brute-force lag 0 as plain Pearson of the aligned daily totals
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        "event_type",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").alias("di"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+    ).collect()
+    import math
+
+    daily = {}
+    for r in ev:
+        if r.event_type in ("view", "purchase"):
+            daily[(r.event_type, r.di)] = (
+                daily.get((r.event_type, r.di), 0) + r.c
+            )
+    days = sorted(
+        d for (t, d) in daily if t == "view" and ("purchase", d) in daily
+    )
+    xs = [daily[("view", d)] for d in days]
+    ys = [daily[("purchase", d)] for d in days]
+    n = len(days)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    r0 = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert rows[0].n_pairs == n
+    assert abs(rows[0].ccf - round(r0, 6)) <= 1e-6
+
+
+def test_tost_equivalence_implies_diff_within_margin(spark, sf_dir):
+    rows = registry.QUERIES["stats_tost_equivalence"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.equivalent:
+            assert abs(r.mean_diff_cents) < r.margin_cents
+        # the two one-sided statistics always bracket the margin test
+        assert r.t_lower + r.t_upper > 0 or not r.equivalent
+
+
+def test_woe_binning_mass_and_iv(spark, sf_dir):
+    rows = registry.QUERIES["feature_woe_binning"](spark, sf_dir).collect()
+    assert rows
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    n_pos = ev.filter(F.col("event_type") == "purchase").count()
+    n_all = ev.count()
+    assert sum(r.n_pos for r in rows) == n_pos
+    assert sum(r.n_neg for r in rows) == n_all - n_pos
+    iv_total = rows[0].iv_total_micro
+    assert iv_total == sum(r.iv_contrib_micro for r in rows)
+    # each IV term is (p-q)*ln(p/q) >= 0 up to the ±1-micro rounding
+    assert all(r.iv_contrib_micro >= -1 for r in rows)
+    assert iv_total >= 0
+
+
+def test_markov_attribution_shares_sum_to_one(spark, sf_dir):
+    rows = registry.QUERIES["attribution_markov_removal"](
+        spark, sf_dir
+    ).collect()
+    if not rows:
+        return  # degenerate fixture: no conversions
+    tot = sum(r.attribution_micro for r in rows)
+    # largest-remainder-free truncating shares: within len(rows) micros
+    assert 1000000 - len(rows) <= tot <= 1000000
+    for r in rows:
+        assert 0 <= r.removal_micro <= 1000000
+        assert r.p_conv_micro > 0
