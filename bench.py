@@ -248,6 +248,8 @@ HEADLINE = [
     "timeseries_cross_correlation",
     "stats_tost_equivalence",
     "feature_woe_binning",
+    "curation_gopher_quality_gate",
+    "funnel_time_to_convert",
 ]
 
 

@@ -1180,3 +1180,108 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 attribution_markov_removal.__doc__ = (
     attribution_markov_removal.__doc__.format(k=_MKV_K)
 )
+
+
+_TTC_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.t2
+  GROUP BY e.user_id
+),
+dur AS (
+  SELECT (p.t3 - v.t1) // 60000000 AS mins
+  FROM p JOIN v ON v.user_id = p.user_id
+),
+grid AS (
+  SELECT mins, CAST(COUNT(*) AS BIGINT) AS cnt FROM dur GROUP BY mins
+),
+cum AS (
+  SELECT mins,
+         CAST(SUM(cnt) OVER (ORDER BY mins) AS BIGINT) AS c,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM grid
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MIN(CASE WHEN c >= (25 * n + 99) // 100 THEN mins END)
+            AS BIGINT) AS p25_min,
+       CAST(MIN(CASE WHEN c >= (50 * n + 99) // 100 THEN mins END)
+            AS BIGINT) AS p50_min,
+       CAST(MIN(CASE WHEN c >= (75 * n + 99) // 100 THEN mins END)
+            AS BIGINT) AS p75_min,
+       CAST(MIN(CASE WHEN c >= (90 * n + 99) // 100 THEN mins END)
+            AS BIGINT) AS p90_min
+FROM cum HAVING MAX(n) > 0
+"""
+
+
+@query("funnel_time_to_convert", oracle=_TTC_ORACLE)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles for the view→click→purchase funnel:
+    exact p25/p50/p75/p90 of the first-view → first-valid-purchase
+    duration over converted users — the latency half of the funnel
+    report (funnel_conversion gives the counts; this says HOW LONG the
+    journey takes, the number an SLA or campaign window is set from).
+
+    Exactness: durations ride the funnel's greedy stage-times fold
+    (stage_times — one user_id shuffle), quantize to whole minutes
+    (nonnegative truncating DIV), and the percentiles are ORDER
+    STATISTICS read off the minute-grid cumulative window — ceil-rank
+    semantics, k = ⌈q·n⌉, deterministic on both engines; never
+    percentile_approx, never a global row sort (the grid is bounded by
+    the funnel window in minutes).
+
+    Reference analog: frequencyAnalysis.py's per-group summary layer
+    (frequencyAnalysis.py:31-35) as a latency distribution.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*_STAGES))
+        .select(
+            "user_id", ntz_epoch_us("ts").alias("us"), "event_type"
+        )
+    )
+    st = stage_times(ev)
+    dur = st.filter(F.col("st.t3").isNotNull()).select(
+        F.expr("(st.t3 - st.t1) DIV 60000000").alias("mins")
+    )
+    grid = dur.groupBy("mins").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("mins").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = grid.select(
+        "mins",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("c"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n"),
+    )
+    def pick(q: int) -> F.Column:
+        return (
+            F.min(
+                F.when(
+                    F.expr(f"c >= ({q} * n + 99) DIV 100"),
+                    F.col("mins"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{q}_min")
+        )
+
+    out = cum.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        pick(25),
+        pick(50),
+        pick(75),
+        pick(90),
+    )
+    return out.filter(F.col("n_converted") > 0)

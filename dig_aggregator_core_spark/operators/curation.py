@@ -823,3 +823,114 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_stratified_neyman.__doc__ = sample_stratified_neyman.__doc__.format(
     b=_NEYMAN_BUDGET
 )
+
+
+_GATE_ORACLE = """
+WITH f AS (
+  SELECT doc_id, source, n_chars,
+         list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST((n_chars * 1000000) // greatest(len(w), 1) AS BIGINT)
+           AS mean_wordlen_micro,
+         CAST((len(list_distinct(w)) * 1000000)
+              // greatest(len(w), 1) AS BIGINT) AS ttr_micro,
+         CAST((len(list_filter(w, x -> x IN ('the','a','of','to','and',
+             'in','is','for','on','that'))) * 1000000)
+              // greatest(len(w), 1) AS BIGINT) AS stop_micro
+  FROM f
+),
+g AS (
+  SELECT *,
+         n_words BETWEEN 16 AND 4096 AS pass_wordcount,
+         mean_wordlen_micro BETWEEN 2000000 AND 12000000
+           AS pass_wordlen,
+         ttr_micro >= 200000 AS pass_diversity,
+         stop_micro >= 10000 AS pass_stopwords
+  FROM m
+)
+SELECT doc_id, source, n_words, mean_wordlen_micro, ttr_micro,
+       stop_micro, pass_wordcount, pass_wordlen, pass_diversity,
+       pass_stopwords,
+       pass_wordcount AND pass_wordlen AND pass_diversity
+         AND pass_stopwords AS pass_all
+FROM g
+"""
+
+
+@query("curation_gopher_quality_gate", oracle=_GATE_ORACLE)
+def curation_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite rule-based quality gate (the Gopher / C4 / RefinedWeb
+    filter battery, Rae et al. 2021 §A1): per document, the NAMED rule
+    verdicts — word-count band, mean-word-length band, type-token-ratio
+    floor, stopword-presence floor — plus the conjunction. Emitting each
+    rule's verdict separately (not just pass_all) is the operational
+    form: curation teams tune thresholds per rule and audit which rule
+    kills how much of each source (one groupBy away from this output).
+    Complements the scalar quality_classifier_score (this is the
+    hard-gate form) and entropy_filter (the information-theoretic one).
+
+    Exactness: every metric is an exact integer micro ratio (truncating
+    DIV on nonnegative counts), every verdict an integer comparison —
+    no floats at all. The stopword list is a 10-word literal, identical
+    in both engines.
+
+    Scale: one scan, per-row codegen array expressions, zero shuffle —
+    embarrassingly parallel (the quality_classifier_score profile).
+    Reference analog: the reference's variant QC layer
+    (frequencyAnalysis.py:31-35) as a rule battery.
+    """
+    d = load(spark, sf_dir, "documents")
+    stop = "('the','a','of','to','and','in','is','for','on','that')"
+    m = d.select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(text, ' '), w -> w <> '')").alias("w"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(w) AS BIGINT)").alias("n_words"),
+        "n_chars",
+        F.expr(
+            "CAST((n_chars * 1000000) DIV greatest(size(w), 1)"
+            " AS BIGINT)"
+        ).alias("mean_wordlen_micro"),
+        F.expr(
+            "CAST((size(array_distinct(w)) * 1000000)"
+            " DIV greatest(size(w), 1) AS BIGINT)"
+        ).alias("ttr_micro"),
+        F.expr(
+            f"CAST((size(filter(w, x -> x IN {stop})) * 1000000)"
+            " DIV greatest(size(w), 1) AS BIGINT)"
+        ).alias("stop_micro"),
+    )
+    g = m.select(
+        "*",
+        F.expr("n_words BETWEEN 16 AND 4096").alias("pass_wordcount"),
+        F.expr(
+            "mean_wordlen_micro BETWEEN 2000000 AND 12000000"
+        ).alias("pass_wordlen"),
+        F.expr("ttr_micro >= 200000").alias("pass_diversity"),
+        F.expr("stop_micro >= 10000").alias("pass_stopwords"),
+    )
+    return g.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "mean_wordlen_micro",
+        "ttr_micro",
+        "stop_micro",
+        "pass_wordcount",
+        "pass_wordlen",
+        "pass_diversity",
+        "pass_stopwords",
+        F.expr(
+            "pass_wordcount AND pass_wordlen AND pass_diversity"
+            " AND pass_stopwords"
+        ).alias("pass_all"),
+    )

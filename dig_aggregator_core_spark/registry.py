@@ -280,6 +280,8 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "timeseries_cross_correlation",
         "stats_tost_equivalence",
         "feature_woe_binning",
+        "curation_gopher_quality_gate",
+        "funnel_time_to_convert",
     }
 )
 
