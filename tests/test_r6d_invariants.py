@@ -338,3 +338,61 @@ def test_markov_attribution_shares_sum_to_one(spark, sf_dir):
     for r in rows:
         assert 0 <= r.removal_micro <= 1000000
         assert r.p_conv_micro > 0
+
+
+def test_quality_gate_rule_consistency(spark, sf_dir):
+    rows = registry.QUERIES["curation_gopher_quality_gate"](
+        spark, sf_dir
+    ).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.pass_all == (
+            r.pass_wordcount
+            and r.pass_wordlen
+            and r.pass_diversity
+            and r.pass_stopwords
+        )
+        assert r.pass_wordcount == (16 <= r.n_words <= 4096)
+        assert 0 <= r.ttr_micro <= 1000000
+        assert 0 <= r.stop_micro <= 1000000
+
+
+def test_funnel_ttc_percentiles_bruteforce(spark, sf_dir):
+    out = registry.QUERIES["funnel_time_to_convert"](spark, sf_dir).collect()
+    # brute-force the greedy funnel stage times
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts", "event_id").collect()
+    seqs = {}
+    for r in ev:
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    durs = []
+    for u, es in seqs.items():
+        es.sort()
+        t1 = t2 = t3 = None
+        for ts, et in es:
+            if t1 is None and et == "view":
+                t1 = ts
+            elif t2 is None and et == "click" and t1 is not None and ts > t1:
+                t2 = ts
+            elif (
+                t3 is None
+                and et == "purchase"
+                and t2 is not None
+                and ts > t2
+            ):
+                t3 = ts
+        if t3 is not None:
+            durs.append(int((t3 - t1).total_seconds() // 60))
+    if not durs:
+        assert out == []
+        return
+    durs.sort()
+    n = len(durs)
+    r = out[0]
+    assert r.n_converted == n
+    for q, got in ((25, r.p25_min), (50, r.p50_min), (75, r.p75_min),
+                   (90, r.p90_min)):
+        k = (q * n + 99) // 100
+        assert got == durs[k - 1], f"p{q}: {got} != {durs[k-1]}"
