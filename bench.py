@@ -250,6 +250,7 @@ HEADLINE = [
     "feature_woe_binning",
     "curation_gopher_quality_gate",
     "funnel_time_to_convert",
+    "scan_text_lines_roundtrip",
 ]
 
 

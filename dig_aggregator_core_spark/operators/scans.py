@@ -767,3 +767,64 @@ def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_chars_max long, n_nulls long"
         ),
     )
+
+
+_TEXT_ORACLE = """
+WITH lines AS (
+  SELECT CAST(doc_id AS VARCHAR) || '\t' || source || '\t'
+           || replace(replace(text, chr(10), ' '), chr(13), ' ') AS line
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(length(line)) AS BIGINT) AS total_chars,
+       md5(array_to_string(list_sort(list(md5(line))), '')) AS corpus_digest
+FROM lines
+"""
+
+
+@query("scan_text_lines_roundtrip", oracle=_TEXT_ORACLE)
+def scan_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line format round-trip — the LAST Spark-bundled file
+    format without a registered roundtrip (CSV/ORC/JSON/parquet/binary/
+    Avro-via-graftavro all have one): documents serialize to one
+    newline-delimited line each (tab-joined id/source/text, embedded
+    newlines flattened — the format's one invariant), write through the
+    text sink, scan back with spark.read.text, and reduce to an
+    order-insensitive corpus digest. If the sink or scan drops, splits,
+    or mangles ONE line, the digest moves — the oracle computes the same
+    digest straight from the table, so the parquet→text→scan path is
+    hash-verified end to end. Text is the interchange format for
+    tokenizer training corpora and classic-NLP tooling, hence worth its
+    own verified path.
+
+    Exactness: the digest is md5 over the SORTED per-line md5s
+    (order-insensitive — text files have no row order contract after a
+    distributed write), all computed with the module-standard md5
+    device on both engines.
+
+    Scale: the sink writes per-partition (no coalesce); the scan is a
+    whole-stage-codegen line reader; the reduction is one map-side
+    collected agg. Reference analog: the reference's raw part-file
+    outputs (S5 partitioned sink, SURVEY.md §2.1) in their text form.
+    """
+    path = _scratch("docs_text")
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            "source",
+            F.regexp_replace(
+                F.regexp_replace("text", "\n", " "), "\r", " "
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    scanned = spark.read.text(path)
+    return scanned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list(F.md5("value"))), "")
+        ).alias("corpus_digest"),
+    )

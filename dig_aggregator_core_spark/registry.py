@@ -282,6 +282,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "feature_woe_binning",
         "curation_gopher_quality_gate",
         "funnel_time_to_convert",
+        "scan_text_lines_roundtrip",
     }
 )
 
