@@ -251,6 +251,7 @@ HEADLINE = [
     "curation_gopher_quality_gate",
     "funnel_time_to_convert",
     "scan_text_lines_roundtrip",
+    "stream_session_timeout_close",
 ]
 
 

@@ -283,6 +283,7 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "curation_gopher_quality_gate",
         "funnel_time_to_convert",
         "scan_text_lines_roundtrip",
+        "stream_session_timeout_close",
     }
 )
 

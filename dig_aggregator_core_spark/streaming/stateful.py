@@ -1813,3 +1813,139 @@ from ..operators import timeseries as _timeseries  # noqa: E402
 _ORACLES["stream_changepoint_cusum"] = _ORACLES[
     "timeseries_changepoint_cusum"
 ]
+
+
+_SESSTO_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+_SESSTO_STATE = "start_us bigint, end_us bigint, n bigint"
+_SESSTO_OUT = "user_id bigint, start_us bigint, end_us bigint, n_events bigint"
+
+
+def _session_timeout_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Timeout-closed sessionizer: state is ONE open session (start, end,
+    n) per user. New events extend it or close it inline (intra-batch
+    gaps); the LAST open session closes when the event-time watermark
+    passes end + gap — Spark invokes this function with hasTimedOut=True
+    and no data, the only code path that can ever see it."""
+    out: list[tuple] = []
+    if state.hasTimedOut:
+        s, e, n = state.get
+        out.append((key[0], s, e, n))
+        state.remove()
+    else:
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            uss = sorted(int(u) for u in batch["us"])
+            if state.exists:
+                s, e, n = state.get
+            else:
+                s = e = None
+                n = 0
+            for u in uss:
+                if s is None:
+                    s, e, n = u, u, 1
+                elif u - e <= _SESSTO_GAP_US:
+                    e, n = max(e, u), n + 1
+                else:
+                    out.append((key[0], s, e, n))
+                    s, e, n = u, u, 1
+            state.update((s, e, n))
+            # arm the event-time timeout at session end + gap; clamp just
+            # past the current watermark (setTimeoutTimestamp rejects
+            # timestamps at or before it — a late straggler could
+            # otherwise arm an already-expired timer)
+            to_ms = (e + _SESSTO_GAP_US) // 1000 + 1
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(to_ms, wm_ms + 1))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.array([r[0] for r in out], dtype="Int64"),
+            "start_us": pd.array([r[1] for r in out], dtype="Int64"),
+            "end_us": pd.array([r[2] for r in out], dtype="Int64"),
+            "n_events": pd.array([r[3] for r in out], dtype="Int64"),
+        }
+    )
+
+
+@query(
+    "stream_session_timeout_close",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ),
+    o AS (
+      SELECT user_id, us,
+             LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+      FROM e
+    ),
+    m AS (
+      SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev > {_SESSTO_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_timeout_close(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sessionization via GroupState EVENT-TIME TIMEOUT — the one
+    stateful-API surface the rest of this module never touches
+    (every other fold runs NoTimeout): the state store itself fires the
+    session-close callback (hasTimedOut=True, no input rows) once the
+    watermark passes last-activity + 30 min, which is how a production
+    sessionizer bounds state WITHOUT waiting for the user's next event.
+    Complements stream_session_availablenow (built-in session_window
+    aggregation) and sessionize_events (batch gaps-and-islands): same
+    semantics, third mechanism — custom per-session state that a real
+    pipeline would enrich with arbitrary session features.
+
+    Flush: the far-future sentinel advances the watermark past every
+    real session's expiry; Spark then runs the extra timeout batch
+    (FlatMapGroupsWithStateExec.shouldRunAnotherBatch). The sentinel
+    user's own session never times out (its expiry sits past the final
+    watermark), so it self-filters — no output predicate needed (which
+    would push into the scan and break the flush, the left-outer
+    lesson). Drained result = the batch gaps-and-islands oracle exactly;
+    intra-batch gaps close inline, cross-batch continuation rides the
+    (start, end, n) state, and the timeout timestamp re-arms on every
+    extension.
+
+    State: 24 bytes per OPEN session per user — strictly smaller than
+    the watermark horizon's event buffer an aggregation-based
+    sessionizer holds. Reference analog: RunStatus's
+    activity-window bookkeeping (RunStatus.scala:87-115) as true
+    stream state.
+    """
+    path = _events_with_flush_sentinel(spark, sf_dir)
+    stream = (
+        _scratch_events_stream(spark, path)
+        .withWatermark("ts", "1 day")
+        .select("user_id", F.unix_micros("ts").alias("us"), "ts")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _session_timeout_fn,
+        outputStructType=_SESSTO_OUT,
+        stateStructType=_SESSTO_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return _run_to_memory(out, "append")

@@ -926,3 +926,45 @@ def test_semi_join_emits_once_across_batches(spark, sf_dir):
     expected = set(r.event_id for r in batch_semi.collect())
     assert expected, "fixture produced no converted clicks"
     assert set(ids) == expected
+
+
+def test_session_timeout_close_across_batches(spark, sf_dir):
+    """The timeout sessionizer's two seam-sensitive behaviors: a session
+    spanning micro-batches must emit ONCE with the merged extent, and
+    the final open sessions must be closed by the timeout batch the
+    sentinel's watermark advance triggers (not by more data). Drained
+    result must equal batch gaps-and-islands exactly."""
+    from dig_aggregator_core_spark import registry
+    from dig_aggregator_core_spark.streaming.stateful import _SESSTO_GAP_US
+
+    registry.load_all()
+    out = registry.QUERIES["stream_session_timeout_close"](spark, sf_dir)
+    rows = [r for r in out.collect() if r.user_id != -1]
+    from dig_aggregator_core_spark.tables import ntz_epoch_us
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", ntz_epoch_us("ts").alias("us")
+    ).collect()
+    by = {}
+    for r in ev:
+        by.setdefault(r.user_id, []).append(r.us)
+    expected = set()
+    for u, uss in by.items():
+        uss.sort()
+        s = e = uss[0]
+        n = 1
+        for x in uss[1:]:
+            if x - e <= _SESSTO_GAP_US:
+                e, n = x, n + 1
+            else:
+                expected.add((u, s, e, n))
+                s = e = x
+                n = 1
+        expected.add((u, s, e, n))
+    got = set((r.user_id, r.start_us, r.end_us, r.n_events) for r in rows)
+    assert got == expected
+    # every user's final session closed via TIMEOUT (no later data) —
+    # if the timeout batch never fired these would be missing entirely
+    finals = {u: max(uss) for u, uss in by.items()}
+    for u, last in finals.items():
+        assert any(g[0] == u and g[2] == last for g in got)
