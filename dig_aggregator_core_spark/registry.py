@@ -209,6 +209,30 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "simjoin_containment", "split_leakage_audit",
         "stats_chi2_independence", "stats_ks_drift",
         "token_budget_allocation", "user_activity_streaks",
+        # green in CORRECTNESS_r06.json (50 rows, all hash-verified):
+        "ann_index_persist", "ann_recall_eval", "asof_join_forward",
+        "corpus_datacard", "dpo_pair_assembly", "dq_constraint_audit",
+        "dq_freshness_audit", "entropy_filter", "eval_f1_confusion",
+        "eval_mrr_map", "eval_ndcg_at_k", "feature_ols_trend",
+        "feature_quantile_normalize_approx", "forecast_residuals_backtest",
+        "golden_record_survivorship", "graph_bfs_distance",
+        "length_bucket_batching", "lm_kneser_ney_bigram",
+        "negative_sampling_recsys", "pack_bins_ffd",
+        "quality_classifier_score", "quality_drift_by_source",
+        "scan_avro_roundtrip", "scd2_point_in_time",
+        "sessionize_max_duration", "sft_pair_assembly",
+        "sink_bucketed_partitioned_write", "source_similarity_matrix",
+        "stream_anomaly_zscore", "stream_assoc_rules",
+        "stream_attribution_last_touch", "stream_cdc_upsert",
+        "stream_cohort_retention", "stream_decontam",
+        "stream_dedup_within_watermark", "stream_funnel_stateful",
+        "stream_golden_record", "stream_quality_drift",
+        "stream_stream_full_outer_join", "stream_stream_left_outer_join",
+        "stream_stream_right_outer_join", "stream_topk_windowed",
+        "stream_transition_matrix", "survival_kaplan_meier",
+        "text_cooccurrence_pmi", "text_keyword_rake",
+        "timeseries_anomaly_rolling", "tokenizer_bpe_apply",
+        "tokenizer_bpe_merges", "tokenizer_vocab_coverage",
     }
 )
 
@@ -216,76 +240,13 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # Unverified names deliberately ranked LAST within the unverified tier:
 # the harness budget is ~50 rows per round, so operators added (or
 # rewritten) AFTER a round's queue is frozen park here rather than
-# displace a never-checked name. Round 5 folded the 11-name r4 deferred
-# tier (semdedup/bootstrap/kfold/stream-topk/stream-left-outer/quality/
-# entropy/length-bucket/BPE-merges/stream-funnel/rag-chunking) into the
-# ordinary unverified queue — it heads round 5's ~50-row budget alongside
-# the r5 additions.
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {
-        # added mid-round-6 AFTER the 49-name r6 queue was frozen — park
-        # behind it so no never-checked name loses its budget slot
-        "stats_welch_ttest",
-        "stats_mann_whitney_u",
-        "window_moving_median",
-        "interval_coalesce",
-        "timeseries_changepoint_cusum",
-        "privacy_t_closeness",
-        "graph_neighborhood_2hop",
-        "eval_bleu_ngram_precision",
-        "tokenizer_wordpiece_apply",
-        "eval_cohens_kappa",
-        "feature_target_encoding_loo",
-        "graph_kcore_decompose",
-        "stream_interval_coalesce",
-        "asof_join_tolerance",
-        "timeseries_holt_linear",
-        "dedup_phonetic_key",
-        "stats_spearman_corr",
-        "stats_fdr_bh",
-        "feature_mutual_information",
-        "timeseries_acf",
-        "eval_rouge_n_recall",
-        "link_prediction_adamic_adar",
-        "feature_hashing_trick",
-        "rlhf_best_of_n",
-        "stream_changepoint_cusum",
-        "survival_kaplan_meier",
-        "source_gini_concentration",
-        "dq_benford_audit",
-        "lm_good_turing",
-        "eval_rank_fusion_rrf",
-        "drift_js_divergence",
-        "text_zipf_fit",
-        "feature_winsorize",
-        "eval_brier_decomposition",
-        "feature_rfm_segmentation",
-        "text_ngram_novelty",
-        "quality_compression_ratio",
-        "graph_degree_assortativity",
-        "timeseries_theil_sen",
-        "stats_kruskal_wallis",
-        "sample_stratified_neyman",
-        "timeseries_seasonal_decompose",
-        "feature_pareto_skyline",
-        "eval_kendall_tau_b",
-        "stream_stream_semi_join",
-        "scan_parquet_footer_stats",
-        "graph_clustering_coefficient",
-        "stats_proportions_ztest",
-        "dedup_token_sort_fingerprint",
-        "timeseries_ljung_box",
-        "spatial_join_radius",
-        "attribution_markov_removal",
-        "timeseries_cross_correlation",
-        "stats_tost_equivalence",
-        "feature_woe_binning",
-        "curation_gopher_quality_gate",
-        "funnel_time_to_convert",
-        "scan_text_lines_roundtrip",
-        "stream_session_timeout_close",
-    }
-)
+# displace a never-checked name. Round 7: the 59-name r6 deferred tier
+# (1 of which, survival_kaplan_meier, got its driver row in r6 anyway)
+# is dissolved into the ordinary unverified queue — those 58 names ARE
+# round 7's budget. NEW REGISTRATIONS ARE FROZEN for r7 until that
+# evidence queue drains (VERDICT r6 task 1); anything added despite the
+# freeze must park here.
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 
 def ordered_queries() -> dict[str, QueryFn]:
@@ -298,11 +259,12 @@ def ordered_queries() -> dict[str, QueryFn]:
     """
     load_all()
     names = list(QUERIES)
+    order = {n: i for i, n in enumerate(names)}
 
     def rank(n: str) -> tuple[int, int]:
         verified = n in _VERIFIED_PRIOR_ROUNDS
         streaming = n.startswith("stream_") or n.endswith("_window")
         deferred = n in _DEFER_TO_NEXT_ROUND
-        return (verified * 4 + deferred * 2 + streaming, names.index(n))
+        return (verified * 4 + deferred * 2 + streaming, order[n])
 
     return {n: QUERIES[n] for n in sorted(names, key=rank)}
