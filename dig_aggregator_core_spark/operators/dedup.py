@@ -259,7 +259,11 @@ _MINHASH_SQL = (
              - len(list_intersect(sa.sh_set, sb.sh_set))) >= 0.5
     """,
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    cand_gate: int = None,  # test seam; None -> _CAND_BROADCAST_MAX_PAIRS
+) -> DataFrame:
     """MinHash + LSH near-dup: shingle -> 8 md5 minhashes -> 4 bands of 2 ->
     band-bucket self-join -> exact-Jaccard verification at >= 0.5.
 
@@ -309,19 +313,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    if cand_gate is None:
+        return _minhash_verify_join(sh, bands, cand)
+    return _minhash_verify_join(sh, bands, cand, cand_gate)
+
+
+# Broadcast the candidate set into the verify join only while its size is
+# provably modest. The gate is the band-bucket occupancy bound
+# sum_buckets C(occ, 2) — an EXACT upper bound on the band join's output
+# (before distinct), computed as one linear aggregation over the band
+# keys. The gate therefore never materializes candidates: at extreme dup
+# rates (one hot bucket holding the whole corpus) it costs one count
+# shuffle and answers "too big" without ever building the O(n^2) pair set.
+_CAND_BROADCAST_MAX_PAIRS = 2_000_000  # ~ tens of MB of (doc_a, doc_b)
+
+
+def _minhash_verify_join(
+    sh: DataFrame,
+    bands: DataFrame,
+    cand: DataFrame,
+    cand_gate: int = _CAND_BROADCAST_MAX_PAIRS,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidates, size-gated hint.
+
+    Verify-join order matters: candidates are output-linear (small at sane
+    dup rates), the shingle relation is the heavy side. Broadcasting cand
+    makes the first join a map-side probe over sa — ONE shingle shuffle
+    (meeting sb) instead of two. Measured 1.98 s -> 1.55 s at sf0.1,
+    byte-identical (PLANS.md). The hint used to be unconditional with a
+    prose escape hatch; since r7 the escape IS code: when the occupancy
+    bound exceeds ``cand_gate`` the hint is dropped and AQE picks the
+    build side at runtime (both plan shapes pinned in tests/test_plans.py).
+    The gate recomputes the signature/band stage once more — a linear map
+    pass, the price of never counting the candidate join itself."""
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     union = F.size("set_a") + F.size("set_b") - inter
     jac = inter.cast("double") / union
-    # verify-join order matters: candidates are output-linear (small), the
-    # shingle relation is the heavy side. Broadcasting cand makes the first
-    # join a map-side probe over sa — ONE shingle shuffle (meeting sb)
-    # instead of two. Measured 1.98 s -> 1.55 s at sf0.1, byte-identical
-    # (PLANS.md). At extreme dup rates the candidate set outgrows the
-    # broadcast limit — drop the hint there and AQE picks the join side.
+    pair_bound = (
+        bands.groupBy("band", "band_key")
+        .count()
+        .agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2)
+            .cast("long")
+            .alias("pairs")
+        )
+        .first()["pairs"]
+        or 0
+    )
+    cand_hinted = F.broadcast(cand) if pair_bound <= cand_gate else cand
     return (
-        sa.join(F.broadcast(cand), "doc_a")
+        sa.join(cand_hinted, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))

@@ -110,7 +110,10 @@ def load_all() -> None:
 _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
     {
         "agg_avg_two_key", "agg_max_per_group", "ann_ivf_probe",
-        "ann_lsh_buckets", "ann_topk_bruteforce",
+        # ann_lsh_buckets was r2-green but EXCLUDED: rewritten in r7 to
+        # the occupancy-adaptive plan (VERDICT r6 task 2), so it
+        # re-verifies first.
+        "ann_topk_bruteforce",
         "approx_count_distinct_bounded", "asof_join", "collect_set_groups",
         "count_per_group", "cube_agg", "dedup_exact",
         "dedup_simhash", "delta_antijoin", "distinct_agg", "empty_relation",

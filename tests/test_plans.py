@@ -173,11 +173,27 @@ def test_new_fns_stay_jvm_side(name, spark, sf_dir):
 
 def test_minhash_verify_broadcasts_candidates(spark, sf_dir):
     plan = plan_of("dedup_minhash_lsh", spark, sf_dir)
-    # the verify stage must probe the heavy shingle relation with the
-    # broadcast candidate set — a SortMergeJoin here means the shingle
-    # arrays shuffle twice again (the measured 1.98s->1.55s regression)
+    # under-gate path: the verify stage must probe the heavy shingle
+    # relation with the broadcast candidate set — a SortMergeJoin here
+    # means the shingle arrays shuffle twice again (the measured
+    # 1.98s->1.55s regression)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_verify_gate_drops_hint_when_over_threshold(spark, sf_dir):
+    from dig_aggregator_core_spark.operators.dedup import dedup_minhash_lsh
+
+    # over-gate path: the FORCED broadcast hint on the candidate set must
+    # be gone from the logical plan — join strategy then belongs to the
+    # cost model / AQE instead of a hardcoded hint that would OOM the
+    # driver at extreme dup rates (the self-protecting 100 TB escape;
+    # VERDICT r6 task 3). At sf0.01 the physical plan still broadcasts —
+    # by ESTIMATE, which is exactly the point — so pin the analyzed plan.
+    over = dedup_minhash_lsh(spark, sf_dir, cand_gate=-1)
+    assert "ResolvedHint" not in over._jdf.queryExecution().analyzed().toString()
+    under = registry.QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    assert "ResolvedHint" in under._jdf.queryExecution().analyzed().toString()
 
 
 def test_ewma_single_shuffle(spark, sf_dir):
