@@ -132,7 +132,10 @@ class _VersionedTable:
         """CREATE TABLE IF NOT EXISTS (reference Runs.scala:36-45)."""
         with self.locked():
             if not self.exists():
-                self._write(self.spark.createDataFrame([], self.schema))
+                # losing the publish race means someone else migrated —
+                # exactly the IF NOT EXISTS semantics, so ignore the loss
+                staged = self._stage(self.spark.createDataFrame([], self.schema))
+                self._publish(staged, 0)
 
     def drop(self) -> None:
         import shutil
@@ -140,20 +143,76 @@ class _VersionedTable:
         shutil.rmtree(self.path, ignore_errors=True)
 
     def read(self) -> DataFrame:
-        vs = self._versions()
-        if not vs:
-            return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(
-            f"{self.path}/v={vs[-1]}"
-        )
+        return self._read_version((self._versions() or [-1])[-1])
 
-    def _write(self, df: DataFrame) -> None:
-        nxt = (self._versions() or [-1])[-1] + 1
+    def _read_version(self, v: int) -> DataFrame:
+        if v < 0:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(f"{self.path}/v={v}")
+
+    # ------------------------------------------------- CAS commit protocol
+    #
+    # A write is STAGE then PUBLISH:
+    #   stage   — write the merged table to a hidden `.staged-<uuid>` dir
+    #             (invisible to readers: version discovery matches `v=N`);
+    #   publish — atomically install the staged dir as `v=base+1`, failing
+    #             if that version already exists (someone else committed
+    #             first). Locally the primitive is os.rename, which the
+    #             kernel refuses atomically when the destination is a
+    #             non-empty directory; on an object store the same seam is
+    #             a conditional put (S3 If-None-Match / GCS
+    #             x-goog-if-generation-match:0) of the version's commit
+    #             marker. _publish is the ONLY primitive a remote backend
+    #             needs to override.
+    #
+    # A failed publish means the snapshot the merge read is stale: the
+    # caller re-reads the (new) latest version, re-merges, and retries —
+    # optimistic concurrency, no lock required for correctness. flock
+    # remains as the LOCAL fast path so co-located writers serialize
+    # without burning merge work on doomed attempts; the CAS loop beneath
+    # it is what survives deployments where flock does not exist
+    # (reference gets both properties from MySQL ON DUPLICATE KEY UPDATE,
+    # Runs.scala:93-102).
+
+    _CAS_MAX_RETRIES = 16
+
+    def _stage(self, df: DataFrame) -> str:
+        import uuid
+
+        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex}")
         # ledger is metadata-sized: one file keeps listing cheap
-        df.coalesce(1).write.mode("errorifexists").parquet(
-            f"{self.path}/v={nxt}"
+        df.coalesce(1).write.mode("errorifexists").parquet(staged)
+        return staged
+
+    def _publish(self, staged: str, version: int) -> bool:
+        import shutil
+
+        try:
+            os.rename(staged, os.path.join(self.path, f"v={version}"))
+            return True
+        except OSError:
+            shutil.rmtree(staged, ignore_errors=True)
+            return False
+
+    def _read_merge_commit(self, merge_fn) -> None:
+        """Optimistic read-merge-publish loop: pin the base version, merge
+        against that snapshot, publish as base+1; on a lost race re-merge
+        against the winner's table. Bounded retries — contention on a
+        metadata table is writer-count-bounded, so hitting the bound
+        indicates a livelock bug, not load."""
+        for _ in range(self._CAS_MAX_RETRIES):
+            base = (self._versions() or [-1])[-1]
+            merged = merge_fn(self._read_version(base))
+            if merged is None:  # merge_fn declared the cycle a no-op
+                return
+            staged = self._stage(merged)
+            if self._publish(staged, base + 1):
+                self._gc(keep=3)
+                return
+        raise RuntimeError(
+            f"ledger CAS commit lost {self._CAS_MAX_RETRIES} races at "
+            f"{self.path!r}; concurrent writer storm or clock livelock"
         )
-        self._gc(keep=3)
 
     def _gc(self, keep: int) -> None:
         import shutil
@@ -164,24 +223,31 @@ class _VersionedTable:
     def upsert(self, new: DataFrame, key: list[str]) -> None:
         """Merge-on-key: drop old rows whose key appears in `new`, union
         the new rows (reference Runs.scala:93-102 ON DUPLICATE KEY UPDATE).
-        The whole read-merge-write cycle holds the writer lock, so two
-        concurrent upserts serialize — the second merges onto the first's
-        committed version instead of a stale snapshot (RunsTest.scala
-        upsert semantics under concurrency)."""
+        Safe under concurrency twice over: the flock fast path serializes
+        co-located writers, and the CAS publish beneath it rejects any
+        commit built on a stale snapshot and re-merges — so the second
+        writer merges onto the first's committed version instead of losing
+        its rows (RunsTest.scala upsert semantics under concurrency; CAS
+        path exercised lock-disabled in tests/test_ledger.py)."""
         with self.locked():
-            old = self.read()
-            merged = old.join(
-                new.select(*key).distinct(), key, "left_anti"
-            ).unionByName(new)
-            self._write(merged)
+            self._read_merge_commit(
+                lambda old: old.join(
+                    new.select(*key).distinct(), key, "left_anti"
+                ).unionByName(new)
+            )
 
     def delete_where(self, cond) -> int:
+        deleted = 0
         with self.locked():
-            old = self.read()
-            n = old.filter(cond).count()
-            if n:
-                self._write(old.filter(~cond))
-            return n
+
+            def merge(old: DataFrame) -> Optional[DataFrame]:
+                nonlocal deleted
+                deleted = old.filter(cond).count()
+                # nothing matched on this snapshot: no version churn
+                return old.filter(~cond) if deleted else None
+
+            self._read_merge_commit(merge)
+            return deleted
 
 
 class RunsLedger:
@@ -308,9 +374,10 @@ class RunStatusLedger:
             & (F.col("output").isin(list(outputs)))
         )
         with self.table.locked():
-            cur = self.table.read()
-            self.table._write(
-                cur.withColumn(col, F.when(k, F.lit(ts)).otherwise(F.col(col)))
+            self.table._read_merge_commit(
+                lambda cur: cur.withColumn(
+                    col, F.when(k, F.lit(ts)).otherwise(F.col(col))
+                )
             )
 
     def start(self, stage: str, output: str, now: Optional[datetime] = None) -> None:

@@ -223,3 +223,82 @@ def test_status_concurrent_inserts_lose_nothing(status):
     assert set(rows) == {f"o_{t}_{n}" for t in ("a", "b") for n in range(3)}
     assert rows["o_a_0"]["ended"] is not None
     assert rows["o_b_0"]["ended"] is not None
+
+
+# --- CAS publish path: the object-store-portable protocol (flock disabled) ---
+
+
+@pytest.fixture()
+def runs_no_flock(runs, monkeypatch):
+    """The same ledger with the flock fast path turned OFF, so writer
+    safety rests ENTIRELY on the stage-then-atomic-publish CAS loop —
+    the protocol an object-store deployment (conditional put) relies on,
+    where flock does not exist."""
+    from contextlib import contextmanager
+
+    from dig_aggregator_core_spark.plans import ledger as ledger_mod
+
+    @contextmanager
+    def no_lock(self):
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        yield
+
+    monkeypatch.setattr(ledger_mod._VersionedTable, "locked", no_lock)
+    return runs
+
+
+def test_cas_publish_rejects_stale_version(runs_no_flock):
+    """A staged commit whose base version was superseded must LOSE the
+    publish race (rename onto the existing non-empty version dir fails)
+    and be cleaned up — the primitive the retry loop is built on."""
+    import os
+
+    runs = runs_no_flock
+    runs.migrate()
+    t = runs.table
+    staged = t._stage(t.read())  # snapshot at v=0, would publish as v=1
+    runs.insert("TestStage", "winner", [inp("w", 1)])  # commits v=1 first
+    assert t._publish(staged, 1) is False
+    assert not os.path.exists(staged)  # loser's staging cleaned up
+    assert {r["output"] for r in runs.all()} == {"winner"}
+
+
+def test_cas_concurrent_upserts_lose_nothing_without_flock(runs_no_flock):
+    """Concurrent writers with NO lock at all: every commit built on a
+    stale snapshot loses the atomic publish and re-merges, so no writer's
+    rows are lost — MySQL ON DUPLICATE KEY UPDATE semantics
+    (Runs.scala:93-102) from optimistic concurrency alone."""
+    import threading
+
+    runs = runs_no_flock
+    runs.migrate()
+    barrier = threading.Barrier(3)
+    errors: list[BaseException] = []
+
+    def writer(tag: str) -> None:
+        try:
+            barrier.wait(timeout=30)
+            for n in range(2):
+                runs.insert(
+                    "TestStage", f"out_{tag}_{n}", [inp(f"in_{tag}_{n}", n)]
+                )
+            runs.insert("TestStage", "shared_out", [inp("shared_in", 99)])
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b", "c")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    rows = runs.all()
+    outputs = {r["output"] for r in rows}
+    expected = {f"out_{t}_{n}" for t in ("a", "b", "c") for n in range(2)}
+    assert expected <= outputs, expected - outputs
+    shared = [r for r in rows if r["output"] == "shared_out"]
+    assert len(shared) == 1
+    assert len(rows) == 7
