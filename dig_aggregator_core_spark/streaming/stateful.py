@@ -68,8 +68,14 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     # checkpoint, so choose it deliberately: state for this fixture is tiny
     # and 200 state partitions would be pure per-partition overhead. At real
     # scale this is the knob sized to state volume, not data volume.
+    # Measured on the stream-stream right-outer join at sf0.1 (warm, five
+    # interleaved runs): 16 partitions ≈ 4.3–5.6 s, 8 ≈ 2.7 s, 4 ≈ 2.0 s,
+    # identical results — per-partition state-store commit (delta file +
+    # fsync per store instance per batch; an outer join carries 4 store
+    # instances per partition) dominates the micro-batch constant, so the
+    # partition count IS the startup constant at fixture scale.
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             df.writeStream.format("memory")

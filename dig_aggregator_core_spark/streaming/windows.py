@@ -158,11 +158,14 @@ def _run_complete(agg) -> DataFrame:
     """Run a windowed streaming agg to idle (AvailableNow) into a memory
     sink and return the sink table. The first micro-batch pins state
     partitioning into the checkpoint — size it to state volume (tiny
-    here), not the 200-partition default."""
+    here), not the 200-partition default. 4 partitions: per-partition
+    state-store commit is the micro-batch constant at fixture scale
+    (measured in stateful._run_to_memory — 16→4 partitions halves the
+    warm wall with identical results)."""
     spark = agg.sparkSession
     sink = f"stream_window_sink_{next(_stream_counter)}"
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             agg.writeStream.format("memory")
