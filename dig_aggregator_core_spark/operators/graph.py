@@ -440,39 +440,12 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the frontier empties with localCheckpoint per round (the
     dedup_connected_components fixpoint pattern)."""
     ev = load(spark, sf_dir, "events")
-    cooc = ev.select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
-    ).distinct()
-    w = Window.partitionBy("event_type", "h").orderBy("user_id")
-    r = cooc.withColumn("rn", F.row_number().over(w))
-    # banded pairs via an exploded offset joined EQUI on (bucket, rn+d):
-    # a hash join producing <= BAND rows per input row — never the
-    # quadratic all-pairs-in-bucket self-join (41x at x10 in the draft)
-    probe = r.withColumn(
-        "d", F.explode(F.sequence(F.lit(1), F.lit(_BFS_BAND)))
-    ).select(
-        "event_type", "h", F.col("user_id").alias("u"),
-        (F.col("rn") + F.col("d")).alias("rn2"),
-    )
-    other = r.select(
-        F.col("event_type").alias("e2"), F.col("h").alias("h2"),
-        F.col("user_id").alias("v"), F.col("rn").alias("rn2"),
-    )
-    bp = probe.join(
-        other,
-        (F.col("event_type") == F.col("e2"))
-        & (F.col("h") == F.col("h2"))
-        & (probe.rn2 == other.rn2),
-    ).select("u", "v")
-    edges = bp.unionByName(
-        bp.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
     # the iterative-op lineage rule (dedup_connected_components):
-    # checkpoint the edge relation once and each round's frontier/visited,
-    # otherwise every later round re-embeds the full co-occurrence join
-    # per reference and the plan multiplies (the first draft linted at
-    # 187 shuffles; checkpointed it is edges + 2 per round)
-    edges = edges.localCheckpoint()
+    # checkpoint the edge relation once (builder default) and each
+    # round's frontier/visited, otherwise every later round re-embeds
+    # the full co-occurrence join and the plan multiplies (the first
+    # draft linted at 187 shuffles; checkpointed it is edges + 2/round)
+    edges = banded_cooc_edges(spark, sf_dir, symmetric=True)
     seeds = (
         ev.filter(F.col("user_id") % _BFS_SEED_MOD == 0)
         .select("user_id")
@@ -571,31 +544,9 @@ def graph_neighborhood_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct and one anti-join against the capped edges drop
     already-1-hop pairs; every join is an equi hash join on a node key.
     """
-    ev = load(spark, sf_dir, "events")
-    cooc = ev.select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
-    ).distinct()
-    w = Window.partitionBy("event_type", "h").orderBy("user_id")
-    r = cooc.withColumn("rn", F.row_number().over(w))
-    probe = r.withColumn(
-        "d", F.explode(F.sequence(F.lit(1), F.lit(_BFS_BAND)))
-    ).select(
-        "event_type", "h", F.col("user_id").alias("u"),
-        (F.col("rn") + F.col("d")).alias("rn2"),
+    edges = banded_cooc_edges(
+        spark, sf_dir, symmetric=True, checkpoint=False
     )
-    other = r.select(
-        F.col("event_type").alias("e2"), F.col("h").alias("h2"),
-        F.col("user_id").alias("v"), F.col("rn").alias("rn2"),
-    )
-    bp = probe.join(
-        other,
-        (F.col("event_type") == F.col("e2"))
-        & (F.col("h") == F.col("h2"))
-        & (probe.rn2 == other.rn2),
-    ).select("u", "v")
-    edges = bp.unionByName(
-        bp.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
     # DEGREE CAP, applied for real (not just documented): each node keeps
     # its _FOF_CAP smallest-id neighbors, so |hop2| <= |V| * CAP^2 — the
     # uncapped form is Sum deg(u)*deg(v), quadratic in bucket membership
@@ -673,33 +624,7 @@ def graph_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation shrinks monotonically, and localCheckpoint per round keeps
     the lineage (and the replanned join tree) from compounding.
     """
-    ev = load(spark, sf_dir, "events")
-    cooc = ev.select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
-    ).distinct()
-    w = Window.partitionBy("event_type", "h").orderBy("user_id")
-    r = cooc.withColumn("rn", F.row_number().over(w))
-    probe = r.withColumn(
-        "d", F.explode(F.sequence(F.lit(1), F.lit(_BFS_BAND)))
-    ).select(
-        "event_type", "h", F.col("user_id").alias("u"),
-        (F.col("rn") + F.col("d")).alias("rn2"),
-    )
-    other = r.select(
-        F.col("event_type").alias("e2"), F.col("h").alias("h2"),
-        F.col("user_id").alias("v"), F.col("rn").alias("rn2"),
-    )
-    bp = probe.join(
-        other,
-        (F.col("event_type") == F.col("e2"))
-        & (F.col("h") == F.col("h2"))
-        & (probe.rn2 == other.rn2),
-    ).select("u", "v")
-    edges = (
-        bp.unionByName(bp.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = banded_cooc_edges(spark, sf_dir, symmetric=True)
     for _ in range(_KCORE_R):
         keep = (
             edges.groupBy("u")
@@ -792,31 +717,9 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joins on the capped relation. deg(z) ≥ 2 guards ln(1) = 0
     (a degree-1 neighbor carries no AA evidence by definition).
     """
-    ev = load(spark, sf_dir, "events")
-    cooc = ev.select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
-    ).distinct()
-    w = Window.partitionBy("event_type", "h").orderBy("user_id")
-    r = cooc.withColumn("rn", F.row_number().over(w))
-    probe = r.withColumn(
-        "d", F.explode(F.sequence(F.lit(1), F.lit(_BFS_BAND)))
-    ).select(
-        "event_type", "h", F.col("user_id").alias("u"),
-        (F.col("rn") + F.col("d")).alias("rn2"),
+    edges = banded_cooc_edges(
+        spark, sf_dir, symmetric=True, checkpoint=False
     )
-    other = r.select(
-        F.col("event_type").alias("e2"), F.col("h").alias("h2"),
-        F.col("user_id").alias("v"), F.col("rn").alias("rn2"),
-    )
-    bp = probe.join(
-        other,
-        (F.col("event_type") == F.col("e2"))
-        & (F.col("h") == F.col("h2"))
-        & (probe.rn2 == other.rn2),
-    ).select("u", "v")
-    edges = bp.unionByName(
-        bp.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
     wcap = Window.partitionBy("u").orderBy("v")
     ec = (
         edges.withColumn("rk", F.row_number().over(wcap))
@@ -877,14 +780,39 @@ link_prediction_adamic_adar.__doc__ = (
 )
 
 
-def _banded_edges_lowhigh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded co-occurrence edges, low->high oriented (u < v): within
-    each (event_type, hour) bucket every user links to its next
-    {band} id-neighbors — |edges| linear in cooc rows (the
-    graph_bfs_distance device; the all-pairs form measured 14x at the
-    x10 scaleproof). Ordering by user_id makes the band target's id
-    strictly larger, so the orientation is free. Checkpointed: every
-    consumer fans out into multiple joins."""
+def banded_cooc_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    band: int = _BFS_BAND,
+    symmetric: bool = False,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """THE banded co-occurrence edge builder — the one shared derivation
+    every graph operator in this module uses (BFS, FoF, k-core,
+    Adamic-Adar, assortativity, LCC), factored so the next consumer
+    cannot re-introduce the all-pairs-in-bucket join it replaces.
+
+    Semantics: users co-occurring in the same (event_type, hour) bucket
+    are ranked by user_id; each links to its next `band` rank-neighbors.
+    Returns (u, v) low->high oriented (u < v, free from the rank order);
+    `symmetric=True` appends the reversed copies so both orientations
+    appear — disjoint from the oriented half, so the union stays
+    duplicate-free without a second distinct.
+
+    Scale shape (the fan-out-cap lesson, see PLANS.md): the band target
+    is found by an EQUI hash join on (bucket, rn+d) after exploding d in
+    1..band, so |edges| <= band * |cooc rows| — LINEAR in input where
+    the naive all-pairs self-join is quadratic in bucket density
+    (measured 41x at the x10 scaleproof before banding). Bucket
+    connectivity is preserved: consecutive ranks are always linked, so a
+    band graph spans every bucket member. Invariants (linearity, strict
+    orientation, band reach, symmetry disjointness) are pinned by
+    tests/test_banded_edges.py.
+
+    `checkpoint=True` localCheckpoints the result — mandatory when the
+    consumer fans the edges into multiple joins or an iterative loop
+    (lineage re-embeds the full derivation per consumer otherwise; the
+    BFS first draft linted at 187 shuffles uncheckpointed)."""
     ev = load(spark, sf_dir, "events")
     cooc = ev.select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
@@ -892,7 +820,7 @@ def _banded_edges_lowhigh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type", "h").orderBy("user_id")
     r = cooc.withColumn("rn", F.row_number().over(w))
     probe = r.withColumn(
-        "d", F.explode(F.sequence(F.lit(1), F.lit(_BFS_BAND)))
+        "d", F.explode(F.sequence(F.lit(1), F.lit(band)))
     ).select(
         "event_type",
         "h",
@@ -905,7 +833,7 @@ def _banded_edges_lowhigh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("v"),
         F.col("rn").alias("rn2"),
     )
-    return (
+    edges = (
         probe.join(
             other,
             (F.col("event_type") == F.col("e2"))
@@ -914,13 +842,12 @@ def _banded_edges_lowhigh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("u", "v")
         .distinct()
-        .localCheckpoint()
     )
-
-
-_banded_edges_lowhigh.__doc__ = _banded_edges_lowhigh.__doc__.format(
-    band=3
-)
+    if symmetric:
+        edges = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    return edges.localCheckpoint() if checkpoint else edges
 
 
 _ASSORT_ORACLE = f"""
@@ -992,7 +919,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: frequencyAnalysis.py's per-group statistics layer
     (frequencyAnalysis.py:31-35) as a graph-topology statistic.
     """
-    edges = _banded_edges_lowhigh(spark, sf_dir)
+    edges = banded_cooc_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -1102,7 +1029,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: frequencyAnalysis.py's per-group statistics layer
     (frequencyAnalysis.py:31-35) as a topology feature.
     """
-    edges0 = _banded_edges_lowhigh(spark, sf_dir)
+    edges0 = banded_cooc_edges(spark, sf_dir)
     deg = (
         edges0.select(F.col("u").alias("node"))
         .unionAll(edges0.select(F.col("v").alias("node")))
