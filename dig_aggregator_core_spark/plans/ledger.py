@@ -205,7 +205,16 @@ class _VersionedTable:
             merged = merge_fn(self._read_version(base))
             if merged is None:  # merge_fn declared the cycle a no-op
                 return
-            staged = self._stage(merged)
+            try:
+                staged = self._stage(merged)
+            except Exception as e:  # noqa: BLE001
+                # the pinned v=base snapshot can be GC'd mid-merge when
+                # enough other writers commit between pin and stage (the
+                # Delta/Iceberg "expired snapshot" shape) — that is a
+                # lost race, not an error; anything else propagates
+                if "PATH_NOT_FOUND" in str(e) or "FileNotFound" in str(e):
+                    continue
+                raise
             if self._publish(staged, base + 1):
                 self._gc(keep=3)
                 return

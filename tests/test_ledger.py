@@ -302,3 +302,33 @@ def test_cas_concurrent_upserts_lose_nothing_without_flock(runs_no_flock):
     shared = [r for r in rows if r["output"] == "shared_out"]
     assert len(shared) == 1
     assert len(rows) == 7
+
+
+def test_cas_retries_when_pinned_snapshot_expires(runs_no_flock):
+    """If the pinned v=base snapshot is GC'd between pin and stage (other
+    writers committed and collected it), the stage read fails with a
+    missing-path error — the loop must treat that as a lost race and
+    re-merge, not surface an error (the expired-snapshot shape every
+    versioned table format has)."""
+    runs = runs_no_flock
+    runs.migrate()
+    t = runs.table
+    real_stage = type(t)._stage
+    calls = {"n": 0}
+
+    def flaky_stage(self, df):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("[PATH_NOT_FOUND] Path does not exist: v=0")
+        return real_stage(self, df)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(type(t), "_stage", flaky_stage)
+        runs.insert("TestStage", "after_expiry", [inp("i", 1)])
+    finally:
+        mp.undo()
+    assert calls["n"] == 2  # first attempt lost, second committed
+    assert {r["output"] for r in runs.all()} == {"after_expiry"}
