@@ -108,3 +108,71 @@ def test_band_one_is_rank_chain(spark, fixture_dir):
     for members in (list(range(1, 11)), list(range(100, 105))):
         exp |= set(zip(members, members[1:]))
     assert got == exp
+
+
+# ---- property form: randomized bucket memberships vs brute-force ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _bucketings(draw):
+    """1-4 buckets, each 1-12 distinct users drawn from a shared pool
+    (users may repeat ACROSS buckets — multi-bucket membership is the
+    interesting overlap case), band 1-5."""
+    n_buckets = draw(st.integers(1, 4))
+    buckets = [
+        sorted(
+            draw(
+                st.sets(st.integers(1, 30), min_size=1, max_size=12)
+            )
+        )
+        for _ in range(n_buckets)
+    ]
+    band = draw(st.integers(1, 5))
+    return buckets, band
+
+
+def _brute(buckets: list[list[int]], band: int) -> set[tuple[int, int]]:
+    exp = set()
+    for members in buckets:
+        for i, u in enumerate(members):
+            for v in members[i + 1 : i + 1 + band]:
+                exp.add((u, v))
+    return exp
+
+
+@given(_bucketings())
+@settings(max_examples=8, deadline=None)
+def test_property_banded_equals_bruteforce(spark, tmp_path_factory, case):
+    """For arbitrary bucket memberships and band widths the builder's
+    edge set equals the rank-band brute force, stays under the linearity
+    bound, and symmetrization doubles it disjointly."""
+    buckets, band = case
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for b, members in enumerate(buckets):
+        for u in members:
+            rows.append((f"t{b}", base, u))
+    out = str(tmp_path_factory.mktemp("banded_prop"))
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp, user_id bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    exp = _brute(buckets, band)
+    got = {
+        (r["u"], r["v"])
+        for r in banded_cooc_edges(
+            spark, out, band=band, checkpoint=False
+        ).collect()
+    }
+    assert got == exp
+    assert len(got) <= band * sum(len(m) for m in buckets)
+    sym = {
+        (r["u"], r["v"])
+        for r in banded_cooc_edges(
+            spark, out, band=band, symmetric=True, checkpoint=False
+        ).collect()
+    }
+    assert sym == exp | {(v, u) for u, v in exp}
