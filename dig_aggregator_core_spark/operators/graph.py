@@ -338,6 +338,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # unionAll of two projections, NOT an explode-symmetrize: the MinHash
+    # subtree is deduped by ReusedExchange (both branches share its
+    # shuffle), so the union costs two cheap post-shuffle passes — an
+    # explode(array(struct,struct)) was A/B-measured 10% SLOWER at sf0.1
+    # (per-row struct construction in one serial pass beats nothing here).
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionAll(
@@ -1077,10 +1082,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.v").alias("c"),
         )
     )
+    # Corner credit via explode, NOT a 3-way unionAll of projections:
+    # tris is an unmaterialized 3-way join, so a union would repeat that
+    # join subtree three times in the plan (exchange reuse dedups the
+    # shuffle maps but the reduce-side probe still runs per branch).
+    # One explode = one join pass. Measured 9.6 s -> see PLANS.md.
     pert = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
     )

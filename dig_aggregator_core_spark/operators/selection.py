@@ -173,6 +173,11 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer mean via floor(double division): sum <= 1e6 * |ngrams| and
     # |ngrams| >= 1, so the quotient's distance from any integer it isn't
     # is >= 1/|ngrams| >> double ulp — floor is exact (matches DuckDB //)
+    # scan-twice, deliberately unmaterialized: a localCheckpoint of
+    # (doc_id, score) to dedupe the two consumers was A/B-measured 21%
+    # SLOWER at sf0.1 (eager materialization + two extra jobs beat the
+    # saved fold pass); at real scale the threshold comes from a profile
+    # stage anyway (docstring), so the second pass never ships.
     scored = ngrams.select(
         "doc_id",
         F.floor(score_sum / F.size("ngrams")).cast("bigint").alias("score"),
