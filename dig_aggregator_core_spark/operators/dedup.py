@@ -638,18 +638,26 @@ reach AS (
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star contraction (Kiveris et al., 'Connected Components in
     MapReduce and Beyond'): every node connects its strictly-larger
-    neighbors to the minimum of its closed neighborhood."""
+    neighbors to the minimum of its closed neighborhood.
+
+    Shape: the per-node minimum is attached with ONE window-min over the
+    symmetrized edges instead of the paper-literal groupBy + self-join —
+    the join form computes the symmetrize/orient subtree twice (agg
+    branch + probe branch) and adds a join shuffle; the window form is a
+    single exchange on the node key (A/B at sf0.1: 5.9 s -> 4.8 s for
+    the full CC fixpoint, identical labels). Skew note for 100 TB: the
+    window buffers one node's neighbor list per partition group
+    (spill-backed), the same per-node fan-out the join's probe side
+    carries — LSH pair generation is band-bounded upstream, so hub
+    degree is capped by the duplication factor either way."""
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    m = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("mv"))
-        .select("u", F.least("mv", "u").alias("m"))
+    w = sym.withColumn(
+        "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     )
     return (
-        sym.join(m, "u")
-        .filter(F.col("v") > F.col("u"))
+        w.filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -658,19 +666,28 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Small-star contraction: edges oriented large->small; every node
-    connects its smaller-or-equal neighbors (and itself) to the minimum."""
+    connects its smaller-or-equal neighbors (and itself) to the minimum.
+
+    Same window-min device as _large_star; the (node -> m) self-edge the
+    paper emits per node rides the explode (one fan-out pass over the
+    window output, duplicates swept by the trailing distinct) instead of
+    a second scan of the aggregate."""
     o = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
-    m = (
-        o.groupBy("u")
-        .agg(F.min("v").alias("mv"))
-        .select("u", F.least("mv", "u").alias("m"))
+    w = o.withColumn(
+        "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     )
     return (
-        o.join(m, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        w.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
