@@ -785,6 +785,16 @@ link_prediction_adamic_adar.__doc__ = (
 )
 
 
+# memo keyed by (SparkSession, sf_dir, band, symmetric) — the _SH_CACHE
+# precedent (dedup.py): six graph queries derive the SAME edge relation
+# from events, and a session (the driver's 50-query run, a real pipeline's
+# graph stage) should pay the cooc scan + rank window + band join once.
+# Entries for a different sf_dir on the same session are dropped so a
+# long-lived session iterating corpora can't accumulate checkpointed RDDs;
+# the checkpointed blocks die with their last DataFrame reference.
+_EDGE_CACHE: dict = {}
+
+
 def banded_cooc_edges(
     spark: SparkSession,
     sf_dir: str,
@@ -817,7 +827,18 @@ def banded_cooc_edges(
     `checkpoint=True` localCheckpoints the result — mandatory when the
     consumer fans the edges into multiple joins or an iterative loop
     (lineage re-embeds the full derivation per consumer otherwise; the
-    BFS first draft linted at 187 shuffles uncheckpointed)."""
+    BFS first draft linted at 187 shuffles uncheckpointed). Checkpointed
+    results are memoized per (session, sf_dir, band, symmetric) so the
+    derivation runs once per session, not once per consuming query."""
+    key = (spark, sf_dir, band, symmetric)
+    if checkpoint:
+        hit = _EDGE_CACHE.get(key)
+        if hit is not None:
+            return hit
+        for stale in [
+            k for k in _EDGE_CACHE if k[0] is spark and k[1] != sf_dir
+        ]:
+            _EDGE_CACHE.pop(stale)
     ev = load(spark, sf_dir, "events")
     cooc = ev.select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
@@ -852,7 +873,11 @@ def banded_cooc_edges(
         edges = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-    return edges.localCheckpoint() if checkpoint else edges
+    if not checkpoint:
+        return edges
+    edges = edges.localCheckpoint()
+    _EDGE_CACHE[key] = edges
+    return edges
 
 
 _ASSORT_ORACLE = f"""
