@@ -659,3 +659,39 @@ def test_adamic_adar_equi_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert n_shuffles(plan) <= 10, plan
+
+
+def test_star_contraction_single_exchange_per_star(spark, sf_dir):
+    # each star attaches the closed-neighborhood minimum with ONE
+    # window-min over the node key — a regression back to the
+    # groupBy + self-join form would show a Join node and a second
+    # exchange per star (the r7 A/B measured that form 23% slower)
+    import pyspark.sql.functions as F
+    from dig_aggregator_core_spark.operators.dedup import (
+        _large_star,
+        _small_star,
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "u bigint, v bigint"
+    ).localCheckpoint()
+    for star in (_large_star, _small_star):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            star(edges).explain("formatted")
+        plan = buf.getvalue()
+        assert "Window" in plan, plan
+        assert "Join" not in plan, plan
+        # symmetrize/orient distinct + window key + trailing distinct
+        assert n_shuffles(plan) <= 3, plan
+
+
+def test_lcc_corner_credit_is_single_generate(spark, sf_dir):
+    # triangle corners are credited via one explode (Generate) over the
+    # 3-way edge join — the unionAll-of-projections form repeated the
+    # join probe three times (r7 A/B: 8.8s -> 7.9s at sf0.1)
+    plan = plan_of("graph_clustering_coefficient", spark, sf_dir)
+    assert "Union" not in plan, plan
+    assert plan.count("Generate") >= 1, plan
