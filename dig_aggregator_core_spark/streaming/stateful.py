@@ -61,21 +61,37 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+# state-partition counts by operator family — the two pull in opposite
+# directions and a single value cannot serve both (the r7 benchdiff
+# caught the 4-everywhere pin making the Python folds 1.45x SLOWER while
+# it made the JVM joins 3x faster):
+# - JVM stateful ops (stream-stream joins, window aggs, dedup): the
+#   micro-batch constant is per-partition state-store commit (delta file
+#   + fsync per store instance per batch; an outer join carries 4 store
+#   instances per partition) — fewer partitions win. Measured on the
+#   right-outer join at sf0.1: 16 ≈ 4.3–5.6 s, 8 ≈ 2.7 s, 4 ≈ 2.0 s.
+# - applyInPandasWithState folds: each partition is ONE Arrow-batched
+#   Python worker stream, so partitions = fold parallelism; the commit
+#   constant is smaller than the Python time it serializes.
+#   Measured over 5 fold twins at sf0.1 (min-of-2 each): 4 parts =
+#   15.9 s, 8 = 11.6 s, 16 = 10.2 s, 32 = 13.0 s — 16 is the knee;
+#   32 re-enters commit-constant territory.
+# At real scale both knobs size to state volume, not data volume.
+_JOIN_STATE_PARTS = 4
+_FOLD_STATE_PARTS = 16
+
+
+def _run_to_memory(
+    df: DataFrame, output_mode: str, state_partitions: int = _JOIN_STATE_PARTS
+) -> DataFrame:
     sink = f"stateful_sink_{next(_sink_counter)}"
     spark = df.sparkSession
     # The first micro-batch pins state-store partitioning into the
-    # checkpoint, so choose it deliberately: state for this fixture is tiny
-    # and 200 state partitions would be pure per-partition overhead. At real
-    # scale this is the knob sized to state volume, not data volume.
-    # Measured on the stream-stream right-outer join at sf0.1 (warm, five
-    # interleaved runs): 16 partitions ≈ 4.3–5.6 s, 8 ≈ 2.7 s, 4 ≈ 2.0 s,
-    # identical results — per-partition state-store commit (delta file +
-    # fsync per store instance per batch; an outer join carries 4 store
-    # instances per partition) dominates the micro-batch constant, so the
-    # partition count IS the startup constant at fixture scale.
+    # checkpoint, so choose it deliberately (rationale above): state for
+    # this fixture is tiny and 200 partitions would be pure per-partition
+    # overhead.
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             df.writeStream.format("memory")
@@ -167,7 +183,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(stats, "update")
+    return _run_to_memory(stats, "update", state_partitions=_FOLD_STATE_PARTS)
 
 
 @query(
@@ -334,7 +350,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # update mode re-emits a key on every batch that touches it;
         # AvailableNow runs one batch here, but keep the last emission per
         # key for batch-boundary invariance
-        out = _run_to_memory(stats, "update")
+        out = _run_to_memory(stats, "update", state_partitions=_FOLD_STATE_PARTS)
     finally:
         if before is None:
             spark.conf.unset(provider_key)
@@ -479,7 +495,7 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    result = _run_to_memory(out, "update")
+    result = _run_to_memory(out, "update", state_partitions=_FOLD_STATE_PARTS)
     # update mode re-emits a key on every batch that touches it; keep the
     # final (max-n) emission per user
     from pyspark.sql import Window
@@ -904,7 +920,7 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    result = _run_to_memory(out, "update")
+    result = _run_to_memory(out, "update", state_partitions=_FOLD_STATE_PARTS)
     # update mode re-emits a user's row in EVERY micro-batch that touches
     # the user; a multi-file source therefore yields several rows per
     # user_id. Stage times only ever fill in (t1 before t2 before t3,
@@ -983,7 +999,7 @@ def stream_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    result = _run_to_memory(out, "update")
+    result = _run_to_memory(out, "update", state_partitions=_FOLD_STATE_PARTS)
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_days"))
@@ -1101,7 +1117,7 @@ def stream_attribution_last_touch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "update")
+    return _run_to_memory(out, "update", state_partitions=_FOLD_STATE_PARTS)
 
 
 _ZANOM_MIN_N = 5
@@ -1235,7 +1251,7 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "update")
+    return _run_to_memory(out, "update", state_partitions=_FOLD_STATE_PARTS)
 
 
 stream_anomaly_zscore.__doc__ = stream_anomaly_zscore.__doc__.format(
@@ -1654,7 +1670,7 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    drained = _run_to_memory(deltas, "append")
+    drained = _run_to_memory(deltas, "append", state_partitions=_FOLD_STATE_PARTS)
     from ..operators.graph import transition_grid
 
     edges = drained.groupBy("src", "dst").agg(
@@ -1694,7 +1710,7 @@ def stream_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = golden_attr_versions(stream, F.unix_micros(F.col("ts")))
     merged = golden_merge(v)
-    return _run_to_memory(merged, "complete")
+    return _run_to_memory(merged, "complete", state_partitions=_FOLD_STATE_PARTS)
 
 
 from ..operators import warehouse as _warehouse  # noqa: E402
@@ -1777,7 +1793,7 @@ def stream_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    drained = _run_to_memory(deltas, "append")
+    drained = _run_to_memory(deltas, "append", state_partitions=_FOLD_STATE_PARTS)
     from pyspark.sql import Window
 
     wp = Window.partitionBy("event_type")
@@ -1954,4 +1970,4 @@ def stream_session_timeout_close(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    return _run_to_memory(out, "append")
+    return _run_to_memory(out, "append", state_partitions=_FOLD_STATE_PARTS)
