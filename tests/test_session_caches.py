@@ -1,0 +1,73 @@
+"""Contract tests for the session-scoped derivation memos — the shingle
+cache (dedup._SH_CACHE), the banded-edge cache (graph._EDGE_CACHE) and
+the BPE-encode cache (training._BPE_ENC_CACHE). Each exists so a session
+pays a heavy shared derivation once; these pin the parts a refactor
+could silently break: hit-returns-same-frame, parameter keys are
+distinct, switching corpus dir evicts (no stale data, no unbounded
+growth), and a cache hit returns the same ROWS as a cold compute."""
+
+from __future__ import annotations
+
+from dig_aggregator_core_spark.operators import dedup, graph, training
+
+
+def test_banded_edges_hit_returns_same_frame(spark, sf_dir):
+    a = graph.banded_cooc_edges(spark, sf_dir)
+    b = graph.banded_cooc_edges(spark, sf_dir)
+    assert a is b
+
+
+def test_banded_edges_params_key_separately(spark, sf_dir):
+    base = graph.banded_cooc_edges(spark, sf_dir)
+    sym = graph.banded_cooc_edges(spark, sf_dir, symmetric=True)
+    wide = graph.banded_cooc_edges(spark, sf_dir, band=1)
+    assert base is not sym and base is not wide
+    # symmetric doubles the oriented edge set exactly
+    assert sym.count() == 2 * base.count()
+    # the unmemoized path must not poison the cache
+    raw = graph.banded_cooc_edges(spark, sf_dir, checkpoint=False)
+    assert raw is not base
+    assert graph.banded_cooc_edges(spark, sf_dir) is base
+
+
+def test_banded_edges_dir_switch_evicts(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+    import datetime
+
+    graph.banded_cooc_edges(spark, sf_dir)
+    n_before = len(
+        [k for k in graph._EDGE_CACHE if k[0] is spark and k[1] == sf_dir]
+    )
+    assert n_before >= 1
+    other = str(tmp_path / "corpus2")
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [("a", base, u) for u in range(1, 6)],
+        "event_type string, ts timestamp, user_id bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{other}/events.parquet")
+    got = graph.banded_cooc_edges(spark, other)
+    # new dir's data, not the old corpus' rows
+    assert got.agg(F.max("v")).collect()[0][0] <= 5
+    assert not [
+        k for k in graph._EDGE_CACHE if k[0] is spark and k[1] == sf_dir
+    ], "old-dir entries must be evicted on corpus switch"
+    # re-warm for any later test in the session
+    graph.banded_cooc_edges(spark, sf_dir)
+
+
+def test_bpe_encode_hit_and_row_parity(spark, sf_dir):
+    a = training._bpe_encoded(spark, sf_dir)
+    b = training._bpe_encoded(spark, sf_dir)
+    assert a is b
+    # cold recompute (cache cleared) returns identical rows
+    training._BPE_ENC_CACHE.clear()
+    cold = training._bpe_encoded(spark, sf_dir)
+    assert cold is not a
+    assert sorted(map(tuple, cold.collect())) == sorted(
+        map(tuple, a.collect())
+    )
+
+
+def test_shingle_cache_hit(spark, sf_dir):
+    a = dedup._shingled(spark, sf_dir)
+    assert dedup._shingled(spark, sf_dir) is a
