@@ -360,7 +360,8 @@ def empty_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_agg_merge",
     oracle="""
     SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS total
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -378,8 +379,16 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     orders = load(spark, sf_dir, "orders")
+    # partials accumulate EXACT CENTS (the sf0.1 exactness sweep caught
+    # double-sum last-ulp drift vs the oracle at 10x data): money has 2
+    # decimals, so ROUND(x*100) is integral, the DECIMAL(38,0) sum is
+    # exact through the store-and-merge, and the single final /100 +
+    # ROUND(,4) of a 2-decimal value is engine-deterministic
     partial = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
-        F.count("*").alias("pn"), F.sum("o_totalprice").alias("ptotal")
+        F.count("*").alias("pn"),
+        F.expr(
+            "SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(38,0)))"
+        ).alias("ptotal_cents"),
     )
     stored_path = os.path.join(
         tempfile.gettempdir(), "spark_graft_scratch", "agg_state"
@@ -396,7 +405,9 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
             F.sum("pn").alias("n"),
-            F.round(F.sum("ptotal").cast("double"), 4).alias("total"),
+            F.expr(
+                "ROUND(CAST(SUM(ptotal_cents) AS DOUBLE) / 100, 4)"
+            ).alias("total"),
         )
     )
 

@@ -30,7 +30,8 @@ from ..tables import load
     oracle="""
     WITH cost AS (
       SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-             MIN(l_extendedprice / l_quantity) AS unit_cost
+             MIN((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10000)
+                 // CAST(l_quantity AS BIGINT)) AS unit_cost_micro
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                     JOIN nation ON s_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey
@@ -38,19 +39,27 @@ from ..tables import load
       GROUP BY 1, 2
     )
     SELECT p_partkey AS partkey, s_name AS supplier,
-           ROUND(CAST(unit_cost AS DOUBLE), 4) AS unit_cost
+           CAST(unit_cost_micro AS BIGINT) AS unit_cost_micro
     FROM part JOIN cost ON p_partkey = partkey
               JOIN supplier ON suppkey = s_suppkey
     WHERE p_size < 20 AND p_type = 'ECONOMY'
-      AND unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
-                       WHERE c2.partkey = p_partkey)
+      AND unit_cost_micro = (SELECT MIN(c2.unit_cost_micro) FROM cost c2
+                             WHERE c2.partkey = p_partkey)
     """,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (partsupp-less): cheapest EUROPE supplier per part,
     where observed unit cost (extendedprice/quantity from lineitem) stands
     in for ps_supplycost. The correlated MIN subquery becomes a window MIN
-    over the cost relation — one shuffle on partkey, no self-join."""
+    over the cost relation — one shuffle on partkey, no self-join.
+
+    Exactness: unit cost is INTEGER MICRO-UNITS — cents x 10000
+    truncating-DIV quantity, nonnegative so Spark DIV == DuckDB // (the
+    signed-DIV ban doesn't bite). The earlier double division + ROUND(,4)
+    hit the round-on-double tie trap at sf0.1 (111.10075 rounded .1007 vs
+    .1008 across engines); MIN/equality over exact integers cannot
+    drift. l_quantity is integral by construction, so the BIGINT cast is
+    engine-agnostic."""
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nation = load(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
@@ -68,12 +77,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),
         )
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .agg(
+            F.expr(
+                "MIN((CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                " * 10000) DIV CAST(l_quantity AS BIGINT))"
+            ).alias("unit_cost_micro")
+        )
     )
     w = Window.partitionBy("partkey")
-    best = cost.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
-        F.col("unit_cost") == F.col("min_cost")
-    )
+    best = cost.withColumn(
+        "min_cost", F.min("unit_cost_micro").over(w)
+    ).filter(F.col("unit_cost_micro") == F.col("min_cost"))
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_size") < 20) & (F.col("p_type") == "ECONOMY")
     )
@@ -84,7 +98,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "partkey",
             F.col("s_name").alias("supplier"),
-            F.round(F.col("unit_cost").cast("double"), 4).alias("unit_cost"),
+            F.col("unit_cost_micro").cast("bigint").alias("unit_cost_micro"),
         )
     )
 

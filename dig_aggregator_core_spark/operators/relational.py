@@ -580,7 +580,8 @@ _CAMPAIGN_VALUES = ", ".join(
 _INTERVAL_ORACLE = f"""
 WITH campaigns(camp, lo, hi) AS (VALUES {_CAMPAIGN_VALUES})
 SELECT camp, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o_totalprice), 4) AS total_price
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                  AS DOUBLE) / 100, 4) AS total_price
 FROM orders JOIN campaigns
   ON o_orderdate >= lo AND o_orderdate < hi
 GROUP BY camp
@@ -632,7 +633,11 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("camp")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            # exact-cents sum (see join_salted_skew — same sf0.1 drift)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+            ).alias("total_price"),
         )
     )
 

@@ -30,7 +30,9 @@ _SALT = 8
     oracle="""
     SELECT l_returnflag AS returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_extendedprice * f.rate), 4) AS adjusted
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                          * CAST(ROUND(f.rate * 10) AS HUGEINT))
+                      AS DOUBLE) / 1000, 4) AS adjusted
     FROM lineitem l
     JOIN (SELECT 'A' AS flag, 0.9 AS rate UNION ALL
           SELECT 'N', 1.0 UNION ALL
@@ -64,9 +66,15 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_returnflag").alias("returnflag"))
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * F.col("rate")), 4).alias(
-                "adjusted"
-            ),
+            # exact milli-units (cents x rate-tenths): double accumulation
+            # drifted a last-ulp vs the oracle at sf0.1; the integer sum
+            # is exact and the single /1000 + ROUND of a 3-decimal value
+            # is engine-deterministic
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
+                " DECIMAL(38,0)) * CAST(ROUND(rate * 10) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 1000, 4)"
+            ).alias("adjusted"),
         )
     )
 
@@ -76,7 +84,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_extendedprice), 4) AS total
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
     """,
@@ -112,7 +121,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+            # exact-cents sum (see join_salted_skew — same sf0.1 drift)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+            ).alias("total"),
         )
     )
 

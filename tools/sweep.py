@@ -45,8 +45,14 @@ def main() -> int:
     for name in names:
         fn = registry.QUERIES[name]
         t0 = time.time()
+        # file-path-bound oracles (ORACLE_SF_PIN) are evaluated with BOTH
+        # sides at their pinned dir, mirroring tests/test_queries.py —
+        # sweeping them at another SF compares two different files
+        pin = registry.ORACLE_SF_PIN.get(name)
+        q_dir = pin if pin is not None else sf_dir
+        q_con = duck_con(pin) if pin is not None and pin != sf_dir else con
         try:
-            df = fn(spark, sf_dir)
+            df = fn(spark, q_dir)
             pdf = df.toPandas()
             # driver-hash hazard: any cell the pandas hasher can't digest
             for col in pdf.columns:
@@ -61,13 +67,16 @@ def main() -> int:
             if sql is None:
                 status = f"NO-ORACLE rows={len(pdf)}"
             else:
-                compare(df, con, sql)
+                compare(df, q_con, sql)
                 status = f"ok rows={len(pdf)}"
         except Exception as e:  # noqa: BLE001
             status = f"FAIL {type(e).__name__}: {e}"
             failures.append(name)
             if "-v" in sys.argv:
                 traceback.print_exc()
+        finally:
+            if q_con is not con:
+                q_con.close()
         print(f"{name:45s} {time.time() - t0:6.1f}s  {status[:140]}", flush=True)
     print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures}")
     return 1 if failures else 0
