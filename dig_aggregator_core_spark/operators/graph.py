@@ -335,9 +335,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the corpus-sized relation. Edge extraction reuses
     dedup_minhash_lsh verbatim; at 100 TB the rounds are |edges|-keyed
     hash joins and nothing else."""
-    from .dedup import dedup_minhash_lsh
+    from .dedup import _neardup_pairs
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     # unionAll of two projections, NOT an explode-symmetrize: the MinHash
     # subtree is deduped by ReusedExchange (both branches share its
     # shuffle), so the union costs two cheap post-shuffle passes — an

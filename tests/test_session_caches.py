@@ -71,3 +71,13 @@ def test_bpe_encode_hit_and_row_parity(spark, sf_dir):
 def test_shingle_cache_hit(spark, sf_dir):
     a = dedup._shingled(spark, sf_dir)
     assert dedup._shingled(spark, sf_dir) is a
+
+
+def test_neardup_pairs_cache_hit_and_parity(spark, sf_dir):
+    a = dedup._neardup_pairs(spark, sf_dir)
+    assert dedup._neardup_pairs(spark, sf_dir) is a
+    # the memoized pair set is exactly the registered query's output
+    fresh = dedup.dedup_minhash_lsh(spark, sf_dir)
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
