@@ -240,21 +240,88 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "stream_stream_right_outer_join", "stream_topk_windowed",
         "stream_transition_matrix", "survival_kaplan_meier",
         "text_cooccurrence_pmi", "text_keyword_rake",
-        "timeseries_anomaly_rolling", "tokenizer_bpe_apply",
-        "tokenizer_bpe_merges", "tokenizer_vocab_coverage",
+        "timeseries_anomaly_rolling",
+        "tokenizer_bpe_merges",
+        # green in CORRECTNESS_r07.json (49 hash-verified + the rows-only
+        # quality_compression_ratio, which is ROWS_ONLY_BY_DESIGN and
+        # byte-exact-pinned in tests/test_zlib_ratio.py):
+        "ann_lsh_buckets", "asof_join_tolerance",
+        "attribution_markov_removal", "curation_gopher_quality_gate",
+        "dedup_phonetic_key", "dedup_token_sort_fingerprint",
+        "drift_js_divergence", "eval_bleu_ngram_precision",
+        "eval_brier_decomposition", "eval_cohens_kappa",
+        "eval_kendall_tau_b", "eval_rank_fusion_rrf",
+        "eval_rouge_n_recall", "feature_hashing_trick",
+        "feature_mutual_information", "feature_rfm_segmentation",
+        "feature_target_encoding_loo", "feature_winsorize",
+        "feature_woe_binning", "funnel_time_to_convert",
+        "graph_clustering_coefficient", "graph_degree_assortativity",
+        "graph_kcore_decompose", "graph_neighborhood_2hop",
+        "incremental_agg_merge", "interval_coalesce",
+        "join_bucketed_colocated", "join_interval_bucketed",
+        "join_salted_skew", "link_prediction_adamic_adar",
+        "lm_good_turing", "privacy_t_closeness", "q2_min_cost_supplier",
+        "quality_compression_ratio", "sample_stratified_neyman",
+        "scan_parquet_footer_stats", "scan_text_lines_roundtrip",
+        "source_gini_concentration", "spatial_join_radius",
+        "stats_fdr_bh", "stats_kruskal_wallis", "stats_mann_whitney_u",
+        "stats_proportions_ztest", "stats_spearman_corr",
+        "stats_tost_equivalence", "stats_welch_ttest",
+        "text_ngram_novelty", "text_zipf_fit",
+        "timeseries_changepoint_cusum", "timeseries_holt_linear",
     }
+    # RE-VERIFY CONVENTION, now mechanical (VERDICT r7 task 2): any query
+    # whose PHYSICAL PLAN changed after its latest driver evidence is
+    # evicted from this set so the driver re-verifies the shipping plan.
+    # "Plan changed" means the executed operators/partitioning differ —
+    # not comment/docstring edits and not a knob rewritten to the SAME
+    # effective value (the r7 per-family state-partition split left every
+    # applyInPandasWithState fold at 16 partitions, identical to the
+    # value its r3–r6 evidence ran under, so the fold twins stay
+    # verified). Evicted for r8 — all sweep-green at sf0.01 AND sf0.1:
+    - frozenset(
+        {
+            # r7 star contraction + _neardup_pairs session memo
+            "dedup_connected_components", "dedup_cluster_representative",
+            "split_leakage_audit", "graph_label_propagation",
+            # r7 size-gated verify-join broadcast (rewritten again in r8:
+            # overflow-safe decimal bound, lazy gate — ADVICE r7)
+            "dedup_minhash_lsh",
+            # r7 banded_cooc_edges shared-builder migration (the other
+            # five migrants got r7 rows on the migrated plan already)
+            "graph_bfs_distance",
+            # r7 _bpe_encoded session memo
+            "tokenizer_bpe_apply", "tokenizer_vocab_coverage",
+            # r7 rebind onto the shared _lsh_adaptive_topk plan (that
+            # plan IS r7-green under ann_lsh_buckets; re-verify under
+            # this name too)
+            "ann_lsh_adaptive",
+            # r7 JVM state-partition change 16 -> 4 (_JOIN_STATE_PARTS
+            # default in stateful._run_to_memory and the windows.py
+            # _run_complete pin) — evidence predates the new checkpoint
+            # partitioning:
+            "stream_dedup_watermark", "stream_kafka_shaped",
+            "stream_static_join", "stream_stream_interval_join",
+            "stream_stream_left_outer_join",
+            "stream_stream_right_outer_join",
+            "stream_stream_full_outer_join",
+            "stream_dedup_within_watermark", "stream_decontam",
+            "stream_quality_drift", "stream_assoc_rules",
+            "stream_tumbling_availablenow", "stream_sliding_availablenow",
+            "stream_session_availablenow", "stream_topk_windowed",
+        }
+    )
 )
 
 
 # Unverified names deliberately ranked LAST within the unverified tier:
 # the harness budget is ~50 rows per round, so operators added (or
 # rewritten) AFTER a round's queue is frozen park here rather than
-# displace a never-checked name. Round 7: the 59-name r6 deferred tier
-# (1 of which, survival_kaplan_meier, got its driver row in r6 anyway)
-# is dissolved into the ordinary unverified queue — those 58 names ARE
-# round 7's budget. NEW REGISTRATIONS ARE FROZEN for r7 until that
-# evidence queue drains (VERDICT r6 task 1); anything added despite the
-# freeze must park here.
+# displace a never-checked name. Round 8: the registration freeze is
+# LIFTED (VERDICT r7 task 2 — the r7 queue drained to 50/50 rows); the
+# r8 queue is 38 names (14 never-checked + 24 plan-rewrite evictions),
+# inside the ~50 budget. New r8 registrations park here so they cannot
+# displace the evidence-closing tail.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 
