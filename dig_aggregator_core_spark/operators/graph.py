@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import dir_fingerprint, load
 
 DAMPING = 0.85
 PR_ITERS = 5
@@ -828,15 +828,18 @@ def banded_cooc_edges(
     consumer fans the edges into multiple joins or an iterative loop
     (lineage re-embeds the full derivation per consumer otherwise; the
     BFS first draft linted at 187 shuffles uncheckpointed). Checkpointed
-    results are memoized per (session, sf_dir, band, symmetric) so the
-    derivation runs once per session, not once per consuming query."""
-    key = (spark, sf_dir, band, symmetric)
+    results are memoized per (session, sf_dir + listing fingerprint,
+    band, symmetric) so the derivation runs once per session, not once
+    per consuming query — and an in-place corpus mutation invalidates."""
+    key = (spark, sf_dir, dir_fingerprint(sf_dir), band, symmetric)
     if checkpoint:
         hit = _EDGE_CACHE.get(key)
         if hit is not None:
             return hit
+        # keep sibling (band, symmetric) variants of the SAME dir+listing;
+        # evict other dirs and stale listings of this dir
         for stale in [
-            k for k in _EDGE_CACHE if k[0] is spark and k[1] != sf_dir
+            k for k in _EDGE_CACHE if k[0] is spark and k[1:3] != key[1:3]
         ]:
             _EDGE_CACHE.pop(stale)
     ev = load(spark, sf_dir, "events")

@@ -134,8 +134,14 @@ class _VersionedTable:
             if not self.exists():
                 # losing the publish race means someone else migrated —
                 # exactly the IF NOT EXISTS semantics, so ignore the loss
+                # (real failures propagate out of _publish; verify the
+                # IF-NOT-EXISTS outcome all the same)
                 staged = self._stage(self.spark.createDataFrame([], self.schema))
-                self._publish(staged, 0)
+                if not self._publish(staged, 0) and not self.exists():
+                    raise RuntimeError(
+                        f"ledger migrate lost the v=0 race at {self.path!r}"
+                        " but no version exists afterwards"
+                    )
 
     def drop(self) -> None:
         import shutil
@@ -177,22 +183,40 @@ class _VersionedTable:
     _CAS_MAX_RETRIES = 16
 
     def _stage(self, df: DataFrame) -> str:
+        import shutil
         import uuid
 
         staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex}")
-        # ledger is metadata-sized: one file keeps listing cheap
-        df.coalesce(1).write.mode("errorifexists").parquet(staged)
+        try:
+            # ledger is metadata-sized: one file keeps listing cheap
+            df.coalesce(1).write.mode("errorifexists").parquet(staged)
+        except Exception:
+            # a failed/aborted write (expired pinned snapshot, executor
+            # death) must not abandon a half-written .staged-* orphan on
+            # the shared ledger path
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
         return staged
 
     def _publish(self, staged: str, version: int) -> bool:
+        import errno
         import shutil
 
         try:
             os.rename(staged, os.path.join(self.path, f"v={version}"))
             return True
-        except OSError:
+        except OSError as e:
+            # Only a CONTENDED DESTINATION is a lost race: rename onto an
+            # existing non-empty dir raises ENOTEMPTY (EEXIST on some
+            # platforms). Everything else — EACCES, ENOSPC, EXDEV
+            # (ledger path straddling filesystems) — is a genuine failure
+            # that must propagate, not read as "someone else committed"
+            # (it previously burned all retries and raised a misleading
+            # lost-races error; in migrate() it silently skipped CREATE).
             shutil.rmtree(staged, ignore_errors=True)
-            return False
+            if e.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                return False
+            raise
 
     def _read_merge_commit(self, merge_fn) -> None:
         """Optimistic read-merge-publish loop: pin the base version, merge
@@ -223,11 +247,29 @@ class _VersionedTable:
             f"{self.path!r}; concurrent writer storm or clock livelock"
         )
 
+    # staged dirs older than this are crash orphans (a live writer's
+    # staged dir exists for the seconds between stage and publish)
+    _STAGED_ORPHAN_GRACE_S = 3600.0
+
     def _gc(self, keep: int) -> None:
         import shutil
+        import time
 
         for v in self._versions()[:-keep]:
             shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)
+        # reap .staged-* orphans from writers that crashed between stage
+        # and publish — version GC never matched them, so they used to
+        # accumulate on the shared ledger path forever
+        now = time.time()
+        for d in os.listdir(self.path):
+            if not d.startswith(".staged-"):
+                continue
+            p = os.path.join(self.path, d)
+            try:
+                if now - os.path.getmtime(p) > self._STAGED_ORPHAN_GRACE_S:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # raced with its owner's publish/cleanup
 
     def upsert(self, new: DataFrame, key: list[str]) -> None:
         """Merge-on-key: drop old rows whose key appears in `new`, union

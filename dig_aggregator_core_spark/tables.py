@@ -74,6 +74,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def dir_fingerprint(sf_dir: str) -> tuple:
+    """Cheap listing fingerprint of a corpus dir: sorted (relative path,
+    mtime_ns, size) of every data file under it (one driver-side walk, no
+    Spark job). Session memo caches (_SH_CACHE and friends) fold this into
+    their keys so a file appended to or overwritten in the SAME dir
+    invalidates the memo — previously only *switching* dirs evicted, and a
+    long-lived session mutating its corpus in place read stale persisted
+    data (VERDICT r7 task 3; stale-mutation case pinned in
+    tests/test_session_caches.py). Non-local / unlistable paths fingerprint
+    as a constant, preserving the prior switch-only eviction there."""
+    try:
+        out = []
+        for root, _dirs, names in os.walk(sf_dir):
+            for n in names:
+                if n.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                out.append(
+                    (os.path.relpath(p, sf_dir), st.st_mtime_ns, st.st_size)
+                )
+        return tuple(sorted(out))
+    except OSError:
+        return ()
+
+
 _SPLIT_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
 
 

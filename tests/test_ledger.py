@@ -332,3 +332,128 @@ def test_cas_retries_when_pinned_snapshot_expires(runs_no_flock):
         mp.undo()
     assert calls["n"] == 2  # first attempt lost, second committed
     assert {r["output"] for r in runs.all()} == {"after_expiry"}
+
+
+def test_cas_publish_propagates_real_failures(runs_no_flock, monkeypatch):
+    """A non-contention OSError out of the rename (EACCES, ENOSPC, EXDEV)
+    is a genuine failure and must PROPAGATE — treating it as a lost race
+    silently skipped CREATE in migrate() and burned all 16 retries into a
+    misleading 'lost races' error in the commit loop (ADVICE r7)."""
+    import errno
+    import os as _os
+
+    runs = runs_no_flock
+    runs.migrate()
+    t = runs.table
+
+    def denied(src, dst):
+        raise OSError(errno.EACCES, "Permission denied", dst)
+
+    staged = t._stage(t.read())
+    monkeypatch.setattr(_os, "rename", denied)
+    with pytest.raises(OSError) as ei:
+        t._publish(staged, 1)
+    assert ei.value.errno == errno.EACCES
+    monkeypatch.undo()
+    assert not _os.path.exists(staged)  # still cleaned up
+
+
+def test_gc_reaps_stale_staged_orphans(runs):
+    """A writer that crashes between stage and publish leaves a
+    .staged-<uuid> dir; version GC never matched it, so it accumulated
+    forever on the shared ledger path. _gc must reap orphans older than
+    the grace period and leave fresh (possibly live) ones alone."""
+    import os
+    import time
+
+    runs.migrate()
+    t = runs.table
+    old = os.path.join(t.path, ".staged-deadbeef")
+    fresh = os.path.join(t.path, ".staged-cafebabe")
+    os.makedirs(old)
+    os.makedirs(fresh)
+    past = time.time() - t._STAGED_ORPHAN_GRACE_S - 60
+    os.utime(old, (past, past))
+    runs.insert("TestStage", "o1", [inp("i1")])  # commit path runs _gc
+    assert not os.path.exists(old), "stale orphan must be reaped"
+    assert os.path.exists(fresh), "fresh staged dir may belong to a live writer"
+
+
+_CAS_WORKER = r"""
+import sys
+from datetime import datetime
+from contextlib import contextmanager
+
+repo, tag, path = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, repo)
+
+from pyspark.sql import SparkSession
+from dig_aggregator_core_spark.plans import ledger as ledger_mod
+from dig_aggregator_core_spark.plans.inputs import Input
+from dig_aggregator_core_spark.plans.ledger import RunsLedger
+
+
+@contextmanager
+def no_lock(self):
+    import os
+    os.makedirs(self.path, exist_ok=True)
+    yield
+
+
+# CAS only: flock OFF, so nothing serializes these PROCESSES but the
+# stage-then-atomic-publish protocol itself
+ledger_mod._VersionedTable.locked = no_lock
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .appName(f"cas-worker-{tag}")
+    .getOrCreate()
+)
+runs = RunsLedger(spark, path, "test", "TestMethod")
+runs.migrate()
+for n in range(2):
+    runs.insert(
+        "TestStage", f"out_{tag}_{n}", [Input(f"in_{tag}_{n}", datetime(2026, 1, 1))]
+    )
+runs.insert("TestStage", "shared_out", [Input("shared_in", datetime(2026, 1, 1))])
+spark.stop()
+"""
+
+
+def test_cas_multiprocess_writers_lose_nothing(runs, tmp_path):
+    """TRUE multi-process CAS contention (VERDICT r7 task 7): the threaded
+    tests above share one interpreter, where flock's same-fd semantics and
+    the GIL can mask races. Spawn separate interpreter PROCESSES — each
+    with its own SparkSession and flock disabled — upserting disjoint and
+    overlapping keys onto one ledger path; the atomic-rename publish is
+    the only serialization. Every disjoint row must survive and the
+    overlapping key must upsert to exactly one row."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "cas_worker.py"
+    script.write_text(_CAS_WORKER)
+    tags = ("p1", "p2", "p3")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), repo, tag, runs.table.path],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for tag in tags
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+
+    rows = runs.all()
+    outputs = {r["output"] for r in rows}
+    expected = {f"out_{t}_{n}" for t in tags for n in range(2)}
+    assert expected <= outputs, expected - outputs
+    assert len([r for r in rows if r["output"] == "shared_out"]) == 1
+    assert len(rows) == 7

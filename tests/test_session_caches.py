@@ -4,7 +4,9 @@ the BPE-encode cache (training._BPE_ENC_CACHE). Each exists so a session
 pays a heavy shared derivation once; these pin the parts a refactor
 could silently break: hit-returns-same-frame, parameter keys are
 distinct, switching corpus dir evicts (no stale data, no unbounded
-growth), and a cache hit returns the same ROWS as a cold compute."""
+growth), mutating the SAME dir's files evicts (the keys carry
+tables.dir_fingerprint), and a cache hit returns the same ROWS as a
+cold compute."""
 
 from __future__ import annotations
 
@@ -81,3 +83,46 @@ def test_neardup_pairs_cache_hit_and_parity(spark, sf_dir):
     assert sorted(map(tuple, a.collect())) == sorted(
         map(tuple, fresh.collect())
     )
+
+
+def test_bands_cache_hit_and_bound(spark, sf_dir):
+    bands_a, bound_a = dedup._bands_with_bound(spark, sf_dir)
+    bands_b, bound_b = dedup._bands_with_bound(spark, sf_dir)
+    assert bands_a is bands_b and bound_a == bound_b
+    # the bound is a true upper bound on the verified candidate join
+    n_cand = (
+        dedup.dedup_minhash_lsh(spark, sf_dir).count()
+    )
+    assert bound_a >= n_cand
+
+
+def test_same_dir_mutation_invalidates_caches(spark, tmp_path):
+    """VERDICT r7 task 3: appending/overwriting files in the SAME corpus
+    dir must invalidate the session memos — switch-only eviction read
+    stale persisted data. Exercises the listing fingerprint in the key."""
+    import shutil
+    import time
+
+    corpus = str(tmp_path / "mut_corpus")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "web", 35, "en")],
+        "doc_id bigint, text string, source string, n_chars bigint,"
+        " lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{corpus}/documents.parquet")
+    first = dedup._shingled(spark, corpus)
+    assert first.count() == 2  # base + mutated twin (_corpus union)
+    # overwrite IN PLACE with a two-doc corpus; ensure mtime_ns moves even
+    # on coarse filesystems
+    time.sleep(0.05)
+    shutil.rmtree(f"{corpus}/documents.parquet")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "web", 35, "en"),
+            (2, "one two three four five six seven", "web", 33, "en"),
+        ],
+        "doc_id bigint, text string, source string, n_chars bigint,"
+        " lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{corpus}/documents.parquet")
+    second = dedup._shingled(spark, corpus)
+    assert second is not first, "mutated dir must not hit the stale memo"
+    assert second.count() == 4
