@@ -121,9 +121,15 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# adaptive variant: sign string wide enough for 4096 buckets; the USED
-# prefix length grows with the corpus so bucket occupancy stays ~64
-_MAXBITS = 12
+# adaptive variant: sign string wide enough for 2^24 buckets (~1.07e9
+# vectors at the ~64/bucket occupancy target — the embedding dim is 64,
+# so 24 coordinate signs are free); the USED prefix length grows with the
+# corpus so occupancy stays ~64. Past the ceiling (n > 2^24 * 64) bucket
+# occupancy drifts up linearly again — at that scale use ann_ivf_probe,
+# whose centroid count is a runtime knob rather than a plan constant
+# (VERDICT r7 task 6: the previous 12-bit ceiling undershot its own
+# docstring claim from ~260k vectors).
+_MAXBITS = 24
 _SIGNS_SQL = (
     "concat("
     + ", ".join(
@@ -254,7 +260,10 @@ def ann_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH top-k with an OCCUPANCY-ADAPTIVE bucket width: the used
     sign-bit count is ceil(log2(n/64)) clamped to [4, {m}], computed from
     the corpus count itself, so buckets hold ~64 vectors whether the
-    corpus has 500 rows or 50 million. The count reduces to ONE row and
+    corpus has 500 rows or a billion ({m} bits covers n up to
+    2^{m} * 64 ~= 1.07e9; past that ceiling occupancy drifts up linearly
+    — use ann_ivf_probe there, where the centroid count is a runtime
+    knob). The count reduces to ONE row and
     broadcasts; bucketing is then a substring of the precomputed sign
     string, so the plan is the fixed-bit plan plus one scalar exchange.
 

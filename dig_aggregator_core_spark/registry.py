@@ -296,6 +296,12 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # plan IS r7-green under ann_lsh_buckets; re-verify under
             # this name too)
             "ann_lsh_adaptive",
+            # r8 sign-string widening (_MAXBITS 12 -> 24, VERDICT r7
+            # task 6) changed the shared LSH projection — re-verify the
+            # r7-green name and every composing consumer of the widened
+            # sign string on the new plan
+            "ann_lsh_buckets", "ann_lsh_multiprobe", "ann_hard_negatives",
+            "ann_rerank_quantized", "ann_index_persist", "ann_recall_eval",
             # r7 JVM state-partition change 16 -> 4 (_JOIN_STATE_PARTS
             # default in stateful._run_to_memory and the windows.py
             # _run_complete pin) — evidence predates the new checkpoint

@@ -74,6 +74,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "ann_ivf_probe": "k-row centroid table crossed for assignment + probe scoring",
         "semdedup_clusters": "metadata-sized seed-centroid table broadcast for assignment",
         "ann_lsh_adaptive": "1-row bucket-bit-count frame broadcast onto the corpus",
+        "ann_lsh_buckets": "1-row bucket-bit-count frame broadcast onto the corpus (same plan as ann_lsh_adaptive since r7)",
         "ann_rerank_quantized": "1-row bucket-bit-count frame broadcast onto the corpus",
         "quality_drift_by_source": "1-row global-baseline frame re-aggregated from per-source partials",
         "stats_ks_drift": "1-row sample-totals frame joined onto the bin histogram",
