@@ -206,15 +206,22 @@ class _VersionedTable:
             os.rename(staged, os.path.join(self.path, f"v={version}"))
             return True
         except OSError as e:
-            # Only a CONTENDED DESTINATION is a lost race: rename onto an
-            # existing non-empty dir raises ENOTEMPTY (EEXIST on some
-            # platforms). Everything else — EACCES, ENOSPC, EXDEV
-            # (ledger path straddling filesystems) — is a genuine failure
+            # Two errnos are lost races; the rest are genuine failures
             # that must propagate, not read as "someone else committed"
-            # (it previously burned all retries and raised a misleading
-            # lost-races error; in migrate() it silently skipped CREATE).
+            # (EACCES/ENOSPC/EXDEV previously burned all retries and
+            # raised a misleading lost-races error; in migrate() it
+            # silently skipped CREATE):
+            #  - ENOTEMPTY/EEXIST: contended DESTINATION — rename onto an
+            #    existing non-empty v= dir; a peer committed first.
+            #  - ENOENT on the SOURCE: a peer's _gc reaped our .staged-*
+            #    dir because the stage-to-publish window exceeded
+            #    _STAGED_ORPHAN_GRACE_S (long stall, or cross-node clock
+            #    skew beyond the grace on a shared filesystem). Our
+            #    staged data is gone, so treat it as a lost race and let
+            #    the commit loop re-merge + re-stage (ADVICE r8; pre-r8
+            #    behavior, now deliberate).
             shutil.rmtree(staged, ignore_errors=True)
-            if e.errno in (errno.EEXIST, errno.ENOTEMPTY):
+            if e.errno in (errno.EEXIST, errno.ENOTEMPTY, errno.ENOENT):
                 return False
             raise
 

@@ -269,6 +269,20 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "stats_tost_equivalence", "stats_welch_ttest",
         "text_ngram_novelty", "text_zipf_fit",
         "timeseries_changepoint_cusum", "timeseries_holt_linear",
+        # green in CORRECTNESS_r08.json (50 rows, all hash-verified):
+        # the 30 r7/r8 plan-rewrite evictions all re-verified on their
+        # current plans (already present above, subtraction dropped),
+        # plus these 16 — the 14 never-driver-checked names and the two
+        # tokenizer names that had been removed from the literal
+        # directly:
+        "dq_benford_audit", "feature_pareto_skyline", "rlhf_best_of_n",
+        "stream_changepoint_cusum", "stream_interval_coalesce",
+        "stream_session_timeout_close", "stream_stream_semi_join",
+        "timeseries_acf", "timeseries_cross_correlation",
+        "timeseries_ljung_box", "timeseries_seasonal_decompose",
+        "timeseries_theil_sen", "tokenizer_bpe_apply",
+        "tokenizer_vocab_coverage", "tokenizer_wordpiece_apply",
+        "window_moving_median",
     }
     # RE-VERIFY CONVENTION, now mechanical (VERDICT r7 task 2): any query
     # whose PHYSICAL PLAN changed after its latest driver evidence is
@@ -278,56 +292,24 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
     # effective value (the r7 per-family state-partition split left every
     # applyInPandasWithState fold at 16 partitions, identical to the
     # value its r3–r6 evidence ran under, so the fold twins stay
-    # verified). Evicted for r8 — all sweep-green at sf0.01 AND sf0.1:
-    - frozenset(
-        {
-            # r7 star contraction + _neardup_pairs session memo
-            "dedup_connected_components", "dedup_cluster_representative",
-            "split_leakage_audit", "graph_label_propagation",
-            # r7 size-gated verify-join broadcast (rewritten again in r8:
-            # overflow-safe decimal bound, lazy gate — ADVICE r7)
-            "dedup_minhash_lsh",
-            # r7 banded_cooc_edges shared-builder migration (the other
-            # five migrants got r7 rows on the migrated plan already)
-            "graph_bfs_distance",
-            # r7 _bpe_encoded session memo
-            "tokenizer_bpe_apply", "tokenizer_vocab_coverage",
-            # r7 rebind onto the shared _lsh_adaptive_topk plan (that
-            # plan IS r7-green under ann_lsh_buckets; re-verify under
-            # this name too)
-            "ann_lsh_adaptive",
-            # r8 sign-string widening (_MAXBITS 12 -> 24, VERDICT r7
-            # task 6) changed the shared LSH projection — re-verify the
-            # r7-green name and every composing consumer of the widened
-            # sign string on the new plan
-            "ann_lsh_buckets", "ann_lsh_multiprobe", "ann_hard_negatives",
-            "ann_rerank_quantized", "ann_index_persist", "ann_recall_eval",
-            # r7 JVM state-partition change 16 -> 4 (_JOIN_STATE_PARTS
-            # default in stateful._run_to_memory and the windows.py
-            # _run_complete pin) — evidence predates the new checkpoint
-            # partitioning:
-            "stream_dedup_watermark", "stream_kafka_shaped",
-            "stream_static_join", "stream_stream_interval_join",
-            "stream_stream_left_outer_join",
-            "stream_stream_right_outer_join",
-            "stream_stream_full_outer_join",
-            "stream_dedup_within_watermark", "stream_decontam",
-            "stream_quality_drift", "stream_assoc_rules",
-            "stream_tumbling_availablenow", "stream_sliding_availablenow",
-            "stream_session_availablenow", "stream_topk_windowed",
-        }
-    )
+    # verified). Evicted for r9: any name whose physical plan changes
+    # this round is subtracted here (empty at round start — the r8 queue
+    # of 30 evictions all re-verified green in CORRECTNESS_r08.json, so
+    # the subtraction was folded away).
+    - frozenset()
 )
 
 
 # Unverified names deliberately ranked LAST within the unverified tier:
 # the harness budget is ~50 rows per round, so operators added (or
 # rewritten) AFTER a round's queue is frozen park here rather than
-# displace a never-checked name. Round 8: the registration freeze is
-# LIFTED (VERDICT r7 task 2 — the r7 queue drained to 50/50 rows); the
-# r8 queue is 38 names (14 never-checked + 24 plan-rewrite evictions),
-# inside the ~50 budget. New r8 registrations park here so they cannot
-# displace the evidence-closing tail.
+# displace a never-checked name. Round 9: the ledger is CLOSED — all 349
+# registered names have driver evidence on their current plans
+# (CORRECTNESS_r08.json drained the final queue: the r8 subtraction
+# removed 28 names from the literal plus 2 tokenizer names dropped from
+# the literal directly = 30 evictions total, all re-verified green, plus
+# the last 14 never-checked names and 6 bonus re-runs). The r9 queue is
+# therefore just new registrations + any r9 plan-rewrite evictions.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 

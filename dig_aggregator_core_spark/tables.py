@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,7 +84,18 @@ def dir_fingerprint(sf_dir: str) -> tuple:
     long-lived session mutating its corpus in place read stale persisted
     data (VERDICT r7 task 3; stale-mutation case pinned in
     tests/test_session_caches.py). Non-local / unlistable paths fingerprint
-    as a constant, preserving the prior switch-only eviction there."""
+    as a constant, preserving the prior switch-only eviction there.
+
+    Failure semantics: a mid-walk OSError (file deleted during an
+    in-place rewrite) returns a UNIQUE sentinel, never the non-local
+    constant — an errored walk must not alias to (and later serve) an
+    entry cached from a half-written dir, so memo lookups on the errored
+    fingerprint always miss and retry the walk next call (ADVICE r8).
+    Caveat: mtime_ns granularity is filesystem-dependent; a same-second
+    same-size in-place rewrite on a coarse-mtime filesystem (e.g. 1 s
+    HFS+/FAT) fingerprints identically. Local test corpora live on
+    ns-granularity Linux filesystems; treat coarse-mtime mounts as
+    requiring a dir swap (the pre-r8 eviction contract) instead."""
     try:
         out = []
         for root, _dirs, names in os.walk(sf_dir):
@@ -97,7 +109,11 @@ def dir_fingerprint(sf_dir: str) -> tuple:
                 )
         return tuple(sorted(out))
     except OSError:
-        return ()
+        # unique per call: poisons the memo key instead of hitting it
+        return ("__fingerprint_oserror__", next(_FP_ERR_SEQ))
+
+
+_FP_ERR_SEQ = itertools.count()
 
 
 _SPLIT_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default

@@ -358,6 +358,23 @@ def test_cas_publish_propagates_real_failures(runs_no_flock, monkeypatch):
     assert not _os.path.exists(staged)  # still cleaned up
 
 
+def test_cas_publish_enoent_source_is_lost_race(runs_no_flock):
+    """ENOENT on the rename SOURCE means a peer's _gc reaped our staged
+    dir (stage-to-publish window exceeded the orphan grace, or cross-node
+    clock skew on a shared filesystem). The staged data is gone, so the
+    correct move is a lost race — return False so the commit loop
+    re-merges and re-stages — not a hard failure (ADVICE r8)."""
+    import shutil
+
+    runs = runs_no_flock
+    runs.migrate()
+    t = runs.table
+
+    staged = t._stage(t.read())
+    shutil.rmtree(staged)  # simulate a peer's orphan reaper
+    assert t._publish(staged, 1) is False
+
+
 def test_gc_reaps_stale_staged_orphans(runs):
     """A writer that crashes between stage and publish leaves a
     .staged-<uuid> dir; version GC never matched it, so it accumulated

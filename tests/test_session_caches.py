@@ -126,3 +126,31 @@ def test_same_dir_mutation_invalidates_caches(spark, tmp_path):
     second = dedup._shingled(spark, corpus)
     assert second is not first, "mutated dir must not hit the stale memo"
     assert second.count() == 4
+
+
+def test_dir_fingerprint_oserror_never_aliases(monkeypatch, tmp_path):
+    """ADVICE r8: an errored walk (file deleted mid-walk during an
+    in-place rewrite) must return a UNIQUE sentinel, not the non-local
+    constant () — otherwise an entry cached under () from a half-written
+    dir is served again on a later errored call."""
+    import os as _os
+
+    from dig_aggregator_core_spark import tables
+
+    d = str(tmp_path / "fp_corpus")
+    _os.makedirs(d)
+    open(f"{d}/a.parquet", "wb").write(b"x")
+
+    ok = tables.dir_fingerprint(d)
+    assert ok and ok != ()
+
+    def boom(p):
+        raise OSError(2, "No such file or directory", p)
+
+    monkeypatch.setattr(_os, "stat", boom)
+    e1 = tables.dir_fingerprint(d)
+    e2 = tables.dir_fingerprint(d)
+    monkeypatch.undo()
+    assert e1 != ()  # never the non-local constant
+    assert e1 != e2  # unique per call: memo lookups always miss
+    assert tables.dir_fingerprint(d) == ok  # recovery after the race
