@@ -21,10 +21,15 @@ from ..tables import load
     oracle="""
     SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
-             AS sum_charge,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                          * CAST(ROUND((1 - l_discount) * 100) AS HUGEINT))
+                      AS DOUBLE) / 1e4, 4) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                          * CAST(ROUND((1 - l_discount) * 100) AS HUGEINT)
+                          * CAST(ROUND((1 + l_tax) * 100) AS HUGEINT))
+                      AS DOUBLE) / 1e6, 6) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_extendedprice), 6) AS avg_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -36,26 +41,35 @@ from ..tables import load
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the canonical scan->filter->agg pipeline. The filter
-    and the 2-column grouping push down; only 7 columns are read."""
+    and the 2-column grouping push down; only 7 columns are read.
+
+    Exactness: the money sums accumulate exact integer units (cents for
+    the 2-decimal base price, 1e-4 units for price x discount, 1e-6 units
+    for the 3-factor charge) so the coarse 6-group sums cannot drift a
+    last ulp between engines as the corpus grows; sum_qty stays a plain
+    double sum because l_quantity is integer-valued (exact in double to
+    2^53). sum_charge rounds at 6 decimals — its exact value HAS 6
+    decimals, and rounding at fewer would put engine-specific tie-breaks
+    in play (PLANS.md exactness watchlist, lifted r9)."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
+    cents = "CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))"
+    disc = "CAST(ROUND((1 - l_discount) * 100) AS DECIMAL(38,0))"
+    tax = "CAST(ROUND((1 + l_tax) * 100) AS DECIMAL(38,0))"
     return li.groupBy(
         F.col("l_returnflag").alias("returnflag"),
         F.col("l_linestatus").alias("linestatus"),
     ).agg(
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        F.expr(
+            f"ROUND(CAST(SUM({cents}) AS DOUBLE) / 100, 4)"
+        ).alias("sum_base_price"),
+        F.expr(
+            f"ROUND(CAST(SUM({cents} * {disc}) AS DOUBLE) / 1e4, 4)"
         ).alias("sum_disc_price"),
-        F.round(
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ),
-            4,
+        F.expr(
+            f"ROUND(CAST(SUM({cents} * {disc} * {tax}) AS DOUBLE) / 1e6, 6)"
         ).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
@@ -92,7 +106,8 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(r_name, '__total__') AS region_name,
            COALESCE(n_name, '__total__') AS nation_name,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(c_acctbal), 4) AS total_bal
+           ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -100,7 +115,11 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GAP fill: hierarchical rollup (region -> nation -> grand total)."""
+    """GAP fill: hierarchical rollup (region -> nation -> grand total).
+
+    Exactness: acctbal sums in exact cents — the rollup's grand-total row
+    is the coarsest possible key (ONE group whose magnitude grows with
+    the corpus), the class that drifted at 10x in r7 (lifted r9)."""
     cust = load(spark, sf_dir, "customer")
     nation = F.broadcast(load(spark, sf_dir, "nation"))
     region = F.broadcast(load(spark, sf_dir, "region"))
@@ -111,7 +130,10 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+            ).alias("total_bal"),
         )
         .select(
             F.coalesce("r_name", F.lit("__total__")).alias("region_name"),
@@ -422,7 +444,8 @@ HIST_LO, HIST_W, HIST_N = 0.0, 25_000.0, 24  # fixed price buckets
            CAST(LEAST(GREATEST(FLOOR((o_totalprice - {HIST_LO})
              / {HIST_W}), 0), {HIST_N - 1}) AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS bucket_total
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 2) AS bucket_total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -450,7 +473,12 @@ def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("orderpriority"), bucket)
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
+            # exact cents: (priority, bucket) is a bounded key set whose
+            # per-group magnitude grows with the corpus (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 2)"
+            ).alias("bucket_total"),
         )
     )
 
@@ -664,7 +692,8 @@ def approx_top_k_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_join_maintenance",
     oracle="""
     SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS total
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -721,7 +750,11 @@ def incremental_join_maintenance(
         F.col("c_mktsegment").alias("segment")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice").cast("double"), 4).alias("total"),
+        # exact cents on the bounded segment key (lifted r9)
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS"
+            " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+        ).alias("total"),
     )
 
 

@@ -75,8 +75,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier",
     oracle="""
     SELECT n_name AS nation,
-           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4)
-             AS revenue
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                          * CAST(ROUND((1 - l_discount) * 100) AS HUGEINT))
+                      AS DOUBLE) / 1e4, 4) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -117,8 +118,11 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            # exact 1e-4 units on the 25-nation key (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
+                " DECIMAL(38,0)) * CAST(ROUND((1 - l_discount) * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
             ).alias("revenue")
         )
         .select(F.col("n_name").alias("nation"), "revenue")
@@ -181,7 +185,8 @@ def not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus AS status,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS total
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total
     FROM orders
     WHERE o_custkey IN (
       SELECT c_custkey FROM customer WHERE c_acctbal > 9000
@@ -203,7 +208,11 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            # exact cents on the 3-status key (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+            ).alias("total"),
         )
     )
 
@@ -241,8 +250,9 @@ def scalar_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
-           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4)
-             AS revenue
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                          * CAST(ROUND((1 - l_discount) * 100) AS HUGEINT))
+                      AS DOUBLE) / 1e4, 4) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -290,11 +300,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, yr,
-           ROUND(CAST(SUM(volume) AS DOUBLE), 4) AS revenue
+           ROUND(CAST(SUM(volume_1e4) AS DOUBLE) / 1e4, 4) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS yr,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+               * CAST(ROUND((1 - l_discount) * 100) AS HUGEINT) AS volume_1e4
       FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
                     JOIN orders   ON o_orderkey = l_orderkey
                     JOIN customer ON c_custkey = o_custkey
@@ -346,12 +357,19 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").alias("yr"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "volume"
-            ),
+            # exact 1e-4 units on the bounded (nation, nation, yr)
+            # key (lifted r9)
+            F.expr(
+                "CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))"
+                " * CAST(ROUND((1 - l_discount) * 100) AS DECIMAL(38,0))"
+            ).alias("volume_1e4"),
         )
         .groupBy("supp_nation", "cust_nation", "yr")
-        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+        .agg(
+            F.expr(
+                "ROUND(CAST(SUM(volume_1e4) AS DOUBLE) / 1e4, 4)"
+            ).alias("revenue")
+        )
     )
 
 
@@ -434,8 +452,9 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_pred",
     oracle="""
-    SELECT ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4)
-             AS revenue,
+    SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                          * CAST(ROUND((1 - l_discount) * 100) AS HUGEINT))
+                      AS DOUBLE) / 1e4, 4) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'BRAND_1' AND p_size BETWEEN 1 AND 15
@@ -463,8 +482,11 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         | arm("BRAND_2", 10, 30, 10, 40)
         | arm("BRAND_3", 20, 50, 20, 50)
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        # exact 1e-4 units, single global group (lifted r9)
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
+            " DECIMAL(38,0)) * CAST(ROUND((1 - l_discount) * 100) AS"
+            " DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )

@@ -141,8 +141,9 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 4)
-             AS revenue
+    SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                          * CAST(ROUND(l_discount * 100) AS HUGEINT))
+                      AS DOUBLE) / 1e4, 4) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -164,11 +165,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")).cast(
-                    "double"
-                ),
-                4,
+            # exact 1e-4 units, single global group (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
+                " DECIMAL(38,0)) * CAST(ROUND(l_discount * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
             ).alias("revenue")
         )
     )
@@ -252,10 +253,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT nation, o_year,
-           ROUND(CAST(SUM(amount) AS DOUBLE), 4) AS sum_profit
+           ROUND(CAST(SUM(amount_1e4) AS DOUBLE) / 1e4, 4) AS sum_profit
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS amount
+             CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+               * CAST(ROUND((1 - l_discount) * 100) AS HUGEINT) AS amount_1e4
       FROM part JOIN lineitem ON p_partkey = l_partkey
                 JOIN supplier ON l_suppkey = s_suppkey
                 JOIN nation ON s_nationkey = n_nationkey
@@ -288,11 +290,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                ).cast("double"),
-                4,
+            # exact 1e-4 units on the bounded (nation, year) key
+            # (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
+                " DECIMAL(38,0)) * CAST(ROUND((1 - l_discount) * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
             ).alias("sum_profit")
         )
     )
@@ -456,8 +459,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT ROUND(CAST(SUM(l_extendedprice) / 7.0 AS DOUBLE), 4)
-             AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 700.0, 4) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#2' AND p_size < 10
       AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
@@ -482,9 +485,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, li.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round((F.sum("l_extendedprice") / 7.0).cast("double"), 4).alias(
-                "avg_yearly"
-            )
+            # exact cents / 700: no 4-decimal tie is reachable (a tie
+            # needs cents*200/7 odd, but 7|cents forces it even) and both
+            # engines divide the identical integer-valued double
+            # (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 700.0, 4)"
+            ).alias("avg_yearly")
         )
     )
 
@@ -607,7 +615,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_global_sales",
     oracle="""
     SELECT seg, CAST(COUNT(*) AS BIGINT) AS numcust,
-           ROUND(CAST(SUM(c_acctbal) AS DOUBLE), 4) AS totacctbal
+           ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS totacctbal
     FROM (
       SELECT CAST(c_custkey % 7 AS INT) AS seg, c_acctbal, c_custkey
       FROM customer
@@ -641,7 +650,11 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_custkey") % 7).cast("int").alias("seg"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal").cast("double"), 4).alias("totacctbal"),
+            # exact cents on the 7-segment key (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+            ).alias("totacctbal"),
         )
     )
 

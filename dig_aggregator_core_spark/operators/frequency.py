@@ -218,7 +218,8 @@ def weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_null_nan",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_valid,
-           ROUND(SUM(eaf), 6) AS sum_eaf
+           ROUND(CAST(SUM(CAST(ROUND(eaf * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 6) AS sum_eaf
     FROM (
       SELECT CASE WHEN l_linenumber % 7 = 0 THEN NULL
                   WHEN l_linenumber % 5 = 0 THEN CAST('NaN' AS DOUBLE)
@@ -238,7 +239,12 @@ def filter_null_nan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.filter(F.col("eaf").isNotNull() & ~F.isnan("eaf")).agg(
         F.count("*").alias("n_valid"),
-        F.round(F.sum("eaf"), 6).alias("sum_eaf"),
+        # eaf here is l_discount (exactly 2dp): exact cents, single
+        # global group (lifted r9)
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(eaf * 100) AS DECIMAL(38,0)))"
+            " AS DOUBLE) / 100, 6)"
+        ).alias("sum_eaf"),
     )
 
 

@@ -24,7 +24,8 @@ from ..tables import load
     "join_inner_dim",
     oracle="""
     SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-           ROUND(SUM(s_acctbal), 4) AS total_acctbal
+           ROUND(CAST(SUM(CAST(ROUND(s_acctbal * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total_acctbal
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -39,7 +40,11 @@ def join_inner_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"),
+            # exact cents on the 25-nation key (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(s_acctbal * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+            ).alias("total_acctbal"),
         )
     )
 
@@ -216,7 +221,8 @@ def ledger_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('large', 150000.0, 1e18)
     )
     SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS total_price
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total_price
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band
     """,
@@ -242,7 +248,11 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            # exact cents on the 3-band key (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+            ).alias("total_price"),
         )
     )
 
@@ -466,7 +476,9 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM range(8)
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
-           ROUND(SUM(l.price * COALESCE(r.rate, 1.0)), 4) AS weighted
+           ROUND(CAST(SUM(CAST(ROUND(l.price * 100) AS HUGEINT)
+                          * CAST(COALESCE(r.rate, 1.0) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS weighted
     FROM l JOIN r ON l.band IS NOT DISTINCT FROM r.band
     """,
 )
@@ -489,8 +501,12 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return l.join(F.broadcast(r), l.band.eqNullSafe(r.rband)).agg(
         F.count("*").alias("n_matched"),
-        F.round(
-            F.sum(F.col("price") * F.coalesce(F.col("rate"), F.lit(1.0))), 4
+        # exact cents x integer-valued rate, single global group
+        # (lifted r9)
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(price * 100) AS DECIMAL(38,0))"
+            " * CAST(COALESCE(rate, 1.0) AS DECIMAL(38,0)))"
+            " AS DOUBLE) / 100, 4)"
         ).alias("weighted"),
     )
 
@@ -499,7 +515,8 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_hash_systematic",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
-           ROUND(SUM(l_extendedprice), 4) AS total_price
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total_price
     FROM lineitem
     WHERE CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
                  || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
@@ -528,7 +545,11 @@ def sample_hash_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     return li.filter(h32 % 10 == 0).agg(
         F.count("*").alias("n_sampled"),
-        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        # exact cents, single global group (lifted r9)
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
+            " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+        ).alias("total_price"),
     )
 
 

@@ -23,12 +23,15 @@ from ..tables import load, ntz_epoch_us
            CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
            CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
            CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p,
-           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
-                                   THEN o_totalprice END), 0), 4) AS total_o,
-           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
-                                   THEN o_totalprice END), 0), 4) AS total_f,
-           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
-                                   THEN o_totalprice END), 0), 4) AS total_p
+           ROUND(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(ROUND(o_totalprice * 100) AS HUGEINT) END), 0)
+                 AS DOUBLE) / 100, 4) AS total_o,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(ROUND(o_totalprice * 100) AS HUGEINT) END), 0)
+                 AS DOUBLE) / 100, 4) AS total_f,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(ROUND(o_totalprice * 100) AS HUGEINT) END), 0)
+                 AS DOUBLE) / 100, 4) AS total_p
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -42,9 +45,12 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
-                "total"
-            ),
+            # exact cents per pivot cell — bounded (priority x status)
+            # grid whose magnitude grows with the corpus (lifted r9)
+            F.expr(
+                "ROUND(CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100)"
+                " AS DECIMAL(38,0))), 0) AS DOUBLE) / 100, 4)"
+            ).alias("total"),
         )
     )
     return piv.select(
@@ -348,7 +354,8 @@ WITH assigned AS (
 SELECT fold,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       ROUND(SUM(value), 4) AS sum_value
+       ROUND(CAST(SUM(CAST(ROUND(value * 100) AS HUGEINT))
+                  AS DOUBLE) / 100, 4) AS sum_value
 FROM assigned GROUP BY fold
 """
 
@@ -378,7 +385,12 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct("user_id").alias("n_groups"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # exact cents on the k-fold key (events.value is 2dp;
+            # lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(value * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+            ).alias("sum_value"),
         )
     )
 

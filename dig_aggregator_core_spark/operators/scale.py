@@ -169,8 +169,9 @@ def udaf_pandas_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_hint_shuffle_hash",
     oracle="""
     SELECT l_returnflag AS returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4)
-             AS revenue
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                          * CAST(ROUND((1 - l_discount) * 100) AS HUGEINT))
+                      AS DOUBLE) / 1e4, 4) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'
     GROUP BY l_returnflag
@@ -194,10 +195,11 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_returnflag").alias("returnflag"))
         .agg(
             F.count("*").alias("n"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("double"),
-                4,
+            # exact 1e-4 units on the 3-flag key (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
+                " DECIMAL(38,0)) * CAST(ROUND((1 - l_discount) * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
             ).alias("revenue"),
         )
     )
@@ -321,7 +323,8 @@ _BLOOM_K = 3  # hash functions (seeds 0..k-1 into xxhash64)
     oracle="""
     SELECT o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 2) AS total
     FROM orders
     WHERE o_custkey IN (
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -391,7 +394,11 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        # exact cents on the 5-priority key (lifted r9)
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS"
+            " DECIMAL(38,0))) AS DOUBLE) / 100, 2)"
+        ).alias("total"),
     )
 
 

@@ -69,7 +69,8 @@ def scan_json_partitioned_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus AS linestatus,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_extendedprice), 4) AS total_price
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total_price
     FROM lineitem WHERE l_returnflag = 'R'
     GROUP BY l_linestatus
     """,
@@ -85,7 +86,11 @@ def sink_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
     return scanned.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        # exact cents on the 2-status key (lifted r9)
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
+            " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+        ).alias("total_price"),
     )
 
 
@@ -93,7 +98,8 @@ def sink_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_csv_roundtrip",
     oracle="""
     SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 4) AS total
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -110,7 +116,11 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("header", True).csv(path)
     return scanned.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        # exact cents on the 3-status key (lifted r9)
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS"
+            " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+        ).alias("total"),
     )
 
 
@@ -139,7 +149,8 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_dpp_partitioned_join",
     oracle="""
     SELECT cls, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS total
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total
     FROM orders
     JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot')) AS dim(prio, cls)
       ON o_orderpriority = prio
@@ -176,7 +187,11 @@ def scan_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cls")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice").cast("double"), 4).alias("total"),
+            # exact cents on the 1-class key (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+            ).alias("total"),
         )
     )
 
@@ -346,7 +361,8 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l.l_extendedprice), 4) AS total
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag = 'R'
     GROUP BY 1
@@ -402,7 +418,11 @@ def sink_bucketed_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+            # exact cents on the 5-priority key (lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+            ).alias("total"),
         )
     )
 
@@ -644,7 +664,8 @@ _AVRO_SCHEMA = {
     SELECT o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-           ROUND(SUM(o_totalprice), 4) AS total,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total,
            CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_status
     FROM orders GROUP BY 1
@@ -695,7 +716,11 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        # exact cents on the 5-priority key (lifted r9)
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS"
+            " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+        ).alias("total"),
         F.count("opt_status").cast("bigint").alias("n_status"),
     )
 

@@ -523,7 +523,8 @@ _PIT_ORACLE = f"""
 WITH scd AS ({_SCD2_ORACLE})
 SELECT probe,
        CAST(COUNT(*) AS BIGINT) AS n_keys,
-       ROUND(SUM(acctbal), 4) AS total_bal
+       ROUND(CAST(SUM(CAST(ROUND(acctbal * 100) AS HUGEINT))
+                  AS DOUBLE) / 100, 4) AS total_bal
 FROM scd, (VALUES {", ".join(f"(TIMESTAMP '{p}')" for p in _PIT_PROBES)})
        AS p(probe_ts),
      LATERAL (SELECT strftime(probe_ts, '%Y-%m-%d') AS probe) l
@@ -573,7 +574,11 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("probe_ts", "yyyy-MM-dd").alias("probe")
     ).agg(
         F.count(F.lit(1)).alias("n_keys"),
-        F.round(F.sum("acctbal"), 4).alias("total_bal"),
+        # exact cents on the 2-probe key (lifted r9)
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(acctbal * 100) AS"
+            " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+        ).alias("total_bal"),
     )
 
 

@@ -292,11 +292,30 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
     # effective value (the r7 per-family state-partition split left every
     # applyInPandasWithState fold at 16 partitions, identical to the
     # value its r3–r6 evidence ran under, so the fold twins stay
-    # verified). Evicted for r9: any name whose physical plan changes
-    # this round is subtracted here (empty at round start — the r8 queue
-    # of 30 evictions all re-verified green in CORRECTNESS_r08.json, so
-    # the subtraction was folded away).
-    - frozenset()
+    # verified). Evicted for r9 (the r8 queue of 30 evictions all
+    # re-verified green in CORRECTNESS_r08.json, so the old subtraction
+    # was folded away):
+    - frozenset(
+        {
+            # r9 exactness lift (VERDICT r8 task 2): the coarse-key
+            # subset of the ROUND(SUM(double)) watchlist converted to
+            # exact integer units — every name's aggregate expressions
+            # changed, so the driver re-verifies the shipping form. All
+            # 28 sweep-green at sf0.01 AND sf0.1 this session.
+            "q1_pricing_summary", "rollup_agg", "histogram_fixed_buckets",
+            "incremental_join_maintenance", "q5_local_supplier",
+            "in_subquery", "q7_volume_shipping", "q19_disjunctive_pred",
+            "q6_forecast_revenue", "q9_product_profit",
+            "q17_small_qty_revenue", "q22_global_sales", "join_inner_dim",
+            "range_join_bands", "join_null_safe", "sample_hash_systematic",
+            "join_hint_shuffle_hash", "join_bloom_prefilter",
+            "pivot_status_by_priority", "sample_group_kfold",
+            "sink_partition_pruning", "scan_csv_roundtrip",
+            "scan_dpp_partitioned_join", "sink_bucketed_partitioned_write",
+            "scan_avro_roundtrip", "scd2_point_in_time", "filter_null_nan",
+            "stream_static_join",
+        }
+    )
 )
 
 

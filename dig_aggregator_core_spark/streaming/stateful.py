@@ -241,7 +241,8 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(user_id % 5 AS BIGINT) AS cohort, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS HUGEINT))
+                      AS DOUBLE) / 100, 4) AS total
     FROM events JOIN (SELECT range AS uid, range % 5 AS cohort
                       FROM range(100000)) dim
       ON user_id = uid
@@ -263,7 +264,12 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value").cast("double"), 4).alias("total"),
+            # exact cents on the bounded (cohort x type) grid
+            # (events.value is 2dp; lifted r9)
+            F.expr(
+                "ROUND(CAST(SUM(CAST(ROUND(value * 100) AS"
+                " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+            ).alias("total"),
         )
     )
     return _run_to_memory(enriched, "complete")
