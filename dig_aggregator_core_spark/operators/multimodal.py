@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, decode/feature-extraction as Arrow-batched Pandas UDFs.
 
-The container has no image/audio codecs, so the actual decode is STUBBED:
-`decode_image` raises NotImplementedError, and the pipeline runs through
-`fake_decode` — a deterministic stand-in that parses our synthetic header.
-Everything Spark-side (schemas, binary handling, mapInPandas batch shape,
-partitioning) is real and tested; swapping in a real codec is a one-function
-change.
+The decode path is REAL (since r9): `decode_image` is a complete
+pure-Python decoder for binary PPM (P6) — an uncompressed raster format
+that needs no codec library — and `mm_decode_features` drives it
+end-to-end over genuine P6 blobs built Spark-side (header + RGB raster),
+extracting actual pixel statistics and an md5 raster digest that the
+DuckDB oracle replays byte-for-byte. Compressed formats (JPEG/PNG/MP4)
+still need a codec library absent from this container; they would slot
+into the same `decode_image` hook and mapInPandas plumbing. The synthetic
+'FAKE'/'FAKA'/'FAKV' headers remain for the byte-plumbing ops
+(mm_binary_meta, mm_frame_sample, mm_modality_dispatch), where the point
+is header parsing and frame slicing, not rasters.
 
 Scale: binary payloads ride in the row (parquet binary column); feature
 extraction is mapInPandas so payload bytes never round-trip through the JVM
@@ -15,6 +20,7 @@ row format one cell at a time — Arrow moves whole batches.
 
 from __future__ import annotations
 
+import hashlib
 import struct
 from collections.abc import Iterator
 
@@ -29,11 +35,43 @@ MAGIC = b"FAKE"
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real codec hook — not available in this container."""
-    raise NotImplementedError(
-        "image decode requires a codec library (PIL/ffmpeg) not present in "
-        "this environment; use fake_decode for the synthetic FAKE format"
-    )
+    """Real image decode: binary PPM (P6), the uncompressed RGB raster
+    format (netpbm spec) — full header grammar (whitespace runs and
+    '#' comments between tokens, single whitespace byte after maxval),
+    8-bit samples, w*h*3-byte raster. Pure Python by design: P6 needs no
+    codec library, so the decode path is real in this container.
+    Returns {width, height, maxval, pixels: bytes}."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comments between header tokens
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("bad PPM header token")
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if not 0 < maxval < 256:
+        raise ValueError("only 8-bit PPM supported")
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    raster = payload[pos : pos + width * height * 3]
+    if len(raster) != width * height * 3:
+        raise ValueError("truncated raster")
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixels": raster,
+    }
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -93,50 +131,115 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def attach_ppm(docs: DataFrame) -> DataFrame:
+    """Build a GENUINE binary-PPM (P6) blob per document: ASCII header
+    'P6\\n{w} {h}\\n255\\n' followed by a w*h*3-byte RGB raster whose
+    bytes are the document text cycled to length (the corpus is pure
+    ASCII, so text chars ARE the raster bytes — which is what lets the
+    DuckDB oracle reconstruct the identical raster). Dimensions derive
+    from doc_id (w in 8..15, h in 6..11), so rasters stay 144–495 bytes:
+    fixture-sized images, real format."""
+    w = (F.lit(8) + F.col("doc_id") % 8).cast("int")
+    h = (F.lit(6) + F.col("doc_id") % 6).cast("int")
+    return docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("P6\n"),
+                w.cast("string"),
+                F.lit(" "),
+                h.cast("string"),
+                F.lit("\n255\n"),
+                F.expr(
+                    "substring(repeat(text, CAST(ceil((((8 + doc_id % 8)"
+                    " * (6 + doc_id % 6) * 3) * 1.0) / length(text)) AS"
+                    " INT) + 1), 1, CAST((8 + doc_id % 8) * (6 + doc_id"
+                    " % 6) * 3 AS INT))"
+                ),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            d = fake_decode(bytes(payload))
+            d = decode_image(bytes(payload))  # REAL P6 decode
+            px = d["pixels"]
             rows.append(
                 (
                     doc_id,
                     d["width"],
                     d["height"],
-                    d["body_len"],
-                    # deterministic fake feature: mean byte value of body
-                    float(sum(bytes(payload)[8:])) / max(d["body_len"], 1),
+                    d["width"] * d["height"],
+                    float(sum(px)) / len(px),
+                    hashlib.md5(px).hexdigest(),
                 )
             )
         yield pd.DataFrame(
-            rows, columns=["doc_id", "width", "height", "body_len", "mean_byte"]
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_pixels", "mean_byte",
+                "pixel_md5",
+            ],
         )
 
 
 @query(
     "mm_decode_features",
     oracle="""
-    SELECT doc_id,
-           CAST(n_chars % 640 AS INT) AS width,
-           CAST(length(text) % 480 AS INT) AS height,
-           CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+    WITH px AS (
+      SELECT doc_id,
+             8 + CAST(doc_id % 8 AS INT) AS w,
+             6 + CAST(doc_id % 6 AS INT) AS h,
+             substring(repeat(text,
+                 CAST(ceil((((8 + doc_id % 8) * (6 + doc_id % 6) * 3)
+                      * 1.0) / length(text)) AS INT) + 1),
+               1, CAST((8 + doc_id % 8) * (6 + doc_id % 6) * 3 AS INT))
+               AS raster
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
            ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(range(1, length(text) + 1),
-                   i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
-                 (acc, c) -> acc + c) AS DOUBLE)
-                 / greatest(octet_length(encode(text)), 1), 6) AS mean_byte
-    FROM documents
+                 list_transform(range(1, w * h * 3 + 1),
+                   i -> CAST(ascii(substring(raster, CAST(i AS INT), 1))
+                        AS BIGINT))),
+                 (acc, c) -> acc + c) AS DOUBLE) / (w * h * 3), 6)
+             AS mean_byte,
+           md5(raster) AS pixel_md5
+    FROM px
     """,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract through mapInPandas (Arrow batches): parses
-    the binary header and computes a deterministic body feature. The oracle
-    recomputes the same quantities from the source text (ASCII corpus, so
-    byte values == code points)."""
-    docs = attach_binary(load(spark, sf_dir, "documents"))
+    """REAL image decode + feature extraction through mapInPandas (Arrow
+    batches): each row carries a genuine binary-PPM (P6) blob built by
+    attach_ppm; `decode_image` parses the actual netpbm header grammar
+    and raster, and the features are real pixel statistics — mean sample
+    value and an md5 digest OF THE DECODED RASTER. The oracle
+    reconstructs the identical raster from the source text (ASCII corpus:
+    chars == bytes) and replays both, so a wrong header parse, a
+    truncated raster, or an off-by-one in the pixel slice all
+    hash-mismatch. No codec stub remains on this path (r9; compressed
+    formats would slot into the same decode_image hook).
+
+    Exactness: mean_byte is an integer sum divided by n = w*h*3 — both
+    engines divide identical integer-valued doubles, and no 6-decimal
+    tie is reachable (a tie needs 2^7 | n, but n = w*h*3 with w <= 15,
+    h <= 11 caps the power of two below 128).
+
+    Scale: blobs are built per-row with codegen expressions and decoded
+    in Arrow batches; nothing shuffles. At 100 TB the pattern is
+    scan -> mapInPandas decode -> features, embarrassingly parallel."""
+    docs = attach_ppm(load(spark, sf_dir, "documents"))
     out = docs.select("doc_id", "payload").mapInPandas(
         _decode_batches,
-        schema="doc_id long, width int, height int, body_len long, mean_byte double",
+        schema=(
+            "doc_id long, width int, height int, n_pixels long,"
+            " mean_byte double, pixel_md5 string"
+        ),
     )
     return out.withColumn("mean_byte", F.round("mean_byte", 6))
 

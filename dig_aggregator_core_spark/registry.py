@@ -314,6 +314,10 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             "scan_dpp_partitioned_join", "sink_bucketed_partitioned_write",
             "scan_avro_roundtrip", "scd2_point_in_time", "filter_null_nan",
             "stream_static_join",
+            # r9 multimodal de-stub (VERDICT r8 task 3): mm_decode_features
+            # rebuilt on the REAL pure-Python P6/PPM decode path with an
+            # md5 raster-digest oracle; sweep-green at sf0.01 AND sf0.1.
+            "mm_decode_features",
         }
     )
 )
