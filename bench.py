@@ -252,6 +252,12 @@ HEADLINE = [
     "funnel_time_to_convert",
     "scan_text_lines_roundtrip",
     "stream_session_timeout_close",
+    # r9 additions (new capabilities; appended so the prior 213 stay
+    # round-over-round comparable)
+    "dedup_incremental_minhash",
+    "sample_reservoir_priority",
+    "stream_dedup_minhash",
+    "mm_decode_features",
 ]
 
 

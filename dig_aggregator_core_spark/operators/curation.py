@@ -490,6 +490,51 @@ def sample_weighted_without_replacement(
     )
 
 
+_RESERVOIR_K = 100
+
+_RESERVOIR_ORACLE = f"""
+SELECT doc_id, lang, n_chars,
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {_RESERVOIR_K}
+"""
+
+
+@query("sample_reservoir_priority", oracle=_RESERVOIR_ORACLE)
+def sample_reservoir_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reservoir sample (VERDICT r8 task 4b): a GLOBAL
+    uniform k-sample in ONE pass with NO repartition of the data —
+    priority sampling (Vitter's reservoir in its order-statistics form:
+    assign each row a uniform priority, keep the k smallest). The
+    priority is the md5 hash, so the sample is deterministic,
+    partitioning-invariant, and append-stable in expectation; uniformity
+    follows because the hash order is uniform over keys.
+
+    Physical shape is the whole point: orderBy(priority).limit(k)
+    compiles to TakeOrderedAndProject — every scan task keeps a local
+    k-element heap (a per-partition reservoir) and the driver merges
+    P*k candidates, so a 100 TB corpus is sampled with zero shuffle
+    exchange and O(k) memory per task. Contrast df.sample(): fraction-
+    based (no exact k), nondeterministic under retries, and a global
+    exact-k via sample+count needs two passes. The weighted companion is
+    sample_weighted_without_replacement (Efraimidis-Spirakis keys, same
+    top-k physical form per stratum)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias(
+                "priority"
+            ),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(_RESERVOIR_K)
+    )
+
+
 _CHUNK_W, _CHUNK_S = 200, 150  # window / stride in chars (50-char overlap)
 
 _CHUNK_ORACLE = f"""

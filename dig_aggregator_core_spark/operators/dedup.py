@@ -402,6 +402,191 @@ def _minhash_verify_join(
     )
 
 
+# ----------------------------------------- incremental minhash (band index)
+
+
+def _bands_of(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) for a shingle relation — the same
+    signature fold _bands_with_bound inlines (8 md5 minhashes as a
+    narrow per-row array_min map, 4 two-row bands, one explode)."""
+    mh = sh.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.expr(f"transform(sh_set, s -> md5(concat('{i}|', s)))")
+            ).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ],
+    )
+    return mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                        ).alias("band_key"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
+
+
+def _band_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per source-content fingerprint) the persisted MinHash
+    BAND INDEX of the committed corpus: (doc_id, band, band_key) parquet,
+    partitioned by band. This is ann_index_persist's offline/online split
+    applied to near-dup dedup — the committed side's signatures are paid
+    once at commit time, and every later ingest batch joins the index
+    instead of re-hashing the corpus. Cache discipline is
+    _persisted_index_path's: content fingerprint in the path, flock
+    around the build, _done written last."""
+    import fcntl
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    sig = "0"
+    try:
+        paths = (
+            [
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if not f.startswith((".", "_"))
+            ]
+            if os.path.isdir(src)
+            else [src]
+        )
+        stats = [os.stat(p) for p in paths]
+        sig = "%d_%d" % (
+            sum(s.st_size for s in stats),
+            max((s.st_mtime_ns for s in stats), default=0),
+        )
+    except OSError:
+        pass
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        "band_index_%s_%s"
+        % (re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/")), sig),
+    )
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, ".lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(done):
+                committed = _shingled(spark, sf_dir).filter(
+                    F.col("doc_id") < MUT_OFFSET
+                )
+                data_dir = os.path.join(out, "index.parquet")
+                shutil.rmtree(data_dir, ignore_errors=True)
+                _bands_of(committed).write.partitionBy("band").mode(
+                    "overwrite"
+                ).parquet(data_dir)
+                open(done, "w").close()
+    return os.path.join(out, "index.parquet")
+
+
+def append_band_index(spark: SparkSession, index_path: str, batch_bands: DataFrame) -> None:
+    """Index MAINTENANCE: merge a new batch's bands into the persisted
+    index — one O(batch) append write into the same band partitions, no
+    rewrite of the committed partitions. Extends
+    dedup_incremental_ledger's O(batch)-per-ingest contract from exact
+    digests to near-dup bands; pytest pins that an appended batch is
+    findable by the next batch's band join (tests/test_band_index.py)."""
+    batch_bands.write.partitionBy("band").mode("append").parquet(index_path)
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_MINHASH_SQL.replace('''cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)''', f'''cand AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_seen
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id >= {MUT_OFFSET} AND b.doc_id < {MUT_OFFSET}
+)''')}
+    SELECT c.doc_new, c.doc_seen,
+           ROUND(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+                 / (len(sa.sh_set) + len(sb.sh_set)
+                    - len(list_intersect(sa.sh_set, sb.sh_set))), 6)
+             AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_new
+    JOIN shingled sb ON sb.doc_id = c.doc_seen
+    WHERE CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+          / (len(sa.sh_set) + len(sb.sh_set)
+             - len(list_intersect(sa.sh_set, sb.sh_set))) >= 0.5
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-DUP dedup against a persisted MinHash band index
+    (VERDICT r8 task 4a): the committed corpus's (doc_id, band, band_key)
+    relation lives as parquet partitioned by band (built once, offline —
+    _band_index_path); an ingest batch computes ONLY ITS OWN signatures
+    (narrow O(batch) map), band-joins the index to find candidates among
+    everything already committed, and exact-Jaccard-verifies at >= 0.5.
+    dedup_incremental_ledger gives this contract for exact duplicates;
+    this op gives it for near-duplicates — together an ingest pipeline
+    drops both classes in O(batch) work per batch, never O(corpus).
+
+    Fixture split: committed = the base documents, batch = the mutated
+    80%-prefix twins (guaranteed near-dups of their base docs), so the
+    oracle can replay the exact candidate and verify semantics from the
+    shared corpus CTE.
+
+    Scale shape: the index scan is partition-pruned by band; the band
+    join shuffles batch bands (small) against index bands on
+    (band, band_key) — at 100 TB bucket the index by band_key so the
+    batch side co-partitions and the committed side never reshuffles.
+    Verification joins shingle sets only for candidate pairs
+    (output-linear). Maintenance is append_band_index: one O(batch)
+    partition-append, no committed-partition rewrite."""
+    idx = spark.read.parquet(_band_index_path(spark, sf_dir))
+    sh = _shingled(spark, sf_dir)
+    batch_sh = sh.filter(F.col("doc_id") >= MUT_OFFSET)
+    batch_bands = _bands_of(batch_sh)
+    cand = (
+        batch_bands.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_seen"),
+        )
+        .distinct()
+    )
+    sa = batch_sh.select(
+        F.col("doc_id").alias("doc_new"), F.col("sh_set").alias("set_a")
+    )
+    sb = sh.filter(F.col("doc_id") < MUT_OFFSET).select(
+        F.col("doc_id").alias("doc_seen"), F.col("sh_set").alias("set_b")
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        sa.join(cand, "doc_new")
+        .join(sb, "doc_seen")
+        .filter(jac >= 0.5)
+        .select("doc_new", "doc_seen", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 _SIMHASH_BITS = 32

@@ -124,6 +124,14 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
 
 
+def test_reservoir_sample_is_zero_shuffle(spark, sf_dir):
+    # the distributed-reservoir contract: per-partition top-k heaps +
+    # driver merge, NO exchange anywhere in the plan (r9)
+    plan = plan_of("sample_reservoir_priority", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
 def test_registry_ordering_is_a_permutation(spark, sf_dir):
     # ordered_queries must cover every registered query exactly once —
     # a dropped or duplicated name silently shrinks harness coverage
