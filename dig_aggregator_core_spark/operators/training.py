@@ -1449,10 +1449,17 @@ _WP_VOCAB_SPARK = "array(" + ", ".join(f"'{v}'" for v in _WP_VOCAB) + ")"
 _WP_VOCAB_DUCK = "[" + ", ".join(f"'{v}'" for v in _WP_VOCAB) + "]"
 # past this vocab size the registered query switches the inner fold from
 # the literal-array scan to the L-bounded map probe (_wp_fold probe=True).
-# Measured at sf0.1: the probe form already wins 3.3x at the 54-piece
-# fixture vocab, so the threshold sits below it; the literal form remains
-# for tiny vocabs and as the property-test reference.
-_WP_PROBE_MIN_VOCAB = 32
+# MEASURED switch point (r9 A/B, sf0.1 corpus, warm min-of-2, identical
+# digests): probe wins at EVERY tested size — vocab=8: 2.0x, 16: 3.0x,
+# 32: 4.9x, 54 (fixture): 5.2x; at a realistic 30k-piece vocab the probe
+# RUNTIME stays flat (sf0.01: 0.3 s/run) with a one-time ~5 s planning
+# cost to constant-fold the 30k-entry map literal, while the literal
+# scan would do ~550x the fixture's inner-loop work. Threshold set to
+# the smallest measured winning size; below it the literal form is the
+# property-test reference (tests/test_wordpiece_probe.py pins equality).
+# Past ~100k pieces the map literal's plan-time cost says: move the
+# vocab out of the expression tree (broadcast map + pandas UDF).
+_WP_PROBE_MIN_VOCAB = 8
 
 
 def _wp_fold(dialect: str, probe: bool = False) -> str:
