@@ -258,6 +258,9 @@ HEADLINE = [
     "sample_reservoir_priority",
     "stream_dedup_minhash",
     "mm_decode_features",
+    "tokenizer_unigram_viterbi",
+    "dedup_cc_incremental",
+    "sink_sharded_jsonl_manifest",
 ]
 
 

@@ -1000,6 +1000,142 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_labels(edge_pairs: DataFrame) -> DataFrame:
+    """(node u, component) labels via the same large-star/small-star
+    fixpoint dedup_connected_components runs inline — factored for the
+    incremental variant, which runs it twice (once over the committed
+    graph, once over the tiny contracted delta graph). Input: directed
+    pair rows (u, v); labeling covers every endpoint, component = min id."""
+    edges = edge_pairs.select("u", "v").distinct().localCheckpoint()
+    nodes = (
+        edges.select("u").union(edges.select("v")).distinct().localCheckpoint()
+    )
+    n_edges = edges.count()
+    while True:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        n_new = new_edges.count()
+        if n_new == n_edges and new_edges.exceptAll(edges).isEmpty():
+            edges = new_edges
+            break
+        edges, n_edges = new_edges, n_new
+    roots = edges.groupBy("u").agg(F.min("v").alias("root"))
+    return nodes.join(roots, "u", "left").select(
+        "u",
+        F.coalesce(F.col("root"), F.col("u")).cast("bigint").alias(
+            "component"
+        ),
+    )
+
+
+# stored committed labeling for the incremental CC step — the
+# _neardup_pairs memo convention (keyed by session + corpus fingerprint;
+# in production this is a maintained table, not a cache)
+_CC_BASE_CACHE: dict = {}
+
+
+def _committed_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir, dir_fingerprint(sf_dir))
+    hit = _CC_BASE_CACHE.get(key)
+    if hit is None:
+        for stale in [k for k in _CC_BASE_CACHE if k[0] is spark]:
+            _CC_BASE_CACHE.pop(stale)
+        committed = _neardup_pairs(spark, sf_dir).filter(
+            (F.col("doc_a") < MUT_OFFSET) & (F.col("doc_b") < MUT_OFFSET)
+        )
+        hit = _cc_labels(
+            committed.select(
+                F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+            )
+        ).localCheckpoint()
+        _CC_BASE_CACHE[key] = hit
+    return hit
+
+
+@query(
+    "dedup_cc_incremental",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_MINHASH_SQL}, {_PAIRS_SQL}
+    SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected-components maintenance (r9 new capability):
+    when a batch of new near-dup edges arrives, update the stored
+    component labeling with work proportional to the DELTA, not the
+    corpus — the clustering companion to dedup_incremental_minhash
+    (which produces exactly such edge batches against the committed
+    index).
+
+    Algorithm: (1) stored state = labels over the committed graph (base
+    docs' edges; a maintained table in production, session-memoized
+    here); (2) CONTRACT each delta edge through the stored labels —
+    endpoints map to their committed component (or themselves if new),
+    intra-component edges drop out; (3) run the star-contraction
+    fixpoint on the contracted graph only, which is bounded by the
+    number of TOUCHED components + new nodes, not corpus size; (4) remap
+    stored labels through the merge result and union the new nodes.
+    Labels are min-ids, and min(mins of merged groups) = global min, so
+    the result EQUALS the full recompute — which the oracle (the same
+    recursive min-reachable-id CTE as dedup_connected_components) pins.
+
+    Scale: step 2 is one broadcast-able join of the delta against the
+    label table's touched keys; step 3's fixpoint runs on a graph whose
+    node set is component LABELS, typically orders of magnitude smaller
+    than the corpus; step 4 is one join keyed on component. Nothing
+    rescans committed edges."""
+    pairs = _neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    base_labels = _committed_cc_labels(spark, sf_dir)
+
+    delta = pairs.filter(
+        (F.col("doc_a") >= MUT_OFFSET) | (F.col("doc_b") >= MUT_OFFSET)
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # contract delta endpoints through the stored labels
+    lu = base_labels.select(
+        F.col("u").alias("lu_k"), F.col("component").alias("lu_c")
+    )
+    lv = base_labels.select(
+        F.col("u").alias("lv_k"), F.col("component").alias("lv_c")
+    )
+    contracted = (
+        delta.join(lu, delta.u == lu.lu_k, "left")
+        .join(lv, delta.v == lv.lv_k, "left")
+        .select(
+            F.coalesce("lu_c", "u").alias("u"),
+            F.coalesce("lv_c", "v").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    merged = _cc_labels(contracted)  # (contracted id -> merged component)
+
+    # remap stored labels whose component participated in a merge
+    remap = merged.select(
+        F.col("u").alias("old_c"), F.col("component").alias("new_c")
+    )
+    committed_final = (
+        base_labels.join(remap, base_labels.component == remap.old_c, "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce("new_c", "component").cast("bigint").alias(
+                "component"
+            ),
+        )
+    )
+    # new nodes: delta endpoints not in the stored labeling; their
+    # contracted id is themselves, so the merge result labels them
+    new_nodes = (
+        delta.select("u")
+        .union(delta.select("v"))
+        .distinct()
+        .join(base_labels.select(F.col("u")), "u", "left_anti")
+    )
+    new_final = new_nodes.join(merged, "u", "left").select(
+        F.col("u").alias("doc_id"),
+        F.coalesce("component", "u").cast("bigint").alias("component"),
+    )
+    return committed_final.unionByName(new_final)
+
+
 _SUBSTR_W, _SUBSTR_S = 64, 32  # span window / stride (chars)
 
 _SUBSTR_ORACLE = f"""

@@ -853,3 +853,76 @@ def scan_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.collect_list(F.md5("value"))), "")
         ).alias("corpus_digest"),
     )
+
+
+_EXPORT_SHARDS = 8
+
+_EXPORT_MANIFEST_ORACLE = f"""
+WITH assigned AS (
+  SELECT CAST(doc_id % {_EXPORT_SHARDS} AS INT) AS shard,
+         doc_id, text, lang, n_chars
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_digest
+FROM assigned GROUP BY shard
+"""
+
+
+@query("sink_sharded_jsonl_manifest", oracle=_EXPORT_MANIFEST_ORACLE)
+def sink_sharded_jsonl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data EXPORT sink (r9 new capability): the corpus leaves
+    the lake as hive-sharded JSONL — the handoff format every training
+    stack ingests — plus a per-shard MANIFEST the consumer can verify
+    receipt against: doc/token/char counts, id range, and an
+    order-insensitive-to-write-layout content digest (md5 over the
+    doc-id-ordered per-doc text md5s).
+
+    The op is a genuine round trip: shard = doc_id % {{n}} (append-stable,
+    engine-portable), `partitionBy(shard).json(...)` writes real JSONL
+    shard directories, the manifest is computed from the READ-BACK rows
+    — so a serialization bug, a dropped row, or text mangled by JSON
+    escaping all change the digest, and the oracle recomputes everything
+    from the source table. At 100 TB each shard directory is written by
+    the tasks owning its rows (no global sort), the manifest aggregate is
+    {{n}} rows, and a consumer re-derives the digest shard-by-shard in
+    O(shard) memory.
+    """
+    path = _scratch("docs_export_jsonl")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.col("doc_id") % _EXPORT_SHARDS).cast("int").alias("shard"),
+    )
+    docs.write.mode("overwrite").partitionBy("shard").json(path)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, n_chars bigint, shard int"
+    ).json(path)
+    per_doc = back.select(
+        "shard", "doc_id", "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("doc_md5"),
+    )
+    return per_doc.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(doc_id,"
+                    " doc_md5))), x -> x.doc_md5)"
+                ),
+            )
+        ).alias("content_digest"),
+    )

@@ -1772,3 +1772,191 @@ def rlhf_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 rlhf_best_of_n.__doc__ = rlhf_best_of_n.__doc__.format(n=_BON_N - 1)
+
+
+# ----------------------------------------------- unigram-LM Viterbi encode
+
+# Unigram-LM tokenizer vocab (Kudo, ACL 2018 — the SentencePiece model):
+# pieces carry INTEGER log-probabilities (micro-nats, negative), so the
+# Viterbi DP below is pure integer arithmetic — bit-identical across
+# engines, no float argmax hazard. Single characters cover the corpus
+# alphabet (a-y minus x/z) as the fallback; multi-char pieces score
+# better than their character spellings, so Viterbi prefers them.
+_UNI_LETTERS = "abcdefghijklmnopqrstuvwy"
+_UNI_MULTI = [
+    "table", "value", "spark", "merge", "batch", "scan", "hash",
+    "part", "fast", "slow", "row", "key", "agg", "the", "ta", "va",
+    "ar", "er", "an", "in", "le", "ue", "qu", "jo",
+]
+_UNI_VOCAB: dict[str, int] = {}
+for _i, _c in enumerate(_UNI_LETTERS):
+    _UNI_VOCAB[_c] = -(2_000_000 + 1_000 * _i)
+for _i, _p in enumerate(_UNI_MULTI):
+    _UNI_VOCAB[_p] = -(1_500_000 + 300_000 * len(_p) + 1_000 * _i)
+_UNI_MAXL = max(len(p) for p in _UNI_VOCAB)
+_UNI_NEG = -10_000_000_000  # unreachable-suffix sentinel (never overflows)
+
+
+def _unigram_fold(dialect: str, w: str = "w") -> str:
+    """Per-word Viterbi segmentation under the unigram LM, emitted for
+    either engine as ONE fold (no separate backtrack pass).
+
+    State is the suffix-DP list: element k is 'score@seg' for the best
+    segmentation of w[k..] (seed ['0@'] = empty suffix), built back to
+    front; position is derived from the state LENGTH, so the fold needs
+    no counter. The inner fold scans piece lengths 1.._UNI_MAXL
+    ascending with a >= compare, so equal-score ties resolve to the
+    LONGEST piece in both engines; scores are BIGINT micro-nats, so the
+    argmax is exact. Carrying the segmentation STRING in the DP state
+    (instead of backpointers + a walk) keeps every lambda reference
+    within one nesting level of its binder — DuckDB v1.0 mis-binds
+    struct-field references from depth >= 2 lambdas, which the
+    two-pass backtrack form tripped over.
+
+    Cost per word: O(|w| * L) map probes (the WordPiece probe-form
+    bound) plus O(|w|) string builds; the vocab map literal constant-
+    folds once per plan exactly like the WordPiece probe map."""
+    if dialect == "spark":
+        m = (
+            "map("
+            + ", ".join(
+                f"'{p}', CAST({s} AS BIGINT)" for p, s in _UNI_VOCAB.items()
+            )
+            + ")"
+        )
+
+        def val(pos: str, l: str) -> str:
+            return (
+                f"coalesce(element_at({m}, substring({w}, {pos}, {l})),"
+                f" CAST({_UNI_NEG} AS BIGINT))"
+            )
+
+        pos = f"(length({w}) + 1 - size(acc))"
+        prev = "element_at(acc, CAST(l AS INT))"
+        pscore = f"CAST(element_at(split({prev}, '@'), 1) AS BIGINT)"
+        pseg = f"element_at(split({prev}, '@'), 2)"
+        bscore = "CAST(element_at(split(b, '@'), 1) AS BIGINT)"
+        cand = (
+            f"CAST({val(pos, 'l')} + {pscore} AS STRING) || '@' ||"
+            f" substring({w}, {pos}, l) ||"
+            f" (CASE WHEN {pseg} = '' THEN '' ELSE '~' || {pseg} END)"
+        )
+        best = (
+            f"aggregate(sequence(1, {_UNI_MAXL}), '{_UNI_NEG}@',"
+            f" (b, l) -> CASE WHEN l <= length({w}) - {pos} + 1"
+            f" AND {val(pos, 'l')} + {pscore} >= {bscore}"
+            f" THEN {cand} ELSE b END)"
+        )
+        return (
+            f"element_at(aggregate(sequence(1, length({w})),"
+            f" array('0@'),"
+            f" (acc, i) -> concat(array({best}), acc)), 1)"
+        )
+    # DuckDB v1.0 re-evaluates a MAP literal at every probe (measured:
+    # the inlined-literal oracle ran 22 s at sf0.01 vs 0.4 s with the map
+    # hoisted into a MATERIALIZED 1-row CTE and cross-joined as `vm`) —
+    # so the duck dialect references `vm`, which _UNI_ORACLE provides.
+    m = "vm"
+
+    def val(pos: str, l: str) -> str:
+        return (
+            f"coalesce(map_extract({m}, substring({w}, {pos}, {l}))[1],"
+            f" CAST({_UNI_NEG} AS BIGINT))"
+        )
+
+    pos = f"(length({w}) + 1 - len(acc))"
+    prev = "acc[CAST(l AS INT)]"
+    pscore = f"CAST(string_split({prev}, '@')[1] AS BIGINT)"
+    pseg = f"string_split({prev}, '@')[2]"
+    bscore = "CAST(string_split(b, '@')[1] AS BIGINT)"
+    cand = (
+        f"CAST({val(pos, 'CAST(l AS INT)')} + {pscore} AS VARCHAR) || '@' ||"
+        f" substring({w}, {pos}, CAST(l AS INT)) ||"
+        f" (CASE WHEN {pseg} = '' THEN '' ELSE '~' || {pseg} END)"
+    )
+    best = (
+        f"list_reduce(list_prepend('{_UNI_NEG}@',"
+        f" list_transform(range(1, {_UNI_MAXL + 1}),"
+        f"   z -> CAST(z AS VARCHAR))),"
+        f" (b, l) -> CASE WHEN CAST(l AS INT) <= length({w}) - {pos} + 1"
+        f" AND {val(pos, 'CAST(l AS INT)')} + {pscore} >= {bscore}"
+        f" THEN {cand} ELSE b END)"
+    )
+    return (
+        f"list_reduce(list_prepend(['0@'],"
+        f" list_transform(range(1, length({w}) + 1),"
+        f"   x -> CAST([] AS VARCHAR[]))),"
+        f" (acc, i) -> list_prepend({best}, acc))[1]"
+    )
+
+
+_UNI_MAP_DUCK = (
+    "MAP {"
+    + ", ".join(f"'{p}': CAST({s} AS BIGINT)" for p, s in _UNI_VOCAB.items())
+    + "}"
+)
+
+_UNI_ORACLE = f"""
+WITH m AS MATERIALIZED (SELECT {_UNI_MAP_DUCK} AS vm),
+enc AS (
+  SELECT doc_id,
+    list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+      w -> {_unigram_fold('duck')}) AS ew
+  FROM documents, m
+)
+SELECT doc_id,
+       CAST(len(ew) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(ew,
+         e -> len(string_split(string_split(e, '@')[2], '~'))))
+            AS BIGINT) AS n_pieces,
+       CAST(list_sum(list_transform(ew,
+         e -> CAST(string_split(e, '@')[1] AS BIGINT))) AS BIGINT)
+         AS total_score,
+       string_split(ew[1], '@')[2] AS first_word_pieces,
+       md5(array_to_string(ew, ' ')) AS tok_digest
+FROM enc
+"""
+
+
+@query("tokenizer_unigram_viterbi", oracle=_UNI_ORACLE)
+def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization (Kudo, ACL 2018 — SentencePiece's model):
+    per word, the segmentation maximizing the sum of piece
+    log-probabilities, found by Viterbi DP over suffix positions — the
+    third tokenizer family next to BPE (merge replay) and WordPiece
+    (greedy longest-match), completing the production set.
+
+    Engine-exact by construction: piece scores are INTEGER micro-nats,
+    the DP argmax is integer comparison, and equal-score ties resolve to
+    the longest piece via the ascending >= fold — so the md5 digest of
+    every segmentation matches DuckDB bit-for-bit (the same standard as
+    tokenizer_bpe_apply / tokenizer_wordpiece_apply).
+
+    Scale: one narrow projection, no shuffle; per word O(|w| x L) map
+    probes against a constant-folded vocab map (the WordPiece probe-form
+    bound — see _WP_PROBE_MIN_VOCAB for the measured literal-vs-probe
+    numbers and the >100k-piece guidance)."""
+    expr = (
+        "transform(filter(split(text, ' '), w -> w <> ''),"
+        f" w -> {_unigram_fold('spark')})"
+    )
+    docs = maybe_spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    )
+    enc = docs.select("doc_id", F.expr(expr).alias("ew"))
+    return enc.select(
+        "doc_id",
+        F.size("ew").cast("bigint").alias("n_words"),
+        F.expr(
+            "aggregate(ew, CAST(0 AS BIGINT), (a, e) ->"
+            " a + size(split(element_at(split(e, '@'), 2), '~')))"
+        ).alias("n_pieces"),
+        F.expr(
+            "aggregate(ew, CAST(0 AS BIGINT), (a, e) ->"
+            " a + CAST(element_at(split(e, '@'), 1) AS BIGINT))"
+        ).alias("total_score"),
+        F.expr("element_at(split(element_at(ew, 1), '@'), 2)").alias(
+            "first_word_pieces"
+        ),
+        F.md5(F.concat_ws(" ", "ew")).alias("tok_digest"),
+    )
