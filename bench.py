@@ -261,6 +261,7 @@ HEADLINE = [
     "tokenizer_unigram_viterbi",
     "dedup_cc_incremental",
     "sink_sharded_jsonl_manifest",
+    "ann_index_append",
 ]
 
 

@@ -1517,3 +1517,221 @@ def eval_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 eval_rank_fusion_rrf.__doc__ = eval_rank_fusion_rrf.__doc__.format(k=_RRF_K)
+
+
+# ------------------------------------------- persisted-index APPEND maintain
+
+_INC_COMMIT_FILTER = "vec_id % 10 <> 1"  # committed 90%; batch = the rest
+
+
+def _inc_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Committed-only ANN index for the append-maintenance op: same
+    layout and build discipline as _persisted_index_path, but the bucket
+    WIDTH is fixed at build time from the COMMITTED corpus count and
+    recorded in a `_width` sidecar — appended batches must bucket with
+    the index's width, not their own (an index's shard map cannot
+    re-hash itself per ingest; it rebuilds when the corpus outgrows the
+    occupancy target, which the content fingerprint in the path forces
+    here)."""
+    import fcntl
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    sig = "0"
+    try:
+        paths = (
+            [
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if not f.startswith((".", "_"))
+            ]
+            if os.path.isdir(src)
+            else [src]
+        )
+        stats = [os.stat(p) for p in paths]
+        sig = "%d_%d" % (
+            sum(s.st_size for s in stats),
+            max((s.st_mtime_ns for s in stats), default=0),
+        )
+    except OSError:
+        pass
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        "ann_inc_index_%s_%s"
+        % (re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/")), sig),
+    )
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, ".lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(done):
+                committed = _vecs(spark, sf_dir).filter(
+                    F.expr(_INC_COMMIT_FILTER)
+                ).withColumn("signs", F.expr(_SIGNS_SPARK))
+                nb = committed.agg(
+                    F.expr(
+                        f"GREATEST(4, LEAST({_MAXBITS},"
+                        " CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0))"
+                        " AS INT)))"
+                    ).alias("nb")
+                )
+                keyed = committed.crossJoin(F.broadcast(nb)).select(
+                    "vec_id",
+                    "v",
+                    "nrm",
+                    F.concat(
+                        F.lit("b"), F.expr("substring(signs, 1, nb)")
+                    ).alias("pbucket"),
+                    F.col("nb"),
+                )
+                data_dir = os.path.join(out, "index.parquet")
+                shutil.rmtree(data_dir, ignore_errors=True)
+                width = keyed.select(F.first("nb")).first()[0]
+                keyed.drop("nb").write.partitionBy("pbucket").mode(
+                    "overwrite"
+                ).parquet(data_dir)
+                with open(os.path.join(out, "_width"), "w") as wf:
+                    wf.write(str(int(width)))
+                open(done, "w").close()
+    return out
+
+
+def ann_index_append(
+    spark: SparkSession, index_dir: str, new_vecs: DataFrame
+) -> None:
+    """Index MAINTENANCE: bucket a new vector batch with the INDEX's
+    recorded width (the `_width` sidecar — never the batch's own
+    adaptive width) and append into the existing bucket partitions. One
+    O(batch) write, no committed-partition rewrite — the concrete form
+    of the 'append-new-partitions' maintenance ann_index_persist's
+    docstring describes, mirroring dedup's append_band_index."""
+    import os
+
+    with open(os.path.join(index_dir, "_width")) as wf:
+        width = int(wf.read().strip())
+    keyed = new_vecs.withColumn("signs", F.expr(_SIGNS_SPARK)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.concat(
+            F.lit("b"), F.expr(f"substring(signs, 1, {width})")
+        ).alias("pbucket"),
+    )
+    keyed.write.partitionBy("pbucket").mode("append").parquet(
+        os.path.join(index_dir, "index.parquet")
+    )
+
+
+@query(
+    "ann_index_append",
+    oracle=f"""
+    WITH {_VECS_SQL},
+    sig AS (SELECT *, {_SIGNS_SQL} AS signs FROM vecs),
+    b AS (SELECT GREATEST(4, LEAST({_MAXBITS},
+            CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0)) AS INT))) AS nb
+          FROM sig WHERE {_INC_COMMIT_FILTER}),
+    keyed AS (SELECT s.vec_id, s.v, s.nrm,
+                     substr(s.signs, 1, b.nb) AS bucket
+              FROM sig s, b),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.bucket AS bucket, {_COS_SQL} AS cos
+      FROM (SELECT * FROM keyed WHERE {_QUERY_FILTER}) q
+      JOIN keyed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine,
+           CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOPK}
+    """,
+)
+def ann_index_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving over an APPEND-MAINTAINED index (r9): the persisted
+    index holds the committed 90% of the corpus at a width fixed from
+    the committed count; a 10% ingest batch is appended via
+    ann_index_append (bucketed with the INDEX's recorded width); queries
+    then probe the maintained index and must see appended vectors as
+    neighbors — which the oracle pins by scoring the full corpus under
+    the committed-count bucketing. This closes the gap between
+    ann_index_persist's prose ('maintenance = append new partitions')
+    and code, exactly as append_band_index did for near-dup dedup.
+
+    Scale: the append writes only the batch's bucket partitions; query
+    reads stay partition-pruned (static IN-list on the probed buckets,
+    same device as ann_index_persist). A corpus grown past the next
+    power of two rebuilds at width+1 — the content fingerprint in the
+    index path forces that here."""
+    import os
+
+    idx_dir = _inc_index_path(spark, sf_dir)
+    appended = os.path.join(idx_dir, "_appended")
+    if not os.path.exists(appended):
+        import fcntl
+
+        with open(os.path.join(idx_dir, ".lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(appended):
+                batch = _vecs(spark, sf_dir).filter(
+                    ~F.expr(_INC_COMMIT_FILTER)
+                )
+                ann_index_append(spark, idx_dir, batch)
+                open(appended, "w").close()
+    with open(os.path.join(idx_dir, "_width")) as wf:
+        width = int(wf.read().strip())
+    queries = (
+        _vecs(spark, sf_dir)
+        .withColumn("signs", F.expr(_SIGNS_SPARK))
+        .filter(F.expr(_QUERY_FILTER))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.expr(f"substring(signs, 1, {width})").alias("bucket"),
+        )
+    )
+    probe_buckets = sorted(
+        r["bucket"] for r in queries.select("bucket").distinct().collect()
+    )
+    index = (
+        spark.read.parquet(os.path.join(idx_dir, "index.parquet"))
+        .filter(F.col("pbucket").isin([f"b{b}" for b in probe_buckets]))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            F.expr("substring(pbucket, 2)").alias("cbucket"),
+        )
+    )
+    scored = queries.join(
+        index,
+        (F.col("bucket") == F.col("cbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn(
+        "cos",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

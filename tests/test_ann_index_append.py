@@ -1,0 +1,50 @@
+"""ANN index append maintenance (r9): build-once committed index with a
+recorded width, O(batch) append bucketed at the INDEX width, appended
+vectors visible to queries."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from dig_aggregator_core_spark.operators import similarity as S
+
+
+def test_append_grows_index_and_keeps_width(spark, sf_dir):
+    idx_dir = S._inc_index_path(spark, sf_dir)
+    data = os.path.join(idx_dir, "index.parquet")
+    n_committed = (
+        S._vecs(spark, sf_dir).filter(F.expr(S._INC_COMMIT_FILTER)).count()
+    )
+    n_total = S._vecs(spark, sf_dir).count()
+    with open(os.path.join(idx_dir, "_width")) as wf:
+        width = int(wf.read().strip())
+    assert 4 <= width <= S._MAXBITS
+
+    # run the registered query (performs the one-time append)
+    out = S.ann_index_append_query(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+
+    idx = spark.read.parquet(data)
+    assert idx.count() == n_total
+    assert n_total > n_committed
+    # every bucket value in the maintained index has the recorded width
+    widths = (
+        idx.select(
+            F.length(F.expr("substring(pbucket, 2)")).alias("l")
+        ).distinct().collect()
+    )
+    assert {r["l"] for r in widths} == {width}
+    # appended vectors (vec_id % 10 == 1) are present in the index
+    assert idx.filter(F.col("vec_id") % 10 == 1).count() == n_total - n_committed
+
+
+def test_query_results_are_topk_per_query(spark, sf_dir):
+    out = S.ann_index_append_query(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= S._TOPK
