@@ -4,7 +4,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced end-to-end with a noop sink (full computation, no
-driver-side collect cost)."""
+driver-side collect cost).
+
+Methodology note (ADVICE r8): warm min-of-N timings INCLUDE session
+memos where an op ships one — e.g. dedup_minhash_lsh reads the
+session-persisted signature/band relation (_SH_CACHE/_BANDS_CACHE) on
+runs 2..N, and the scratch-index ops (ann_index_persist,
+ann_index_append, dedup_incremental_minhash) pay their build-once index
+write only on the first cold run per content fingerprint. That is the
+production-shaped number — a pipeline computes those once per corpus —
+but cross-round comparisons should know run 1 is the only uncached one."""
 
 from __future__ import annotations
 

@@ -54,22 +54,29 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    cents = "CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))"
-    disc = "CAST(ROUND((1 - l_discount) * 100) AS DECIMAL(38,0))"
-    tax = "CAST(ROUND((1 + l_tax) * 100) AS DECIMAL(38,0))"
+    # per-row products in BIGINT (cents<=5e9, factors<=110: ~7 orders of
+    # headroom below 2^63); only the cross-row SUM is DECIMAL(38,0),
+    # where corpus growth is unbounded. A/B at sf0.1: all-decimal 0.74 s,
+    # bigint-products 0.55 s, byte-identical (PLANS.md r9 benchdiff).
+    cents = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    disc = "CAST(ROUND((1 - l_discount) * 100) AS BIGINT)"
+    tax = "CAST(ROUND((1 + l_tax) * 100) AS BIGINT)"
     return li.groupBy(
         F.col("l_returnflag").alias("returnflag"),
         F.col("l_linestatus").alias("linestatus"),
     ).agg(
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         F.expr(
-            f"ROUND(CAST(SUM({cents}) AS DOUBLE) / 100, 4)"
+            f"ROUND(CAST(SUM(CAST({cents} AS DECIMAL(38,0)))"
+            " AS DOUBLE) / 100, 4)"
         ).alias("sum_base_price"),
         F.expr(
-            f"ROUND(CAST(SUM({cents} * {disc}) AS DOUBLE) / 1e4, 4)"
+            f"ROUND(CAST(SUM(CAST({cents} * {disc} AS DECIMAL(38,0)))"
+            " AS DOUBLE) / 1e4, 4)"
         ).alias("sum_disc_price"),
         F.expr(
-            f"ROUND(CAST(SUM({cents} * {disc} * {tax}) AS DOUBLE) / 1e6, 6)"
+            f"ROUND(CAST(SUM(CAST({cents} * {disc} * {tax}"
+            " AS DECIMAL(38,0))) AS DOUBLE) / 1e6, 6)"
         ).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),

@@ -118,11 +118,12 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            # exact 1e-4 units on the 25-nation key (lifted r9)
+            # exact 1e-4 units on the 25-nation key (lifted r9;
+            # bigint per-row product, decimal only at the SUM)
             F.expr(
-                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
-                " DECIMAL(38,0)) * CAST(ROUND((1 - l_discount) * 100) AS"
-                " DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
+                "ROUND(CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS"
+                " BIGINT) * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)"
+                " AS DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
             ).alias("revenue")
         )
         .select(F.col("n_name").alias("nation"), "revenue")
@@ -358,16 +359,17 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("yr"),
             # exact 1e-4 units on the bounded (nation, nation, yr)
-            # key (lifted r9)
+            # key (lifted r9; bigint per-row product, decimal at SUM)
             F.expr(
-                "CAST(ROUND(l_extendedprice * 100) AS DECIMAL(38,0))"
-                " * CAST(ROUND((1 - l_discount) * 100) AS DECIMAL(38,0))"
+                "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                " * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)"
             ).alias("volume_1e4"),
         )
         .groupBy("supp_nation", "cust_nation", "yr")
         .agg(
             F.expr(
-                "ROUND(CAST(SUM(volume_1e4) AS DOUBLE) / 1e4, 4)"
+                "ROUND(CAST(SUM(CAST(volume_1e4 AS DECIMAL(38,0)))"
+                " AS DOUBLE) / 1e4, 4)"
             ).alias("revenue")
         )
     )
@@ -482,11 +484,12 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         | arm("BRAND_2", 10, 30, 10, 40)
         | arm("BRAND_3", 20, 50, 20, 50)
     ).agg(
-        # exact 1e-4 units, single global group (lifted r9)
+        # exact 1e-4 units, single global group (lifted r9; bigint
+        # per-row product, decimal only at the SUM)
         F.expr(
-            "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
-            " DECIMAL(38,0)) * CAST(ROUND((1 - l_discount) * 100) AS"
-            " DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
+            "ROUND(CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS"
+            " BIGINT) * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)"
+            " AS DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )

@@ -165,11 +165,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            # exact 1e-4 units, single global group (lifted r9)
+            # exact 1e-4 units, single global group (lifted r9;
+            # bigint per-row product, decimal only at the SUM)
             F.expr(
-                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
-                " DECIMAL(38,0)) * CAST(ROUND(l_discount * 100) AS"
-                " DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
+                "ROUND(CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS"
+                " BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)"
+                " AS DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
             ).alias("revenue")
         )
     )
@@ -291,11 +292,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             # exact 1e-4 units on the bounded (nation, year) key
-            # (lifted r9)
+            # (lifted r9; bigint per-row product, decimal at SUM)
             F.expr(
-                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
-                " DECIMAL(38,0)) * CAST(ROUND((1 - l_discount) * 100) AS"
-                " DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
+                "ROUND(CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS"
+                " BIGINT) * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)"
+                " AS DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
             ).alias("sum_profit")
         )
     )

@@ -195,11 +195,12 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_returnflag").alias("returnflag"))
         .agg(
             F.count("*").alias("n"),
-            # exact 1e-4 units on the 3-flag key (lifted r9)
+            # exact 1e-4 units on the 3-flag key (lifted r9; bigint
+            # per-row product, decimal only at the SUM)
             F.expr(
-                "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS"
-                " DECIMAL(38,0)) * CAST(ROUND((1 - l_discount) * 100) AS"
-                " DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
+                "ROUND(CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS"
+                " BIGINT) * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)"
+                " AS DECIMAL(38,0))) AS DOUBLE) / 1e4, 4)"
             ).alias("revenue"),
         )
     )
