@@ -271,6 +271,7 @@ HEADLINE = [
     "dedup_cc_incremental",
     "sink_sharded_jsonl_manifest",
     "ann_index_append",
+    "tokenizer_unigram_em_step",
 ]
 
 

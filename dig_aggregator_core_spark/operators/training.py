@@ -1960,3 +1960,83 @@ def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(F.concat_ws(" ", "ew")).alias("tok_digest"),
     )
+
+
+_UNI_EM_ORACLE = f"""
+WITH m AS MATERIALIZED (SELECT {_UNI_MAP_DUCK} AS vm),
+enc AS (
+  SELECT doc_id,
+    list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+      w -> {_unigram_fold('duck')}) AS ew
+  FROM documents, m
+),
+pieces AS (
+  SELECT unnest(string_split(string_split(e, '@')[2], '~')) AS piece
+  FROM enc, LATERAL unnest(ew) AS u(e)
+),
+cnt AS (
+  SELECT piece, CAST(COUNT(*) AS BIGINT) AS n FROM pieces GROUP BY piece
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt)
+SELECT piece, n,
+       CAST(CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)
+            - CAST(ROUND(ln(CAST(t AS DOUBLE)) * 1000000, 0) AS BIGINT)
+         AS BIGINT) AS new_score_micro_nats
+FROM cnt, tot
+"""
+
+
+@query("tokenizer_unigram_em_step", oracle=_UNI_EM_ORACLE)
+def tokenizer_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM re-estimation step of the unigram-LM tokenizer (Kudo 2018,
+    §3.2 — the loop SentencePiece trains with): E-step = segment the
+    corpus under the CURRENT piece scores (tokenizer_unigram_viterbi's
+    Viterbi fold, hard-EM variant: the 1-best segmentation stands in for
+    the expected piece counts); M-step = re-estimate each observed
+    piece's log-probability from its corpus count, emitted as the same
+    integer micro-nat scores the Viterbi fold consumes — so the output
+    IS the next iteration's vocab table, closing the training loop the
+    tokenizer family needs (bpe: tokenizer_bpe_merges trains merges the
+    same corpus-driven way).
+
+    Cross-engine exactness: counts are integers; the new score is
+    ROUND(ln(count)*1e6) - ROUND(ln(total)*1e6) — each ln runs on an
+    exact-integer-valued double and is rounded ONCE (the PSI/Zipf
+    single-rounding convention), so both engines emit identical BIGINTs
+    short of a ~1e-9-adjacent rounding boundary on a libm last-ulp,
+    the accepted class documented on text_zipf_fit.
+
+    Scale: encode is the Viterbi narrow map; the count is one hash
+    aggregate on the (tiny) piece key; the total is a 1-row broadcast.
+    Unobserved pieces drop out of the table, which IS the M-step's
+    prune — the standard vocab-shrinking EM schedule emerges from
+    repeatedly chaining this op."""
+    expr = (
+        "transform(filter(split(text, ' '), w -> w <> ''),"
+        f" w -> {_unigram_fold('spark')})"
+    )
+    docs = maybe_spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    )
+    pieces = (
+        docs.select(F.explode(F.expr(expr)).alias("e"))
+        .select(
+            F.explode(
+                F.split(F.expr("element_at(split(e, '@'), 2)"), "~")
+            ).alias("piece")
+        )
+    )
+    cnt = pieces.groupBy("piece").agg(F.count("*").alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "n",
+        (
+            F.expr(
+                "CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+            )
+            - F.expr(
+                "CAST(ROUND(ln(CAST(t AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+            )
+        ).cast("bigint").alias("new_score_micro_nats"),
+    )
