@@ -272,6 +272,7 @@ HEADLINE = [
     "sink_sharded_jsonl_manifest",
     "ann_index_append",
     "tokenizer_unigram_em_step",
+    "feature_fit_transform_persist",
 ]
 
 

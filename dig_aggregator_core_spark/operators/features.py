@@ -3100,3 +3100,150 @@ def feature_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 feature_woe_binning.__doc__ = feature_woe_binning.__doc__.format(b=_WOE_B)
+
+
+_FIT_ORACLE = """
+WITH split AS (
+  SELECT o_totalprice,
+         CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10 AS h
+  FROM orders
+),
+fit AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.50) AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM split WHERE h < 8
+),
+applied AS (
+  SELECT CASE WHEN o_totalprice <= q1 THEN 0
+              WHEN o_totalprice <= q2 THEN 1
+              WHEN o_totalprice <= q3 THEN 2
+              ELSE 3 END AS bucket,
+         o_totalprice
+  FROM split, fit WHERE h >= 8
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                  AS DOUBLE) / 100, 4) AS eval_total
+FROM applied GROUP BY bucket
+"""
+
+
+def _fitted_cuts_path(spark: SparkSession, sf_dir: str) -> str:
+    """FIT half of the fit/transform split: exact quartile cut points of
+    the TRAIN split only, persisted once per source-content fingerprint
+    as a 1-row parquet — the 'fitted transformer' artifact a feature
+    platform versions so training and serving apply byte-identical
+    parameters. Build-once discipline: fingerprint in the path, flock,
+    _done last (the _persisted_index_path convention)."""
+    import fcntl
+    import os
+    import re
+    import tempfile
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    sig = "0"
+    try:
+        paths = (
+            [
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if not f.startswith((".", "_"))
+            ]
+            if os.path.isdir(src)
+            else [src]
+        )
+        stats = [os.stat(p) for p in paths]
+        sig = "%d_%d" % (
+            sum(s.st_size for s in stats),
+            max((s.st_mtime_ns for s in stats), default=0),
+        )
+    except OSError:
+        pass
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        "fitted_cuts_%s_%s"
+        % (re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/")), sig),
+    )
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, ".lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(done):
+                h = (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col("o_orderkey").cast("string")), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % 10
+                )
+                train = load(spark, sf_dir, "orders").filter(h < 8)
+                cuts = train.agg(
+                    F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+                    F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+                    F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+                )
+                cuts.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(out, "cuts.parquet")
+                )
+                open(done, "w").close()
+    return os.path.join(out, "cuts.parquet")
+
+
+@query("feature_fit_transform_persist", oracle=_FIT_ORACLE)
+def feature_fit_transform_persist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe FIT/TRANSFORM split with a PERSISTED fitted artifact
+    (r9): quartile cut points are fitted on the deterministic train
+    split only (md5 hash-mod — sample_train_val_test's convention),
+    written once as a versioned 1-row parquet, and the TRANSFORM reads
+    the artifact back to bucketize the held-out eval split. This is the
+    feature-platform contract sklearn's fit/transform expresses
+    in-process: eval rows never influence the parameters (no train-time
+    leakage), and training/serving apply byte-identical cuts because
+    both read the same persisted artifact rather than re-deriving them.
+
+    The oracle recomputes train-split quantiles and applies them to the
+    eval split directly, so a leaked eval row, a wrong split, or a
+    lossy parameter round-trip through parquet all change the result.
+    Exactness: exact interpolated percentile (the
+    feature_quantile_bucketize device) and exact-cents eval sums on the
+    4-bucket coarse key.
+
+    Scale: FIT is one aggregate over the train split paid once per
+    corpus version; TRANSFORM is a broadcast 1-row join + map-side CASE
+    — the per-batch serving cost is a scan of the batch, nothing else."""
+    cuts = spark.read.parquet(_fitted_cuts_path(spark, sf_dir))
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    ev = load(spark, sf_dir, "orders").filter(h >= 8)
+    applied = ev.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bucket"),
+        "o_totalprice",
+    )
+    return applied.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS"
+            " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
+        ).alias("eval_total"),
+    )
