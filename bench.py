@@ -273,6 +273,7 @@ HEADLINE = [
     "ann_index_append",
     "tokenizer_unigram_em_step",
     "feature_fit_transform_persist",
+    "privacy_dp_quantile",
 ]
 
 

@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -690,3 +690,170 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tvd_micro") <= _TCLOSE_T_MICRO, F.lit("t_close")
         ).otherwise(F.lit("at_risk")),
     )
+
+
+# ------------------------------------------ DP quantile (exp. mechanism)
+
+_DPQ_EPS = 0.5
+_DPQ_B = 64  # candidate bins over o_totalprice
+_DPQ_LO, _DPQ_W = 0.0, 10_000.0  # covers [0, 640k); edges clamp
+
+_DPQ_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - {_DPQ_LO}) / {_DPQ_W}),
+              0), {_DPQ_B - 1}) AS INT) AS b
+  FROM orders
+),
+cnt AS (
+  SELECT g.b, COALESCE(c.n, 0) AS n FROM
+    (SELECT unnest(range({_DPQ_B})) AS b) g
+  LEFT JOIN (SELECT b, CAST(COUNT(*) AS BIGINT) AS n
+             FROM binned GROUP BY b) c ON g.b = c.b
+),
+w AS (
+  SELECT b, n,
+         SUM(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - n AS cbefore,
+         (SELECT SUM(n) FROM cnt) AS total_n
+  FROM cnt
+),
+wt AS (
+  SELECT b,
+         CAST(ROUND(exp(-{_DPQ_EPS} * GREATEST(0,
+                  total_n - 2 * (cbefore + n),
+                  2 * cbefore - total_n)
+                        / 4.0) * 1e9) AS HUGEINT) AS wm
+  FROM w
+),
+cum AS (
+  SELECT b, wm,
+         SUM(wm) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cw,
+         (SELECT SUM(wm) FROM wt) AS tw
+  FROM wt
+),
+draw AS (
+  SELECT CAST(('0x' || substring(md5('dpq:median:v1'), 1, 8)) AS BIGINT)
+         AS u32
+),
+sel AS (
+  SELECT MIN(b) AS sel_b FROM cum, draw
+  WHERE cw > (CAST(u32 AS HUGEINT) * tw) // 4294967296
+)
+SELECT CAST(sel_b AS INT) AS dp_bin,
+       ROUND({_DPQ_LO} + (sel_b + 0.5) * {_DPQ_W}, 4) AS dp_median,
+       ROUND((SELECT quantile_cont(o_totalprice, 0.5) FROM orders), 4)
+         AS true_median,
+       {_DPQ_EPS} AS epsilon,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM cnt) AS n
+FROM sel
+"""
+
+
+@query("privacy_dp_quantile", oracle=_DPQ_ORACLE)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEDIAN via the exponential mechanism
+    (McSherry-Talwar 2007) over a fixed candidate-bin grid — the release
+    mechanism for a sensitive VALUE statistic, completing the privacy
+    family's release side next to privacy_dp_counts' count mechanism:
+    bin b's utility is the (integer, doubled-to-stay-integer) rank
+    distance from its INTERVAL to the median — 0 when the bin contains
+    the median, else the doubled rank gap to the nearer edge
+    (GREATEST(0, n - 2*(c_before + n_b), 2*c_before - n)) — and b is selected with probability proportional to
+    exp(-eps * d / 4) (rank sensitivity 2 in the doubled units).
+
+    Engine-exact selection, the dp_counts playbook extended from a
+    lookup table to a data-dependent distribution: each bin's weight is
+    the SINGLE-ROUNDED integer nano-weight ROUND(exp(.)*1e9), the
+    cumulative-weight scan and the threshold compare are pure integer
+    arithmetic (the u32*total product runs in DECIMAL(38,0)/HUGEINT —
+    it overflows BIGINT), and the 'draw' is the library's md5-h32 of a
+    fixed seed string, so both engines select the identical bin. A
+    production release swaps the seeded draw for one true RNG draw
+    (1 per released statistic, driver-side); true_median is emitted as
+    the audit column, exactly like dp_counts' true_n.
+
+    Scale: one partial-aggregated groupBy onto the {b}-bin grid; every
+    window below runs on the {b}-row grid (grid-first rule), so the
+    mechanism's cost is the histogram scan, independent of n."""
+    o = load(spark, sf_dir, "orders")
+    b = (
+        F.least(
+            F.greatest(
+                F.floor((F.col("o_totalprice") - _DPQ_LO) / _DPQ_W), F.lit(0)
+            ),
+            F.lit(_DPQ_B - 1),
+        )
+        .cast("int")
+        .alias("b")
+    )
+    grid = spark.range(_DPQ_B).select(F.col("id").cast("int").alias("b"))
+    cnt = (
+        grid.join(
+            o.select(b).groupBy("b").agg(F.count(F.lit(1)).alias("n0")),
+            "b",
+            "left",
+        )
+        .select("b", F.coalesce("n0", F.lit(0)).cast("bigint").alias("n"))
+    )
+    wspec = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w = cnt.select(
+        "b",
+        "n",
+        (F.sum("n").over(wspec) - F.col("n")).alias("cbefore"),
+        F.sum("n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_n"),
+    )
+    wt = w.select(
+        "b",
+        # interval rank distance: 0 when the bin CONTAINS the median
+        # (cbefore <= n/2 <= cbefore + n_b, in doubled units), else the
+        # doubled rank gap to the nearer bin edge — the midrank-distance
+        # first draft was never 0, so every nano-weight rounded to zero
+        # and selection returned NULL on BOTH engines (the oracle agreed
+        # with the bug; tests/test_dp_quantile.py pins non-null now)
+        F.expr(
+            f"CAST(ROUND(exp(-{_DPQ_EPS} * GREATEST(0,"
+            " total_n - 2 * (cbefore + n), 2 * cbefore - total_n)"
+            " / 4.0) * 1e9) AS DECIMAL(38,0))"
+        ).alias("wm"),
+    )
+    cum = wt.select(
+        "b",
+        F.sum("wm").over(wspec).alias("cw"),
+        F.sum("wm").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tw"),
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.lit("dpq:median:v1")), 1, 8), 16, 10
+    ).cast("bigint")
+    sel = (
+        cum.withColumn("u32", u32)
+        .filter(
+            F.col("cw")
+            > F.expr("CAST(u32 AS DECIMAL(38,0)) * tw DIV 4294967296")
+        )
+        .agg(F.min("b").alias("sel_b"))
+    )
+    truem = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias(
+            "true_median"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return sel.crossJoin(F.broadcast(truem)).select(
+        F.col("sel_b").cast("int").alias("dp_bin"),
+        F.round(_DPQ_LO + (F.col("sel_b") + 0.5) * _DPQ_W, 4).alias(
+            "dp_median"
+        ),
+        "true_median",
+        F.lit(_DPQ_EPS).alias("epsilon"),
+        "n",
+    )
+
+
+privacy_dp_quantile.__doc__ = privacy_dp_quantile.__doc__.format(b=_DPQ_B)

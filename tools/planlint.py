@@ -80,6 +80,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "stats_ks_drift": "1-row sample-totals frame joined onto the bin histogram",
         "tokenizer_unigram_em_step": "1-row piece-total frame broadcast for the micro-nat renormalization",
         "feature_fit_transform_persist": "1-row persisted cut table broadcast onto the eval split (the TRANSFORM half)",
+        "privacy_dp_quantile": "1-row selected-bin frame crossed with the 1-row true-median audit frame",
         "negative_sampling_recsys": "1-row catalog-count frame broadcast for hash-draws",
         "ann_lsh_multiprobe": "1-row bucket-bit-count frame broadcast onto the corpus",
         "ann_hard_negatives": "1-row bucket-bit-count frame broadcast onto the corpus",
