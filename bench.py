@@ -274,6 +274,7 @@ HEADLINE = [
     "tokenizer_unigram_em_step",
     "feature_fit_transform_persist",
     "privacy_dp_quantile",
+    "stream_cc_incremental",
 ]
 
 

@@ -2089,3 +2089,236 @@ def stream_session_timeout_close(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return _run_to_memory(out, "append", state_partitions=_FOLD_STATE_PARTS)
+
+
+@query(
+    "stream_cc_incremental",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, lang FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, toks, lang FROM base
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             toks[1:greatest(3, (len(toks) * 4) // 5)] AS toks, lang
+      FROM base
+    ),
+    shingled AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [array_to_string(toks, ' ')] END AS sh_set
+      FROM corpus
+    ),
+    mh AS (
+      SELECT doc_id,
+             list_min(list_transform(sh_set, s -> md5('0|' || s))) AS h0,
+             list_min(list_transform(sh_set, s -> md5('1|' || s))) AS h1,
+             list_min(list_transform(sh_set, s -> md5('2|' || s))) AS h2,
+             list_min(list_transform(sh_set, s -> md5('3|' || s))) AS h3,
+             list_min(list_transform(sh_set, s -> md5('4|' || s))) AS h4,
+             list_min(list_transform(sh_set, s -> md5('5|' || s))) AS h5,
+             list_min(list_transform(sh_set, s -> md5('6|' || s))) AS h6,
+             list_min(list_transform(sh_set, s -> md5('7|' || s))) AS h7
+      FROM shingled
+    ),
+    bands AS (
+      SELECT doc_id, band, band_key FROM (
+        SELECT doc_id, unnest([
+          struct_pack(band := 0, band_key := h0 || h1),
+          struct_pack(band := 1, band_key := h2 || h3),
+          struct_pack(band := 2, band_key := h4 || h5),
+          struct_pack(band := 3, band_key := h6 || h7)],
+          recursive := true) FROM mh)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+            / (len(sa.sh_set) + len(sb.sh_set)
+               - len(list_intersect(sa.sh_set, sb.sh_set))) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach AS (
+      SELECT u, u AS r FROM nodes
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    )
+    SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING end-to-end incremental near-dup CLUSTER maintenance —
+    the r9 ingest tier composed into one live pipeline: mutated-twin
+    documents arrive in micro-batches (two staged files,
+    maxFilesPerTrigger=1); each epoch, inside foreachBatch, (1) the
+    batch's MinHash bands probe the accumulated band relation (committed
+    index + every previous batch — dedup_incremental_minhash's O(batch)
+    contract), (2) candidates verify at exact Jaccard >= 0.5, (3) the
+    verified edges update the stored component labeling through
+    dedup_cc_incremental's contract-and-remap step, and (4) the batch's
+    bands append to the accumulated relation (append_band_index's
+    semantics, held in-memory per run). After the stream drains, the
+    labeling must equal the FULL batch connected-components recompute —
+    which the oracle (the same recursive min-reachable-id CTE) pins, so
+    batch-order independence of the min-label merge is hash-checked,
+    not assumed.
+
+    foreachBatch + driver-held state is the repo's incremental-engine
+    shape (streaming/incremental.py, _cdc_apply): state between epochs
+    is metadata-sized (labels + bands ride localCheckpoints; at 100 TB
+    they are maintained TABLES — plans/ledger.py's CAS versioning is
+    the durable form). Per-epoch cost is O(batch + touched components);
+    committed edges are never rescanned."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..operators.dedup import (
+        MUT_OFFSET,
+        _band_index_path,
+        _bands_of,
+        _cc_labels,
+        _committed_cc_labels,
+        _shingled,
+    )
+
+    sh = _shingled(spark, sf_dir)
+    labels = {"df": _committed_cc_labels(spark, sf_dir)}
+    bands_acc = {
+        "df": spark.read.parquet(_band_index_path(spark, sf_dir)).select(
+            "doc_id", "band", "band_key"
+        )
+    }
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        ids = batch.select("doc_id").localCheckpoint()
+        if ids.isEmpty():
+            return
+        batch_sh = sh.join(F.broadcast(ids), "doc_id")
+        batch_bands = _bands_of(batch_sh).localCheckpoint()
+        # candidates vs everything already indexed + within this batch
+        vs_index = (
+            batch_bands.alias("a")
+            .join(
+                bands_acc["df"].alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key")),
+            )
+            .select(
+                F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+            )
+        )
+        within = (
+            batch_bands.alias("a")
+            .join(
+                batch_bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+            )
+        )
+        cand = vs_index.unionByName(within).distinct()
+        sa = sh.select(F.col("doc_id").alias("u"), F.col("sh_set").alias("set_a"))
+        sb = sh.select(F.col("doc_id").alias("v"), F.col("sh_set").alias("set_b"))
+        inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+        union = F.size("set_a") + F.size("set_b") - inter
+        edges = (
+            cand.join(sa, "u").join(sb, "v")
+            .filter(inter.cast("double") / union >= 0.5)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        if not edges.isEmpty():
+            cur = labels["df"]
+            lu = cur.select(F.col("u").alias("lu_k"), F.col("component").alias("lu_c"))
+            lv = cur.select(F.col("u").alias("lv_k"), F.col("component").alias("lv_c"))
+            contracted = (
+                edges.join(lu, edges.u == lu.lu_k, "left")
+                .join(lv, edges.v == lv.lv_k, "left")
+                .select(
+                    F.coalesce("lu_c", "u").alias("u"),
+                    F.coalesce("lv_c", "v").alias("v"),
+                )
+                .filter(F.col("u") != F.col("v"))
+            )
+            merged = _cc_labels(contracted)
+            remap = merged.select(
+                F.col("u").alias("old_c"), F.col("component").alias("new_c")
+            )
+            relabeled = cur.join(
+                remap, cur.component == remap.old_c, "left"
+            ).select(
+                "u",
+                F.coalesce("new_c", "component").cast("bigint").alias(
+                    "component"
+                ),
+            )
+            new_nodes = (
+                edges.select("u").union(edges.select("v")).distinct()
+                .join(cur.select("u"), "u", "left_anti")
+            )
+            new_labeled = new_nodes.join(merged, "u", "left").select(
+                "u",
+                F.coalesce("component", "u").cast("bigint").alias(
+                    "component"
+                ),
+            )
+            labels["df"] = relabeled.unionByName(new_labeled).localCheckpoint()
+        bands_acc["df"] = (
+            bands_acc["df"].unionByName(batch_bands).localCheckpoint()
+        )
+
+    # stage the ingest stream: the mutated twins split into two batch
+    # files, modification times pinned so the file source delivers them
+    # oldest-first under maxFilesPerTrigger=1
+    base = tempfile.mkdtemp(prefix="cc_stream_")
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    mut = sh.filter(F.col("doc_id") >= MUT_OFFSET).select("doc_id")
+    for i in range(2):
+        half = mut.filter((F.col("doc_id") % 2) == i)
+        tmp = os.path.join(base, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(data_dir, f"{chr(97 + i)}.parquet")
+        shutil.copy(os.path.join(tmp, part), dest)
+        ts_file = _time.time() - (10 - i)
+        os.utime(dest, (ts_file, ts_file))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(base, ignore_errors=True)
+    return labels["df"].select(
+        F.col("u").alias("doc_id"), "component"
+    )
