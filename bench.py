@@ -271,6 +271,7 @@ HEADLINE = [
     "dedup_cc_incremental",
     "sink_sharded_jsonl_manifest",
     "ann_index_append",
+    "ann_index_append_multiprobe",
     "tokenizer_unigram_em_step",
     "feature_fit_transform_persist",
     "privacy_dp_quantile",

@@ -1671,21 +1671,7 @@ def ann_index_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     index path forces that here."""
     import os
 
-    idx_dir = _inc_index_path(spark, sf_dir)
-    appended = os.path.join(idx_dir, "_appended")
-    if not os.path.exists(appended):
-        import fcntl
-
-        with open(os.path.join(idx_dir, ".lock"), "a") as lockf:
-            fcntl.flock(lockf, fcntl.LOCK_EX)
-            if not os.path.exists(appended):
-                batch = _vecs(spark, sf_dir).filter(
-                    ~F.expr(_INC_COMMIT_FILTER)
-                )
-                ann_index_append(spark, idx_dir, batch)
-                open(appended, "w").close()
-    with open(os.path.join(idx_dir, "_width")) as wf:
-        width = int(wf.read().strip())
+    idx_dir, width = _append_bootstrap(spark, sf_dir)
     queries = (
         _vecs(spark, sf_dir)
         .withColumn("signs", F.expr(_SIGNS_SPARK))
@@ -1731,6 +1717,153 @@ def ann_index_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "bucket",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def _append_bootstrap(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Shared bootstrap for the append-maintained index consumers:
+    build the committed index once, append the ingest batch once (both
+    flock-idempotent), and return (index_dir, recorded_width)."""
+    import fcntl
+    import os
+
+    idx_dir = _inc_index_path(spark, sf_dir)
+    appended = os.path.join(idx_dir, "_appended")
+    if not os.path.exists(appended):
+        with open(os.path.join(idx_dir, ".lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(appended):
+                batch = _vecs(spark, sf_dir).filter(
+                    ~F.expr(_INC_COMMIT_FILTER)
+                )
+                ann_index_append(spark, idx_dir, batch)
+                open(appended, "w").close()
+    with open(os.path.join(idx_dir, "_width")) as wf:
+        width = int(wf.read().strip())
+    return idx_dir, width
+
+
+@query(
+    "ann_index_append_multiprobe",
+    oracle=f"""
+    WITH {_VECS_SQL},
+    sig AS (SELECT *, {_SIGNS_SQL} AS signs FROM vecs),
+    b AS (SELECT GREATEST(4, LEAST({_MAXBITS},
+            CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0)) AS INT))) AS nb
+          FROM sig WHERE {_INC_COMMIT_FILTER}),
+    keyed AS (SELECT s.vec_id, s.v, s.nrm,
+                     substr(s.signs, 1, b.nb) AS bucket
+              FROM sig s, b),
+    probes AS (
+      SELECT k.vec_id AS query_id, k.v AS qv, k.nrm AS qn,
+             {_flip_sql('k.bucket', 't.i')} AS pbucket
+      FROM (SELECT * FROM keyed WHERE {_QUERY_FILTER}) k
+      CROSS JOIN (SELECT unnest(range(0, {_MAXBITS + 1})) AS i) t
+      WHERE t.i <= length(k.bucket)
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(p.qv) + 1),
+                 i -> p.qv[i] * c.v[i])),
+               (acc, x) -> acc + x) / (p.qn * c.nrm) AS cos
+      FROM probes p
+      JOIN keyed c ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOPK}
+    """,
+)
+def ann_index_append_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe serving over the APPEND-MAINTAINED index (the r9
+    round-10-queue item): each query probes its own bucket PLUS every
+    bucket at Hamming distance 1 under the INDEX's recorded width —
+    ann_lsh_multiprobe's recall device (Lv et al., VLDB 2007) applied to
+    the persisted incremental index instead of a session-built one. A
+    near neighbor that an appended batch placed across one hyperplane
+    boundary is recovered from the adjacent partition; the oracle pins
+    this by scoring the FULL corpus (committed + appended) under the
+    committed-count bucketing with the same flip set.
+
+    Scale: the probe fan-out multiplies only the query side (tiny by
+    construction) by width+1 ≤ {_MAXBITS}+1; the corpus index is read
+    partition-pruned through a static IN-list over the DISTINCT probed
+    buckets (|queries|*(width+1) strings upper bound, metadata-sized —
+    the same documented collect class as ann_index_persist). Each corpus
+    vector lives in exactly one partition and a query's probe strings
+    are distinct, so no pair is scored twice and no dedup pass runs.
+    """
+    import os
+
+    idx_dir, width = _append_bootstrap(spark, sf_dir)
+    probes = (
+        _vecs(spark, sf_dir)
+        .withColumn("signs", F.expr(_SIGNS_SPARK))
+        .filter(F.expr(_QUERY_FILTER))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.expr(f"substring(signs, 1, {width})").alias("bucket"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.explode(F.expr("sequence(0, length(bucket))")).alias("i"),
+            "bucket",
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.expr(_flip_sql("bucket", "i")).alias("pbucket"),
+        )
+    )
+    probe_buckets = sorted(
+        r["pbucket"]
+        for r in probes.select("pbucket").distinct().collect()
+    )
+    index = (
+        spark.read.parquet(os.path.join(idx_dir, "index.parquet"))
+        .filter(
+            F.col("pbucket").isin([f"b{b}" for b in probe_buckets])
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            F.expr("substring(pbucket, 2)").alias("cbucket"),
+        )
+    )
+    scored = probes.join(
+        index,
+        (F.col("pbucket") == F.col("cbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).withColumn(
+        "cos",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
             F.round("cos", 6).alias("cosine"),
             "rank",
         )

@@ -48,3 +48,42 @@ def test_query_results_are_topk_per_query(spark, sf_dir):
         ranks = sorted(r["rank"] for r in rs)
         assert ranks == list(range(1, len(rs) + 1))
         assert len(rs) <= S._TOPK
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    """Hamming-1 probing over the maintained index can only ADD
+    candidates per query, so its recall vs the exact brute-force top-k
+    must be >= the single-bucket append query's recall."""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_topk_bruteforce(spark, sf_dir).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_index_append_query(spark, sf_dir).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_index_append_multiprobe(spark, sf_dir).collect()
+    }
+    assert truth
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert recall_multi >= recall_single
+    # candidate-set dominance: every single-bucket hit at rank <= k that
+    # survives multiprobe's top-k window came from a superset candidate
+    # pool, so the multiprobe result is never empty where single is not
+    by_q_single = {q for q, _ in single}
+    by_q_multi = {q for q, _ in multi}
+    assert by_q_single <= by_q_multi
+
+
+def test_multiprobe_topk_shape(spark, sf_dir):
+    out = S.ann_index_append_multiprobe(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= S._TOPK
