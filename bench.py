@@ -272,6 +272,7 @@ HEADLINE = [
     "sink_sharded_jsonl_manifest",
     "ann_index_append",
     "ann_index_append_multiprobe",
+    "ann_pq_adc",
     "tokenizer_unigram_em_step",
     "feature_fit_transform_persist",
     "privacy_dp_quantile",

@@ -1868,3 +1868,267 @@ def ann_index_append_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ------------------------------------------------- product quantization (PQ)
+
+_PQ_M = 8  # subspaces (64-dim / 8 = 8 dims each)
+_PQ_SUB = 8  # dims per subspace
+_PQ_K = 16  # codewords per subspace
+_PQ_SEED_MOD = 29  # deterministic codebook seeds: vec_id % 29 = 0, id < 464
+_PQ_SCALE = 64  # integer quantization scale (exact cross-engine BIGINT math)
+_PQ_SEED_SQL = (
+    f"vec_id % {_PQ_SEED_MOD} = 0 AND vec_id < {_PQ_SEED_MOD * _PQ_K}"
+)
+# ADC with an untrained seed codebook is coarser than the int8 scalar
+# quantizer, so PQ compensates with a deeper exact-rerank shortlist
+# (FAISS's k_factor device): measured recall@5 0.28 at R=15 -> 0.60 at
+# R=40 on the sf0.001 fixture (0.80 at sf0.01)
+_PQ_R = 8 * _TOPK
+
+_PQ_ORACLE = f"""
+WITH {_VECS_SQL},
+z AS (
+  SELECT vec_id, v, nrm,
+         list_transform(v, x -> CAST(round(x * {_PQ_SCALE}) AS BIGINT)) AS zv
+  FROM vecs
+),
+cb AS (
+  SELECT CAST(vec_id // {_PQ_SEED_MOD} AS INT) AS k, zv FROM z
+  WHERE {_PQ_SEED_SQL}
+),
+mgrid AS (SELECT CAST(unnest(range(0, {_PQ_M})) AS INT) AS m),
+enc AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT t.vec_id, t.m, t.k,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.m
+                              ORDER BY t.d ASC, t.k ASC) AS rk
+    FROM (
+      SELECT x.vec_id, g.m, c.k,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {_PQ_SUB} + 1),
+                 i -> (x.zv[g.m * {_PQ_SUB} + i] - c.zv[g.m * {_PQ_SUB} + i])
+                    * (x.zv[g.m * {_PQ_SUB} + i] - c.zv[g.m * {_PQ_SUB} + i]))),
+               (acc, y) -> acc + y) AS d
+      FROM z x CROSS JOIN mgrid g CROSS JOIN cb c
+    ) t
+  ) WHERE rk = 1
+),
+dt AS (
+  SELECT q.vec_id AS query_id, g.m, c.k,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, {_PQ_SUB} + 1),
+             i -> q.zv[g.m * {_PQ_SUB} + i] * c.zv[g.m * {_PQ_SUB} + i])),
+           (acc, y) -> acc + y) AS partial
+  FROM (SELECT * FROM z WHERE {_QUERY_FILTER}) q
+  CROSS JOIN mgrid g CROSS JOIN cb c
+),
+adc AS (
+  SELECT dt.query_id, e.vec_id AS neighbor_id,
+         CAST(SUM(dt.partial) AS BIGINT) AS adc_dot
+  FROM dt JOIN enc e ON e.m = dt.m AND e.code = dt.k
+  WHERE e.vec_id <> dt.query_id
+  GROUP BY dt.query_id, e.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, adc_dot FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_dot DESC, neighbor_id) AS crank
+    FROM adc
+  ) WHERE crank <= {_PQ_R}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_dot,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+           (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos
+  FROM shortlist s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dot, ROUND(cos, 6) AS cosine,
+       CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rk
+  FROM rer
+) WHERE rk <= {_TOPK}
+"""
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """Collect the K seed codewords as quantized integer vectors —
+    16 x 64 ints, the documented metadata-sized collect class (same
+    device as the k-means centroid literal, clustering.py)."""
+    rows = (
+        _vecs(spark, sf_dir)
+        .filter(F.expr(_PQ_SEED_SQL))
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(v, x -> CAST(round(x * {_PQ_SCALE}) AS BIGINT))"
+            ).alias("zv"),
+        )
+        .collect()
+    )
+    by_k = {int(r["vec_id"]) // _PQ_SEED_MOD: list(r["zv"]) for r in rows}
+    return [by_k[k] for k in sorted(by_k)]
+
+
+@query("ann_pq_adc", oracle=_PQ_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring
+    and exact re-rank (Jegou et al., PAMI 2011 — the device behind
+    FAISS/ScaNN billion-vector serving). The 64-dim space splits into
+    M={m} subspaces of {sub} dims; each subspace has a K={k} codebook
+    (deterministic seed vectors, the same stand-in-for-trained-centroids
+    device as ann_ivf_probe; kmeans_embeddings is the trained path).
+    Every corpus vector compresses to M 4-bit codes (16x smaller than
+    int8, 128x smaller than float64); queries score candidates by table
+    lookup: adc(q, v) = sum_m dt[m][code_v[m]] where dt is the query's
+    per-subspace dot-product table against the codebook.
+
+    All PQ math is BIGINT-exact (scale-{s} quantization, the
+    quantize_embeddings device), so encode argmin, ADC sums and the
+    shortlist cut are bit-identical across engines and cluster runs —
+    no float-order drift can move a candidate across the R={r} boundary.
+
+    Spark shape: the codebook is collected once (16 rows) and baked
+    into literal per-row expressions, so ENCODE is a zero-shuffle
+    projection (argmin over 16 literal distances per subspace via
+    array_position/array_min). ADC is expressed as an equi-join: the
+    query distance tables (|q| x M x K rows, broadcast) join the
+    exploded codes (N x M rows) on (m, code) and aggregate SUM(partial)
+    per (query, vector) — one partial-agg shuffle, map-side combined;
+    never a query x corpus cartesian. The exact-cosine pass touches only
+    R rows per query. At 100 TB the flat ADC scan composes with
+    ann_ivf_probe's cell confinement (scan only probed cells' codes) and
+    the codes relation is ~1/128 the corpus bytes, so the scan is
+    memory-bandwidth-bound exactly as production PQ serving is."""
+    cb = _pq_codebook(spark, sf_dir)
+    # the codebook rides as a COLUMN from a broadcast 1-row frame, not a
+    # literal: ConstantFolding does not fold a CreateArray inside a
+    # lambda body, so a literal codebook is re-materialized per row per
+    # reference (measured 5.8 s vs 1.25 s for the sf0.1 encode); the
+    # fully-unrolled no-lambda draft was worse still (~12 s of
+    # analysis/codegen). The 1-row cross join broadcasts 16x64 ints.
+    cbdf = spark.createDataFrame(
+        [
+            (
+                [
+                    [
+                        [int(x) for x in cb[k][m * _PQ_SUB:(m + 1) * _PQ_SUB]]
+                        for k in range(_PQ_K)
+                    ]
+                    for m in range(_PQ_M)
+                ],
+            )
+        ],
+        "cb: array<array<array<bigint>>>",
+    )
+    vecs = (
+        _vecs(spark, sf_dir)
+        .withColumn(
+            "zv",
+            F.expr(
+                f"transform(v, x -> CAST(round(x * {_PQ_SCALE}) AS BIGINT))"
+            ),
+        )
+        .crossJoin(F.broadcast(cbdf))
+    )
+    sq_fold = (
+        f"aggregate(zip_with(slice(zv, m * {_PQ_SUB} + 1, {_PQ_SUB}), c,"
+        " (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    codes_expr = (
+        f"transform(sequence(0, {_PQ_M - 1}), m -> CAST(aggregate("
+        f" transform(element_at(cb, m + 1), c -> {sq_fold}),"
+        " named_struct('d', CAST(9223372036854775807 AS BIGINT),"
+        "               'k', -1, 'i', 0),"
+        " (acc, d) -> CASE WHEN d < acc.d"
+        "   THEN named_struct('d', d, 'k', acc.i, 'i', acc.i + 1)"
+        "   ELSE named_struct('d', acc.d, 'k', acc.k, 'i', acc.i + 1) END"
+        ").k AS INT))"
+    )
+    codes = vecs.select(
+        "vec_id", F.expr(codes_expr).alias("codes")
+    ).select("vec_id", F.posexplode("codes").alias("m", "code"))
+
+    dot_fold = (
+        f"aggregate(zip_with(slice(zv, m * {_PQ_SUB} + 1, {_PQ_SUB}), c,"
+        " (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    dt = (
+        vecs.filter(F.expr(_QUERY_FILTER))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}), m ->"
+                    f" transform(element_at(cb, m + 1),"
+                    f" c -> {dot_fold}))"
+                )
+            ).alias("m", "partials"),
+        )
+        .select(
+            "query_id", "m", F.posexplode("partials").alias("k", "partial")
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dt),
+            (codes.m == dt.m) & (codes.code == dt.k),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("partial").alias("adc_dot"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("crank", F.row_number().over(w_c))
+        .filter(F.col("crank") <= _PQ_R)
+        .drop("crank")
+    )
+    q = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    rer = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dot",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+ann_pq_adc.__doc__ = ann_pq_adc.__doc__.format(
+    m=_PQ_M, sub=_PQ_SUB, k=_PQ_K, s=_PQ_SCALE, r=_PQ_R
+)

@@ -72,6 +72,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "window_running_distinct": "1-row seam frame for the running-distinct splice",
         "join_salted_skew": "salt replication = cross join with the FACTOR-sized literal salt range",
         "ann_ivf_probe": "k-row centroid table crossed for assignment + probe scoring",
+        "ann_pq_adc": "1-row codebook frame (16x64 ints) broadcast-crossed onto corpus + queries; ADC itself is an equi-join on (m, code)",
         "semdedup_clusters": "metadata-sized seed-centroid table broadcast for assignment",
         "ann_lsh_adaptive": "1-row bucket-bit-count frame broadcast onto the corpus",
         "ann_lsh_buckets": "1-row bucket-bit-count frame broadcast onto the corpus (same plan as ann_lsh_adaptive since r7)",
