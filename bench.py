@@ -273,6 +273,7 @@ HEADLINE = [
     "ann_index_append",
     "ann_index_append_multiprobe",
     "ann_pq_adc",
+    "mmr_diversified_topk",
     "tokenizer_unigram_em_step",
     "feature_fit_transform_persist",
     "privacy_dp_quantile",

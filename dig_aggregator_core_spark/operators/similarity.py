@@ -2132,3 +2132,255 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_pq_adc.__doc__ = ann_pq_adc.__doc__.format(
     m=_PQ_M, sub=_PQ_SUB, k=_PQ_K, s=_PQ_SCALE, r=_PQ_R
 )
+
+
+# --------------------------------------- MMR diversified top-k (RAG serving)
+
+_MMR_K = _TOPK  # selected set size
+_MMR_R = _RERANK_R  # candidate shortlist per query
+_MMR_SIM_SQL = """
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(range(1, len(a.cv) + 1), i -> a.cv[i] * b2.cv[i])),
+    (acc, x) -> acc + x) / (a.cn * b2.cn)
+"""
+
+
+def _mmr_step_sql(t: int) -> str:
+    """One unrolled greedy step: max-sim of every unselected candidate
+    to the t-1 already-selected docs, then argmax of the MMR score."""
+    prev = f"sel{t - 1}"
+    return f"""
+ms{t} AS MATERIALIZED (
+  SELECT si.query_id, si.i AS neighbor_id, MAX(si.sim) AS max_sim
+  FROM sims si JOIN {prev} s
+    ON s.query_id = si.query_id AND s.neighbor_id = si.j
+  GROUP BY si.query_id, si.i
+),
+pick{t} AS (
+  SELECT query_id, neighbor_id, rel, max_sim, mmr, {t} AS sel_rank FROM (
+    SELECT c.query_id, c.neighbor_id, c.rel, m.max_sim,
+           ROUND(0.7 * c.rel - 0.3 * m.max_sim, 6) + 0.0 AS mmr,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+             ORDER BY 0.7 * c.rel - 0.3 * m.max_sim DESC,
+                      c.neighbor_id) AS rk
+    FROM cand c
+    JOIN ms{t} m ON m.query_id = c.query_id
+                AND m.neighbor_id = c.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                      WHERE s.query_id = c.query_id
+                        AND s.neighbor_id = c.neighbor_id)
+  ) WHERE rk = 1
+),
+sel{t} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t})"""
+
+
+_MMR_ORACLE = f"""
+WITH {_VECS_SQL},
+sig AS (SELECT *, {_SIGNS_SQL} AS signs FROM vecs),
+b AS (SELECT {_NBITS_SQL} AS nb FROM sig),
+keyed AS (SELECT s.vec_id, s.v, s.nrm,
+                 substr(s.signs, 1, b.nb) AS bucket
+          FROM sig s, b),
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, cv, cn FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({_COS_SQL}, 6) AS rel, c.v AS cv, c.nrm AS cn,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL} DESC, c.vec_id) AS rk
+    FROM (SELECT * FROM keyed WHERE {_QUERY_FILTER}) q
+    JOIN keyed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  ) WHERE rk <= {_MMR_R}
+),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS i, b2.neighbor_id AS j,
+         ROUND({_MMR_SIM_SQL}, 6) AS sim
+  FROM cand a JOIN cand b2
+    ON b2.query_id = a.query_id AND b2.neighbor_id <> a.neighbor_id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, CAST(0.0 AS DOUBLE) AS max_sim,
+         ROUND(0.7 * rel, 6) + 0.0 AS mmr, 1 AS sel_rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rel DESC, neighbor_id) AS rk FROM cand)
+  WHERE rk = 1
+),
+{",".join(_mmr_step_sql(t) for t in range(2, _MMR_K + 1))}
+SELECT query_id, neighbor_id AS doc_id, rel AS relevance,
+       ROUND(max_sim, 6) + 0.0 AS max_sim, mmr AS mmr_score,
+       CAST(sel_rank AS INT) AS sel_rank
+FROM sel{_MMR_K}
+"""
+
+
+@query("mmr_diversified_topk", oracle=_MMR_ORACLE)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998) — the standard RAG-serving re-rank that
+    trades pure relevance for coverage: greedily select k={k} docs per
+    query maximizing 0.7*rel - 0.3*max_sim_to_already_selected over an
+    LSH-bucket-confined shortlist of R={r} candidates (the
+    ann_lsh_adaptive candidate device).
+
+    Determinism across engines: relevance and pairwise sims are the
+    bit-exact sequential zip_with/list_reduce cosine, ROUNDed to 6dp
+    BEFORE the greedy, so every engine computes the identical MMR score
+    0.7*rel6 - 0.3*sim6 and the argmax (ties by doc id) can never
+    diverge in a last ulp. The k selection steps are UNROLLED relational
+    algebra — per step: an (i in-selected-j) max-sim aggregate, an
+    anti-join exclusion, and a per-query argmax window — mirrored 1:1
+    by the oracle's unrolled CTEs.
+
+    Scale shape: candidates and the R^2-bounded sim relation are
+    computed once and persisted (the k steps re-read them instead of
+    re-deriving the LSH join; ContextCleaner reclaims the blocks when
+    the plan is GC'd). All joins are equi on (query_id[, doc]) with
+    per-query fan-out bounded by R={r} and R^2 — millions of queries
+    parallelize on the query key with zero skew; nothing ever touches
+    query x corpus."""
+    vecs = _vecs(spark, sf_dir).withColumn("signs", F.expr(_SIGNS_SPARK))
+    nb = vecs.agg(
+        F.expr(
+            f"GREATEST(4, LEAST({_MAXBITS},"
+            " CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0)) AS INT)))"
+        ).alias("nb")
+    )
+    keyed = vecs.crossJoin(F.broadcast(nb)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.expr("substring(signs, 1, nb)").alias("bucket"),
+    )
+    q = keyed.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    c = keyed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("cbucket"),
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        q.join(
+            c,
+            (q.bucket == c.cbucket)
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w_r))
+        .filter(F.col("rk") <= _MMR_R)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("rel"),
+            "cv",
+            "cn",
+        )
+        .persist()
+    )
+    a = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("i"),
+        F.col("cv").alias("av"),
+        F.col("cn").alias("an"),
+    )
+    b2 = cand.select(
+        F.col("query_id").alias("q2"),
+        F.col("neighbor_id").alias("j"),
+        F.col("cv").alias("bv"),
+        F.col("cn").alias("bn"),
+    )
+    sims = (
+        a.join(
+            b2,
+            (a.query_id == b2.q2) & (F.col("i") != F.col("j")),
+        )
+        .withColumn(
+            "sim",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(av, bv, (x, y) -> x * y),"
+                    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+                    " / (an * bn)"
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "i", "j", "sim")
+    )
+    candarr = cand.groupBy("query_id").agg(
+        F.expr("collect_list(struct(neighbor_id AS id, rel))").alias(
+            "cands"
+        )
+    )
+    simsarr = sims.groupBy("query_id").agg(
+        F.expr("collect_list(struct(i, j, sim))").alias("simsarr")
+    )
+    # the whole k-step greedy runs as ONE fold per query row: max-sim
+    # of candidate c to the selected set, then argmax with ties by id —
+    # order-independent over the collected arrays because the tie-break
+    # is total. Raw (unrounded-from-rounded-inputs) scores order the
+    # argmax exactly as the oracle's ORDER BY.
+    ms = (
+        "CASE WHEN size(sel) = 0 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE array_max(transform(filter(simsarr,"
+        " p -> p.i = c.id AND exists(sel, s2 -> s2.id = p.j)),"
+        " p -> p.sim)) END"
+    )
+    fold = f"""
+    aggregate(
+      sequence(1, {_MMR_K}),
+      CAST(array() AS array<struct<id: bigint, rel: double, max_sim: double, raw: double, sel_rank: int>>),
+      (sel, t) -> concat(sel, filter(array(
+        aggregate(
+          filter(cands, c0 -> NOT exists(sel, s1 -> s1.id = c0.id)),
+          CAST(NULL AS struct<id: bigint, rel: double, max_sim: double, raw: double, sel_rank: int>),
+          (best, c) -> CASE
+            WHEN best IS NULL
+              OR (0.7 * c.rel - 0.3 * ({ms})) > best.raw
+              OR ((0.7 * c.rel - 0.3 * ({ms})) = best.raw
+                  AND c.id < best.id)
+            THEN named_struct(
+              'id', c.id, 'rel', c.rel,
+              'max_sim', {ms},
+              'raw', 0.7 * c.rel - 0.3 * ({ms}),
+              'sel_rank', CAST(t AS INT))
+            ELSE best END
+        )), x -> x IS NOT NULL))
+    )
+    """
+    return (
+        candarr.join(simsarr, "query_id", "left")
+        .withColumn(
+            "simsarr",
+            F.expr(
+                "coalesce(simsarr, CAST(array() AS"
+                " array<struct<i: bigint, j: bigint, sim: double>>))"
+            ),
+        )
+        .select("query_id", F.explode(F.expr(fold)).alias("s"))
+        .select(
+            "query_id",
+            F.col("s.id").alias("doc_id"),
+            F.col("s.rel").alias("relevance"),
+            F.expr("ROUND(s.max_sim, 6) + 0.0").alias("max_sim"),
+            F.expr("ROUND(s.raw, 6) + 0.0").alias("mmr_score"),
+            F.col("s.sel_rank").alias("sel_rank"),
+        )
+    )
+
+
+mmr_diversified_topk.__doc__ = mmr_diversified_topk.__doc__.format(
+    k=_MMR_K, r=_MMR_R
+)
