@@ -274,6 +274,7 @@ HEADLINE = [
     "ann_index_append_multiprobe",
     "ann_pq_adc",
     "mmr_diversified_topk",
+    "graph_sssp_weighted",
     "tokenizer_unigram_em_step",
     "feature_fit_transform_persist",
     "privacy_dp_quantile",

@@ -1135,3 +1135,108 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lcc_micro"),
         )
     )
+
+
+# ------------------------------------------- weighted SSSP (Bellman-Ford)
+
+_SSSP_ROUNDS = _BFS_ROUNDS  # same hop bound as BFS => sandwich property
+_SSSP_WMOD = 7  # deterministic edge cost 1 + (u + v) % 7 in [1, 7]
+
+_SSSP_ORACLE = f"""
+WITH RECURSIVE
+cooc AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+  FROM events
+),
+r AS (
+  SELECT event_type, h, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type, h
+                            ORDER BY user_id) AS rn
+  FROM cooc
+),
+bp AS (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM r a JOIN r b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND b.rn BETWEEN a.rn + 1 AND a.rn + {_BFS_BAND}
+),
+e AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM bp UNION ALL SELECT v, u FROM bp
+  )
+),
+ew AS (SELECT u, v, 1 + (u + v) % {_SSSP_WMOD} AS w FROM e),
+walk(node, d, hops) AS (
+  SELECT DISTINCT user_id, CAST(0 AS BIGINT), 0
+  FROM events WHERE user_id % {_BFS_SEED_MOD} = 0
+  UNION
+  SELECT ew.v, walk.d + ew.w, walk.hops + 1
+  FROM walk JOIN ew ON ew.u = walk.node
+  WHERE walk.hops < {_SSSP_ROUNDS}
+)
+SELECT node AS user_id, CAST(MIN(d) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@query("graph_sssp_weighted", oracle=_SSSP_ORACLE)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest path, frontier Bellman-Ford over
+    the banded co-occurrence graph: min path COST (deterministic
+    integer edge cost 1 + (u+v) % {wm}, a stand-in for a real affinity/
+    latency weight) from the BFS seed set within {k} relaxation rounds.
+    Completes the traversal family: graph_bfs_distance answers "how many
+    hops", this answers "how cheap" — and since every edge costs >= 1,
+    hops <= dist <= {wm} * hops is a pinned cross-operator invariant
+    (tests/test_sssp.py).
+
+    Frontier form (delta-stepping-lite): each round relaxes ONLY edges
+    out of nodes whose distance improved last round — |frontier ⋈ edges|
+    work — takes the per-node round minimum, keeps strict improvements
+    vs the accumulated distance map (left join + null-or-less filter),
+    and merges via anti-join + union. Standard induction gives
+    dist_i(v) = min cost over <= i-hop paths, exactly the oracle's
+    bounded recursive-CTE MIN. Integer costs make the fold order-free —
+    no float-sum drift across engines or executors.
+
+    Scale: all joins are equi hash joins on a node key; per-round state
+    is (node, dist) only; localCheckpoint per round caps lineage (the
+    graph_bfs_distance device). Edge weights ride the memoized
+    checkpointed edge relation, derived once per session."""
+    ev = load(spark, sf_dir, "events")
+    edges = banded_cooc_edges(spark, sf_dir, symmetric=True).withColumn(
+        "w", (F.lit(1) + (F.col("u") + F.col("v")) % _SSSP_WMOD).cast("bigint")
+    )
+    seeds = (
+        ev.filter(F.col("user_id") % _BFS_SEED_MOD == 0)
+        .select("user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = seeds.withColumn("d", F.lit(0).cast("bigint"))
+    frontier = dist
+    for _ in range(_SSSP_ROUNDS):
+        cand = (
+            frontier.join(edges, frontier.user_id == edges.u)
+            .select(F.col("v").alias("user_id"), (F.col("d") + F.col("w")).alias("nd"))
+            .groupBy("user_id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "user_id", "left")
+            .filter(F.col("d").isNull() | (F.col("nd") < F.col("d")))
+            .select("user_id", F.col("nd").alias("d"))
+            .localCheckpoint()
+        )
+        dist = (
+            dist.join(improved, "user_id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    return dist.select("user_id", F.col("d").alias("dist"))
+
+
+graph_sssp_weighted.__doc__ = graph_sssp_weighted.__doc__.format(
+    wm=_SSSP_WMOD, k=_SSSP_ROUNDS
+)
