@@ -275,6 +275,7 @@ HEADLINE = [
     "ann_pq_adc",
     "mmr_diversified_topk",
     "graph_sssp_weighted",
+    "sink_webdataset_shards",
     "tokenizer_unigram_em_step",
     "feature_fit_transform_persist",
     "privacy_dp_quantile",

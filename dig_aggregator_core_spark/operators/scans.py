@@ -926,3 +926,168 @@ def sink_sharded_jsonl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content_digest"),
     )
+
+
+_WDS_ORACLE = f"""
+WITH assigned AS (
+  SELECT CAST(doc_id % {_EXPORT_SHARDS} AS INT) AS shard, doc_id, text
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(strlen(text)) AS BIGINT) AS txt_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS min_key,
+       CAST(MAX(doc_id) AS BIGINT) AS max_key,
+       md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_digest
+FROM assigned GROUP BY shard
+"""
+
+
+@query("sink_webdataset_shards", oracle=_WDS_ORACLE)
+def sink_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard EXPORT (the multimodal-training
+    handoff format: one `shard-NNNNNN.tar` per shard, each sample a
+    `{{key}}.txt` payload + `{{key}}.json` metadata member, cf.
+    webdataset/webdataset's spec): shard = doc_id % {n} (append-stable),
+    each shard's tar written by the ONE task owning its co-located rows
+    (repartition on the shard key -> applyInPandas), members in doc_id
+    order with zeroed uid/gid/mtime USTAR headers so the tar BYTES are
+    deterministic — re-exporting an unchanged corpus produces
+    byte-identical shards (pinned in tests/test_webdataset.py).
+
+    The registered manifest is computed from a genuine READ-BACK: a
+    binaryFile scan of the tars -> mapInPandas tar parse -> per-member
+    md5 -> per-shard counts/range/digest, so a packing bug, a dropped
+    member, or any byte mangling diverges from the oracle, which
+    recomputes the digest straight from the source table.
+
+    Scale: a real corpus uses width = corpus_bytes / ~1 GB shards (the
+    knob is the modulus); every stage is one task per shard with O(1)
+    driver state — the collect that forces the write returns exactly
+    one row per shard (metadata-sized). Local-FS paths stand in for the
+    object-store client a cluster deployment hands the task."""
+    import hashlib
+    import io
+    import json
+    import tarfile
+
+    import pandas as pd
+
+    path = _scratch("docs_webdataset")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.col("doc_id") % _EXPORT_SHARDS).cast("int").alias("shard"),
+    )
+
+    def write_tar(key, pdf):
+        shard = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        out = os.path.join(path, "shard-%06d.tar" % shard)
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for r in pdf.itertuples():
+                for ext, payload in (
+                    ("txt", str(r.text).encode("utf-8")),
+                    (
+                        "json",
+                        json.dumps(
+                            {
+                                "doc_id": int(r.doc_id),
+                                "lang": str(r.lang),
+                                "n_chars": int(r.n_chars),
+                            },
+                            sort_keys=True,
+                            separators=(",", ":"),
+                        ).encode("utf-8"),
+                    ),
+                ):
+                    ti = tarfile.TarInfo("%012d.%s" % (int(r.doc_id), ext))
+                    ti.size = len(payload)
+                    ti.mtime = 0
+                    ti.mode = 0o644
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    tf.addfile(ti, io.BytesIO(payload))
+        data = buf.getvalue()
+        with open(out, "wb") as fh:
+            fh.write(data)
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "n_written": len(pdf),
+                    "tar_md5": hashlib.md5(data).hexdigest(),
+                }
+            ]
+        )
+
+    written = (
+        docs.repartition(_EXPORT_SHARDS, "shard")
+        .groupBy("shard")
+        .applyInPandas(
+            write_tar, "shard int, n_written bigint, tar_md5 string"
+        )
+    )
+    written.collect()  # force the export; one row per shard
+
+    back = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.tar")
+    )
+
+    def parse_tars(it):
+        for pdf in it:
+            rows = []
+            for content in pdf["content"]:
+                with tarfile.open(
+                    fileobj=io.BytesIO(content), mode="r"
+                ) as tf:
+                    for m in tf.getmembers():
+                        if not m.name.endswith(".txt"):
+                            continue
+                        key = int(m.name[: -len(".txt")])
+                        payload = tf.extractfile(m).read()
+                        rows.append(
+                            {
+                                "shard": key % _EXPORT_SHARDS,
+                                "key": key,
+                                "txt_md5": hashlib.md5(
+                                    payload
+                                ).hexdigest(),
+                                "txt_bytes": len(payload),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["shard", "key", "txt_md5", "txt_bytes"],
+            )
+
+    per = back.mapInPandas(
+        parse_tars, "shard int, key bigint, txt_md5 string, txt_bytes bigint"
+    )
+    return per.groupBy("shard").agg(
+        F.count("*").alias("n_samples"),
+        F.sum("txt_bytes").alias("txt_bytes"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(key,"
+                    " txt_md5))), x -> x.txt_md5)"
+                ),
+            )
+        ).alias("content_digest"),
+    )
+
+
+sink_webdataset_shards.__doc__ = sink_webdataset_shards.__doc__.format(
+    n=_EXPORT_SHARDS
+)

@@ -122,6 +122,7 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     "python": {
         "text_langid": "the designated Arrow mapInPandas showcase",
+        "sink_webdataset_shards": "tar packing/parsing IS the operator — no JVM form; applyInPandas write + mapInPandas read-back",
         "quality_compression_ratio": "the codec IS the operator — zlib has no SQL form; Arrow-batched",
         "udaf_pandas_geomean": "the designated grouped-agg pandas UDAF",
         "mm_decode_features": "multimodal decode is Pandas-UDF plumbing by brief",
