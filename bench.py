@@ -276,6 +276,7 @@ HEADLINE = [
     "mmr_diversified_topk",
     "graph_sssp_weighted",
     "sink_webdataset_shards",
+    "stream_ann_index_append",
     "tokenizer_unigram_em_step",
     "feature_fit_transform_persist",
     "privacy_dp_quantile",

@@ -1570,35 +1570,48 @@ def _inc_index_path(spark: SparkSession, sf_dir: str) -> str:
         with open(os.path.join(out, ".lock"), "a") as lockf:
             fcntl.flock(lockf, fcntl.LOCK_EX)
             if not os.path.exists(done):
-                committed = _vecs(spark, sf_dir).filter(
-                    F.expr(_INC_COMMIT_FILTER)
-                ).withColumn("signs", F.expr(_SIGNS_SPARK))
-                nb = committed.agg(
-                    F.expr(
-                        f"GREATEST(4, LEAST({_MAXBITS},"
-                        " CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0))"
-                        " AS INT)))"
-                    ).alias("nb")
-                )
-                keyed = committed.crossJoin(F.broadcast(nb)).select(
-                    "vec_id",
-                    "v",
-                    "nrm",
-                    F.concat(
-                        F.lit("b"), F.expr("substring(signs, 1, nb)")
-                    ).alias("pbucket"),
-                    F.col("nb"),
-                )
-                data_dir = os.path.join(out, "index.parquet")
-                shutil.rmtree(data_dir, ignore_errors=True)
-                width = keyed.select(F.first("nb")).first()[0]
-                keyed.drop("nb").write.partitionBy("pbucket").mode(
-                    "overwrite"
-                ).parquet(data_dir)
-                with open(os.path.join(out, "_width"), "w") as wf:
-                    wf.write(str(int(width)))
+                _build_committed_index(spark, sf_dir, out)
                 open(done, "w").close()
     return out
+
+
+def _build_committed_index(
+    spark: SparkSession, sf_dir: str, out: str
+) -> None:
+    """Write the committed-only bucketed index + `_width` sidecar into
+    `out` (shared by _inc_index_path's flocked scratch build and the
+    streaming maintenance twin's per-run private dir)."""
+    import os
+    import shutil
+
+    os.makedirs(out, exist_ok=True)
+    committed = _vecs(spark, sf_dir).filter(
+        F.expr(_INC_COMMIT_FILTER)
+    ).withColumn("signs", F.expr(_SIGNS_SPARK))
+    nb = committed.agg(
+        F.expr(
+            f"GREATEST(4, LEAST({_MAXBITS},"
+            " CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0))"
+            " AS INT)))"
+        ).alias("nb")
+    )
+    keyed = committed.crossJoin(F.broadcast(nb)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.concat(
+            F.lit("b"), F.expr("substring(signs, 1, nb)")
+        ).alias("pbucket"),
+        F.col("nb"),
+    )
+    data_dir = os.path.join(out, "index.parquet")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    width = keyed.select(F.first("nb")).first()[0]
+    keyed.drop("nb").write.partitionBy("pbucket").mode(
+        "overwrite"
+    ).parquet(data_dir)
+    with open(os.path.join(out, "_width"), "w") as wf:
+        wf.write(str(int(width)))
 
 
 def ann_index_append(
@@ -1669,9 +1682,18 @@ def ann_index_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     same device as ann_index_persist). A corpus grown past the next
     power of two rebuilds at width+1 — the content fingerprint in the
     index path forces that here."""
+    idx_dir, width = _append_bootstrap(spark, sf_dir)
+    return _serve_appended_index(spark, sf_dir, idx_dir, width)
+
+
+def _serve_appended_index(
+    spark: SparkSession, sf_dir: str, idx_dir: str, width: int
+) -> DataFrame:
+    """Probe the maintained index at its recorded width: static
+    partition-pruned IN-list over the query buckets, bucket-confined
+    scoring, top-k window (the ann_index_persist serving device)."""
     import os
 
-    idx_dir, width = _append_bootstrap(spark, sf_dir)
     queries = (
         _vecs(spark, sf_dir)
         .withColumn("signs", F.expr(_SIGNS_SPARK))

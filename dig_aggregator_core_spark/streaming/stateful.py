@@ -2322,3 +2322,111 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels["df"].select(
         F.col("u").alias("doc_id"), "component"
     )
+
+
+def _ann_append_oracle() -> str:
+    from ..operators import similarity as _S
+
+    return f"""
+    WITH {_S._VECS_SQL},
+    sig AS (SELECT *, {_S._SIGNS_SQL} AS signs FROM vecs),
+    b AS (SELECT GREATEST(4, LEAST({_S._MAXBITS},
+            CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0)) AS INT))) AS nb
+          FROM sig WHERE {_S._INC_COMMIT_FILTER}),
+    keyed AS (SELECT s.vec_id, s.v, s.nrm,
+                     substr(s.signs, 1, b.nb) AS bucket
+              FROM sig s, b),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.bucket AS bucket, {_S._COS_SQL} AS cos
+      FROM (SELECT * FROM keyed WHERE {_S._QUERY_FILTER}) q
+      JOIN keyed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine,
+           CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_S._TOPK}
+    """
+
+
+@query("stream_ann_index_append", oracle=_ann_append_oracle())
+def stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN index maintenance — ann_index_append's contract
+    applied as vector batches ARRIVE: the committed 90% index is built
+    once (recorded width sidecar); the 10% ingest split arrives in two
+    micro-batches (staged files, maxFilesPerTrigger=1, mtimes pinned
+    oldest-first); each epoch, inside foreachBatch, the batch is
+    bucketed AT THE INDEX'S RECORDED WIDTH and appended into the bucket
+    partitions (ann_index_append verbatim — O(batch) writes, committed
+    partitions untouched). After the drain, serving probes the
+    maintained index and must equal the one-shot batch maintenance
+    result — the oracle scores the full corpus under committed-count
+    bucketing, so APPEND-ORDER INDEPENDENCE of index maintenance is
+    hash-checked, not assumed (the stream_cc_incremental discipline
+    applied to the vector tier).
+
+    Scale: per-epoch cost is one narrow projection + a partitioned
+    append of the batch's buckets; serving stays partition-pruned by
+    the static query-bucket IN-list. The per-run private index dir
+    stands in for the maintained TABLE a production deployment keeps
+    (ledger-versioned, exactly as the dedup band index's durable
+    form)."""
+    import time as _time
+
+    from ..operators.similarity import (
+        _INC_COMMIT_FILTER,
+        _build_committed_index,
+        _serve_appended_index,
+        _vecs,
+        ann_index_append,
+    )
+
+    base = tempfile.mkdtemp(prefix="ann_stream_")
+    idx_dir = os.path.join(base, "idx")
+    _build_committed_index(spark, sf_dir, idx_dir)
+
+    # stage the ingest stream: the 10% batch split in two files
+    data_dir = os.path.join(base, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    batch_vecs = _vecs(spark, sf_dir).filter(~F.expr(_INC_COMMIT_FILTER))
+    for i, flt in enumerate(("vec_id % 20 = 1", "vec_id % 20 = 11")):
+        tmp = os.path.join(base, f"half{i}")
+        batch_vecs.filter(F.expr(flt)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(data_dir, f"{chr(97 + i)}.parquet")
+        shutil.copy(os.path.join(tmp, part), dest)
+        ts_file = _time.time() - (10 - i)
+        os.utime(dest, (ts_file, ts_file))
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id bigint, v array<double>, nrm double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ann_index_append(spark, idx_dir, batch)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    with open(os.path.join(idx_dir, "_width")) as wf:
+        width = int(wf.read().strip())
+    out = _serve_appended_index(
+        spark, sf_dir, idx_dir, width
+    ).localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out

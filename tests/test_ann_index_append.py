@@ -87,3 +87,20 @@ def test_multiprobe_topk_shape(spark, sf_dir):
         ranks = sorted(r["rank"] for r in rs)
         assert ranks == list(range(1, len(rs) + 1))
         assert len(rs) <= S._TOPK
+
+
+def test_streaming_maintenance_equals_batch(spark, sf_dir):
+    """After the stream drains, serving over the incrementally-appended
+    index must equal the one-shot batch append's serving result —
+    append-order independence of index maintenance."""
+    from dig_aggregator_core_spark.streaming import stateful as ST
+
+    batch = {
+        tuple(r) for r in S.ann_index_append_query(spark, sf_dir).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in ST.stream_ann_index_append(spark, sf_dir).collect()
+    }
+    assert batch == streamed
+    assert batch
