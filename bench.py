@@ -277,6 +277,8 @@ HEADLINE = [
     "graph_sssp_weighted",
     "sink_webdataset_shards",
     "stream_ann_index_append",
+    "eval_pass_at_k",
+    "kmeans_balanced_assign",
     "tokenizer_unigram_em_step",
     "feature_fit_transform_persist",
     "privacy_dp_quantile",

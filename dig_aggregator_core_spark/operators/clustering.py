@@ -397,3 +397,148 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 pca_power_component.__doc__ = pca_power_component.__doc__.format(
     it=_PCA_ITERS
 )
+
+
+# ---------------------------------------- capacity-balanced assignment
+
+_BAL_CENT_MOD = 89  # deterministic centroid seeds (the ann_ivf_probe device)
+_BAL_SLACK = 1.1  # capacity = ceil(1.1 * N / K)
+
+_BAL_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+              (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vecs
+  WHERE vec_id % {_BAL_CENT_MOD} = 0
+),
+cap AS (
+  SELECT CAST(ceil({_BAL_SLACK} * (SELECT COUNT(*) FROM vecs)
+              / (SELECT COUNT(*) FROM cents)) AS BIGINT) AS cap
+),
+ranked AS (
+  SELECT x.vec_id, c.cent_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(x.v) + 1), i -> x.v[i] * c.cv[i])),
+           (acc, y) -> acc + y) / (x.nrm * c.cn) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(x.v) + 1), i -> x.v[i] * c.cv[i])),
+             (acc, y) -> acc + y) / (x.nrm * c.cn) DESC, c.cent_id)
+           AS choice_rk
+  FROM vecs x CROSS JOIN cents c
+),
+first_choice AS (
+  SELECT vec_id, cent_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY cent_id
+                            ORDER BY cos DESC, vec_id) AS cap_rk
+  FROM ranked WHERE choice_rk = 1
+),
+kept AS (
+  SELECT f.vec_id, f.cent_id, f.cos, 1 AS choice
+  FROM first_choice f, cap WHERE f.cap_rk <= cap.cap
+),
+spilled AS (
+  SELECT r.vec_id, r.cent_id, r.cos, 2 AS choice
+  FROM ranked r
+  JOIN (SELECT f.vec_id FROM first_choice f, cap
+        WHERE f.cap_rk > cap.cap) o ON o.vec_id = r.vec_id
+  WHERE r.choice_rk = 2
+)
+SELECT vec_id, CAST(cent_id AS BIGINT) AS cent_id,
+       ROUND(cos, 6) AS cosine, CAST(choice AS INT) AS choice
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM spilled)
+"""
+
+
+@query("kmeans_balanced_assign", oracle=_BAL_ORACLE)
+def kmeans_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-balanced cluster assignment — the shard-balancing step
+    IVF serving and semdedup both need at scale (a nearest-centroid
+    assignment on real data is power-law skewed; a cell holding 30% of
+    the corpus becomes the straggler of every probe): each vector's
+    centroids are ranked by cosine; a centroid keeps only its cap =
+    ceil({slack} * N/K) best first-choice vectors (by cosine, ties by
+    id); everything past the cap spills to its SECOND-choice centroid —
+    the standard one-round spill heuristic (full balance is an
+    assignment-problem; one round bounds every cell at cap + spill-in,
+    which the invariant test pins).
+
+    Determinism: the bit-exact sequential cosine everywhere, total
+    tie-breaks, and an integer cap computed identically on both
+    engines. Scale: K centroids broadcast (the ann_ivf_probe device);
+    both windows partition on high-cardinality keys (vec_id; cent_id
+    with per-cell fan-in bounded by the first-choice set); output is
+    one row per vector."""
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(transform(v, x -> x * x),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        ),
+    )
+    from pyspark.sql import Window
+
+    cents = F.broadcast(
+        vecs.filter(F.col("vec_id") % _BAL_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    n = vecs.count()
+    k = vecs.filter(F.col("vec_id") % _BAL_CENT_MOD == 0).count()
+    import math
+
+    cap = int(math.ceil(_BAL_SLACK * n / k))
+    w_choice = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id")
+    )
+    ranked = (
+        vecs.crossJoin(cents)
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(v, cv, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (nrm * cn)"
+            ),
+        )
+        .withColumn("choice_rk", F.row_number().over(w_choice))
+        .select("vec_id", "cent_id", "cos", "choice_rk")
+        .localCheckpoint()
+    )
+    w_cap = Window.partitionBy("cent_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    first = ranked.filter(F.col("choice_rk") == 1).withColumn(
+        "cap_rk", F.row_number().over(w_cap)
+    )
+    kept = first.filter(F.col("cap_rk") <= cap).select(
+        "vec_id", "cent_id", "cos", F.lit(1).alias("choice")
+    )
+    spilled = (
+        ranked.filter(F.col("choice_rk") == 2)
+        .join(
+            first.filter(F.col("cap_rk") > cap).select("vec_id"),
+            "vec_id",
+        )
+        .select("vec_id", "cent_id", "cos", F.lit(2).alias("choice"))
+    )
+    return kept.unionByName(spilled).select(
+        "vec_id",
+        F.col("cent_id").cast("bigint").alias("cent_id"),
+        F.round("cos", 6).alias("cosine"),
+        F.col("choice").cast("int").alias("choice"),
+    )
+
+
+kmeans_balanced_assign.__doc__ = kmeans_balanced_assign.__doc__.format(
+    slack=_BAL_SLACK
+)

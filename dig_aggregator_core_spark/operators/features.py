@@ -3247,3 +3247,72 @@ def feature_fit_transform_persist(
             " DECIMAL(38,0))) AS DOUBLE) / 100, 4)"
         ).alias("eval_total"),
     )
+
+
+# ------------------------------------------------- pass@k (codegen eval)
+
+_PASSK_K = 10
+
+_PASSK_ORACLE = f"""
+WITH per_task AS (
+  SELECT user_id AS task_id,
+         CAST(COUNT(*) AS BIGINT) AS n_attempts,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM events GROUP BY user_id
+)
+SELECT task_id, n_attempts, n_correct,
+       CASE WHEN n_attempts - n_correct < {_PASSK_K} THEN 1.0
+            ELSE ROUND(1.0 - list_reduce(
+              list_prepend(CAST(1.0 AS DOUBLE),
+                list_transform(range(0, {_PASSK_K}),
+                  i -> CAST(n_attempts - n_correct - i AS DOUBLE)
+                     / CAST(n_attempts - i AS DOUBLE))),
+              (acc, x) -> acc * x), 6) + 0.0
+       END AS pass_at_k
+FROM per_task
+"""
+
+
+@query("eval_pass_at_k", oracle=_PASSK_ORACLE)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k — the unbiased code-eval estimator (Chen et al., 2021,
+    "Evaluating LLMs Trained on Code", eq. 1): for a task with n
+    sampled attempts of which c are correct, the probability that at
+    least one of k drawn attempts is correct, computed with the
+    numerically-stable product form 1 - prod_{{i=0}}^{{k-1}}
+    (n-c-i)/(n-i) rather than raw binomials (which overflow at large
+    n). Here task = user, attempt = event, correct = 'purchase'; k={k}.
+
+    Cross-engine exactness: both engines evaluate the SAME
+    left-to-right sequential product fold (Spark aggregate /
+    DuckDB list_reduce), so the double result is bit-identical before
+    the 6dp ROUND; the n-c < k branch returns an exact 1.0 (every draw
+    of k must include a correct attempt).
+
+    Scale: one hash aggregate over the attempts fact (map-side partial
+    on the task key), then a per-row projection — the cheapest possible
+    shape for eval over millions of tasks."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy(F.col("user_id").alias("task_id")).agg(
+        F.count("*").cast("bigint").alias("n_attempts"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("n_correct"),
+    )
+    return per.select(
+        "task_id",
+        "n_attempts",
+        "n_correct",
+        F.expr(
+            f"""CASE WHEN n_attempts - n_correct < {_PASSK_K} THEN 1.0
+            ELSE ROUND(1.0 - aggregate(sequence(0, {_PASSK_K} - 1),
+              CAST(1.0 AS DOUBLE),
+              (acc, i) -> acc * (CAST(n_attempts - n_correct - i AS DOUBLE)
+                                 / CAST(n_attempts - i AS DOUBLE))), 6) + 0.0
+            END"""
+        ).alias("pass_at_k"),
+    )
+
+
+eval_pass_at_k.__doc__ = eval_pass_at_k.__doc__.format(k=_PASSK_K)

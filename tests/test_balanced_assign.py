@@ -1,0 +1,54 @@
+"""Capacity-balanced assignment invariants: every vector assigned
+exactly once; first-choice load respects the cap; spilled vectors
+really overflowed and went to their true second choice."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from dig_aggregator_core_spark.operators import clustering as CL
+from dig_aggregator_core_spark.tables import load
+
+
+def test_balance_invariants(spark, sf_dir):
+    out = CL.kmeans_balanced_assign(spark, sf_dir).collect()
+    vecs = load(spark, sf_dir, "embeddings")
+    n = vecs.count()
+    k = vecs.filter(F.col("vec_id") % CL._BAL_CENT_MOD == 0).count()
+    cap = int(math.ceil(CL._BAL_SLACK * n / k))
+
+    assert len(out) == n  # exactly one row per vector
+    assert len({r["vec_id"] for r in out}) == n
+
+    by_cent_first = {}
+    spills = []
+    for r in out:
+        if r["choice"] == 1:
+            by_cent_first[r["cent_id"]] = (
+                by_cent_first.get(r["cent_id"], 0) + 1
+            )
+        else:
+            assert r["choice"] == 2
+            spills.append(r)
+    for cent, cnt in by_cent_first.items():
+        assert cnt <= cap, (cent, cnt, cap)
+    # with slack 1.1 over a skewed nearest-centroid layout, someone
+    # must spill on this fixture (guards against a silently-degenerate
+    # cap that never binds)
+    assert spills
+    # recompute the true top-2 centroid ranking for a spill sample:
+    # each spilled vector must sit at its genuine second choice
+    sample = spills[: min(10, len(spills))]
+    import numpy as np
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+           for r in vecs.collect()}
+    cents = {c: emb[c] for c in emb if c % CL._BAL_CENT_MOD == 0}
+    for s in sample:
+        v = emb[s["vec_id"]]
+        cos = {
+            c: float(v @ cv / (np.linalg.norm(v) * np.linalg.norm(cv)))
+            for c, cv in cents.items()
+        }
+        order = sorted(cos, key=lambda c: (-cos[c], c))
+        assert s["cent_id"] == order[1], (s, order[:3])
