@@ -402,7 +402,17 @@ pca_power_component.__doc__ = pca_power_component.__doc__.format(
 # ---------------------------------------- capacity-balanced assignment
 
 _BAL_CENT_MOD = 89  # deterministic centroid seeds (the ann_ivf_probe device)
+_BAL_K = 32  # FIXED codebook size: seeds capped at vec_id < 89*32, so the
+# assignment join is N x K LINEAR in the corpus — the uncapped %89 form
+# grows K with N and made assignment N^2/89 (OOM-killed the x100
+# scaleproof; same lesson as the PQ codebook's fixed-K device). At the
+# test SFs (N <= 2000 < 2848) the bound never binds, so results are
+# unchanged; at scale K is a knob you raise deliberately, not a value
+# that silently tracks corpus size.
 _BAL_SLACK = 1.1  # capacity = ceil(1.1 * N / K)
+_BAL_SEED_SQL = (
+    f"vec_id % {_BAL_CENT_MOD} = 0 AND vec_id < {_BAL_CENT_MOD * _BAL_K}"
+)
 
 _BAL_ORACLE = f"""
 WITH vecs AS (
@@ -414,7 +424,7 @@ WITH vecs AS (
 ),
 cents AS (
   SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vecs
-  WHERE vec_id % {_BAL_CENT_MOD} = 0
+  WHERE {_BAL_SEED_SQL}
 ),
 cap AS (
   SELECT CAST(ceil({_BAL_SLACK} * (SELECT COUNT(*) FROM vecs)
@@ -487,14 +497,14 @@ def kmeans_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cents = F.broadcast(
-        vecs.filter(F.col("vec_id") % _BAL_CENT_MOD == 0).select(
+        vecs.filter(F.expr(_BAL_SEED_SQL)).select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),
             F.col("nrm").alias("cn"),
         )
     )
     n = vecs.count()
-    k = vecs.filter(F.col("vec_id") % _BAL_CENT_MOD == 0).count()
+    k = vecs.filter(F.expr(_BAL_SEED_SQL)).count()
     import math
 
     cap = int(math.ceil(_BAL_SLACK * n / k))

@@ -333,6 +333,12 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # the literal directly = 30 evictions total, all re-verified green, plus
 # the last 14 never-checked names and 6 bonus re-runs). The r9 queue is
 # therefore just new registrations + any r9 plan-rewrite evictions.
+# Final r9 queue: 48 names = 29 exactness/de-stub evictions (above) +
+# 19 r9 registrations (11 first sitting + stream_cc_incremental +
+# 8 continuation-sitting: ann_index_append_multiprobe, ann_pq_adc,
+# mmr_diversified_topk, graph_sssp_weighted, sink_webdataset_shards,
+# stream_ann_index_append, eval_pass_at_k, kmeans_balanced_assign) —
+# under the ~50 budget; registrations closed for the round.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 

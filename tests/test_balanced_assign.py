@@ -14,7 +14,7 @@ def test_balance_invariants(spark, sf_dir):
     out = CL.kmeans_balanced_assign(spark, sf_dir).collect()
     vecs = load(spark, sf_dir, "embeddings")
     n = vecs.count()
-    k = vecs.filter(F.col("vec_id") % CL._BAL_CENT_MOD == 0).count()
+    k = vecs.filter(F.expr(CL._BAL_SEED_SQL)).count()
     cap = int(math.ceil(CL._BAL_SLACK * n / k))
 
     assert len(out) == n  # exactly one row per vector
@@ -43,7 +43,11 @@ def test_balance_invariants(spark, sf_dir):
 
     emb = {r["vec_id"]: np.array(r["embedding"], dtype=float)
            for r in vecs.collect()}
-    cents = {c: emb[c] for c in emb if c % CL._BAL_CENT_MOD == 0}
+    cents = {
+        c: emb[c]
+        for c in emb
+        if c % CL._BAL_CENT_MOD == 0 and c < CL._BAL_CENT_MOD * CL._BAL_K
+    }
     for s in sample:
         v = emb[s["vec_id"]]
         cos = {
