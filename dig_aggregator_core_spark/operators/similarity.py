@@ -2234,6 +2234,41 @@ FROM sel{_MMR_K}
 """
 
 
+def _mmr_fold_expr() -> str:
+    """The whole k-step MMR greedy as ONE SQL fold over per-query
+    `cands` (array<struct<id, rel>>) and `simsarr` (array<struct<i, j,
+    sim>>) columns — factored out so tests can drive it with synthetic
+    inputs (tests/test_mmr.py's hypothesis replay)."""
+    ms = (
+        "CASE WHEN size(sel) = 0 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE array_max(transform(filter(simsarr,"
+        " p -> p.i = c.id AND exists(sel, s2 -> s2.id = p.j)),"
+        " p -> p.sim)) END"
+    )
+    return f"""
+    aggregate(
+      sequence(1, {_MMR_K}),
+      CAST(array() AS array<struct<id: bigint, rel: double, max_sim: double, raw: double, sel_rank: int>>),
+      (sel, t) -> concat(sel, filter(array(
+        aggregate(
+          filter(cands, c0 -> NOT exists(sel, s1 -> s1.id = c0.id)),
+          CAST(NULL AS struct<id: bigint, rel: double, max_sim: double, raw: double, sel_rank: int>),
+          (best, c) -> CASE
+            WHEN best IS NULL
+              OR (0.7 * c.rel - 0.3 * ({ms})) > best.raw
+              OR ((0.7 * c.rel - 0.3 * ({ms})) = best.raw
+                  AND c.id < best.id)
+            THEN named_struct(
+              'id', c.id, 'rel', c.rel,
+              'max_sim', {ms},
+              'raw', 0.7 * c.rel - 0.3 * ({ms}),
+              'sel_rank', CAST(t AS INT))
+            ELSE best END
+        )), x -> x IS NOT NULL))
+    )
+    """
+
+
 @query("mmr_diversified_topk", oracle=_MMR_ORACLE)
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance diversified top-k (Carbonell &
@@ -2354,34 +2389,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-independent over the collected arrays because the tie-break
     # is total. Raw (unrounded-from-rounded-inputs) scores order the
     # argmax exactly as the oracle's ORDER BY.
-    ms = (
-        "CASE WHEN size(sel) = 0 THEN CAST(0.0 AS DOUBLE)"
-        " ELSE array_max(transform(filter(simsarr,"
-        " p -> p.i = c.id AND exists(sel, s2 -> s2.id = p.j)),"
-        " p -> p.sim)) END"
-    )
-    fold = f"""
-    aggregate(
-      sequence(1, {_MMR_K}),
-      CAST(array() AS array<struct<id: bigint, rel: double, max_sim: double, raw: double, sel_rank: int>>),
-      (sel, t) -> concat(sel, filter(array(
-        aggregate(
-          filter(cands, c0 -> NOT exists(sel, s1 -> s1.id = c0.id)),
-          CAST(NULL AS struct<id: bigint, rel: double, max_sim: double, raw: double, sel_rank: int>),
-          (best, c) -> CASE
-            WHEN best IS NULL
-              OR (0.7 * c.rel - 0.3 * ({ms})) > best.raw
-              OR ((0.7 * c.rel - 0.3 * ({ms})) = best.raw
-                  AND c.id < best.id)
-            THEN named_struct(
-              'id', c.id, 'rel', c.rel,
-              'max_sim', {ms},
-              'raw', 0.7 * c.rel - 0.3 * ({ms}),
-              'sel_rank', CAST(t AS INT))
-            ELSE best END
-        )), x -> x IS NOT NULL))
-    )
-    """
+    fold = _mmr_fold_expr()
     return (
         candarr.join(simsarr, "query_id", "left")
         .withColumn(

@@ -132,3 +132,63 @@ def test_mmr_invariants(spark, sf_dir):
         assert rs[0]["relevance"] == max(r["relevance"] for r in rs)
         ids = [r["doc_id"] for r in rs]
         assert len(set(ids)) == len(ids)
+
+
+def test_fold_matches_greedy_on_random_inputs(spark):
+    """Drive the factored fold with RANDOM synthetic candidate/sim
+    structures (hypothesis) and pin it to the pure-Python greedy —
+    coverage beyond what the fixture's geometry exercises (ties, all
+    candidates identical, negative sims, singleton sets)."""
+    from hypothesis import given, settings, strategies as st
+
+    from dig_aggregator_core_spark.operators.similarity import (
+        _MMR_K,
+        _mmr_fold_expr,
+    )
+
+    rel6 = st.integers(min_value=-1000000, max_value=1000000).map(
+        lambda x: x / 1e6
+    )
+
+    @st.composite
+    def case(draw):
+        n = draw(st.integers(min_value=1, max_value=7))
+        ids = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=50),
+                min_size=n, max_size=n, unique=True,
+            )
+        )
+        cands = [(i, draw(rel6)) for i in ids]
+        sims = []
+        for a in range(n):
+            for b in range(a + 1, n):
+                s = draw(rel6)
+                sims.append((ids[a], ids[b], s))
+                sims.append((ids[b], ids[a], s))
+        return cands, sims
+
+    @settings(max_examples=25, deadline=None)
+    @given(case())
+    def check(c):
+        cands, sims = c
+        df = spark.createDataFrame(
+            [(1, cands, sims)],
+            "query_id int, cands array<struct<id: bigint, rel: double>>,"
+            " simsarr array<struct<i: bigint, j: bigint, sim: double>>",
+        )
+        got = sorted(
+            (
+                (r["s"]["sel_rank"], r["s"]["id"], r["s"]["rel"],
+                 r["s"]["max_sim"], r["s"]["raw"])
+                for r in df.select(
+                    F.explode(F.expr(_mmr_fold_expr())).alias("s")
+                ).collect()
+            )
+        )
+        expect = _python_greedy(cands, sims, _MMR_K)
+        assert [g[1] for g in got] == [e[0] for e in expect]
+        for g, e in zip(got, expect):
+            assert g[2] == e[1] and g[3] == e[2] and g[4] == e[3]
+
+    check()

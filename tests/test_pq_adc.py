@@ -46,3 +46,40 @@ def test_pq_recall_floor_and_shape(spark, sf_dir):
         ranks = sorted(r["rank"] for r in rs)
         assert ranks == list(range(1, len(rs) + 1))
         assert len(rs) <= S._TOPK
+
+
+def test_adc_scores_match_numpy_recompute(spark, sf_dir):
+    """Every returned adc_dot must equal an independent numpy replay of
+    quantize -> per-subspace argmin encode -> distance-table lookup —
+    pins the full PQ pipeline numerically, not just its invariants."""
+    import numpy as np
+
+    from dig_aggregator_core_spark.tables import load
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    zq = {
+        k: np.round(v * S._PQ_SCALE).astype(np.int64)
+        for k, v in emb.items()
+    }
+    cb = np.array(S._pq_codebook(spark, sf_dir), dtype=np.int64)  # K x 64
+
+    def code(vid, m):
+        lo, hi = m * S._PQ_SUB, (m + 1) * S._PQ_SUB
+        d = ((zq[vid][lo:hi] - cb[:, lo:hi]) ** 2).sum(axis=1)
+        return int(np.argmin(d))  # np.argmin takes first min = smallest k
+
+    rows = S.ann_pq_adc(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = sum(
+            int(
+                zq[r["query_id"]][m * S._PQ_SUB:(m + 1) * S._PQ_SUB]
+                @ cb[code(r["neighbor_id"], m),
+                     m * S._PQ_SUB:(m + 1) * S._PQ_SUB]
+            )
+            for m in range(S._PQ_M)
+        )
+        assert r["adc_dot"] == expect, (r, expect)
