@@ -286,7 +286,15 @@ ann_lsh_adaptive.__doc__ = ann_lsh_adaptive.__doc__.format(m=_MAXBITS)
 # ---------------------------------------------------------------- IVF
 
 _N_PROBE = 2
-_CENTROID_FILTER_SQL = "vec_id % 89 = 0"
+_IVF_K = 32  # FIXED centroid count: seeds capped at vec_id < 89*32. The
+# bare %89 form grew K with N, so cell ASSIGNMENT (vecs x cents) was
+# N^2/89 — measured 202.8x wall for 100x data at the r9-continuation
+# x100 scaleproof (the same latent quadratic the balanced-assign x100
+# caught). Fixed K makes assignment N x K linear; at the test SFs
+# (N <= 2000 < 2848) the cap never binds, so results are unchanged.
+# At production scale K is a deliberate knob (kmeans_embeddings trains
+# the centroids; cells stay ~N/K vectors).
+_CENTROID_FILTER_SQL = "vec_id % 89 = 0 AND vec_id < 2848"
 
 # assignment / probing both rank centroids by cosine; ties broken by id
 _IVF_ORACLE = f"""
@@ -347,7 +355,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny and broadcast everywhere."""
     vecs = _vecs(spark, sf_dir)
     cents = F.broadcast(
-        vecs.filter(F.expr("vec_id % 89 = 0")).select(
+        vecs.filter(F.expr(_CENTROID_FILTER_SQL)).select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),
             F.col("nrm").alias("cn"),
