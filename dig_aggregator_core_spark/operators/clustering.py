@@ -409,7 +409,14 @@ _BAL_K = 32  # FIXED codebook size: seeds capped at vec_id < 89*32, so the
 # test SFs (N <= 2000 < 2848) the bound never binds, so results are
 # unchanged; at scale K is a knob you raise deliberately, not a value
 # that silently tracks corpus size.
-_BAL_SLACK = 1.1  # capacity = ceil(1.1 * N / K)
+# capacity = ceil(11*N / 10K), computed as EXACT integer ceiling on both
+# engines (ADVICE r9): Python's math.ceil(1.1*n/k) evaluates 1.1*n as a
+# double (1.1*220 = 242.00000000000003 -> ceil 23 per cell of 10) while
+# DuckDB's DECIMAL product gives the exact 242.0 -> ceil 22; whenever
+# 11N is divisible by 10K the two caps differ by one and the kept/spilled
+# sets shift. Integer form has no rounding at all.
+_BAL_SLACK_NUM = 11
+_BAL_SLACK_DEN = 10
 _BAL_SEED_SQL = (
     f"vec_id % {_BAL_CENT_MOD} = 0 AND vec_id < {_BAL_CENT_MOD * _BAL_K}"
 )
@@ -427,8 +434,10 @@ cents AS (
   WHERE {_BAL_SEED_SQL}
 ),
 cap AS (
-  SELECT CAST(ceil({_BAL_SLACK} * (SELECT COUNT(*) FROM vecs)
-              / (SELECT COUNT(*) FROM cents)) AS BIGINT) AS cap
+  SELECT CAST(({_BAL_SLACK_NUM} * (SELECT COUNT(*) FROM vecs)
+               + {_BAL_SLACK_DEN} * (SELECT COUNT(*) FROM cents) - 1)
+              // ({_BAL_SLACK_DEN} * (SELECT COUNT(*) FROM cents))
+         AS BIGINT) AS cap
 ),
 ranked AS (
   SELECT x.vec_id, c.cent_id,
@@ -505,9 +514,8 @@ def kmeans_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = vecs.count()
     k = vecs.filter(F.expr(_BAL_SEED_SQL)).count()
-    import math
-
-    cap = int(math.ceil(_BAL_SLACK * n / k))
+    # exact ceil(11n/10k) — see _BAL_SLACK_NUM comment for why not float
+    cap = -(-_BAL_SLACK_NUM * n // (_BAL_SLACK_DEN * k))
     w_choice = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("cent_id")
     )
@@ -550,5 +558,5 @@ def kmeans_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 kmeans_balanced_assign.__doc__ = kmeans_balanced_assign.__doc__.format(
-    slack=_BAL_SLACK
+    slack=f"{_BAL_SLACK_NUM}/{_BAL_SLACK_DEN}"
 )

@@ -3253,6 +3253,16 @@ def feature_fit_transform_persist(
 
 _PASSK_K = 10
 
+# the per-task projection over (n_attempts, n_correct); shared with the
+# degenerate-case unit test so the shipping expression is the one tested
+_PASSK_EXPR = f"""CASE WHEN n_correct = 0 THEN 0.0
+            WHEN n_attempts - n_correct < {_PASSK_K} THEN 1.0
+            ELSE ROUND(1.0 - aggregate(sequence(0, {_PASSK_K} - 1),
+              CAST(1.0 AS DOUBLE),
+              (acc, i) -> acc * (CAST(n_attempts - n_correct - i AS DOUBLE)
+                                 / CAST(n_attempts - i AS DOUBLE))), 6) + 0.0
+            END"""
+
 _PASSK_ORACLE = f"""
 WITH per_task AS (
   SELECT user_id AS task_id,
@@ -3262,7 +3272,8 @@ WITH per_task AS (
   FROM events GROUP BY user_id
 )
 SELECT task_id, n_attempts, n_correct,
-       CASE WHEN n_attempts - n_correct < {_PASSK_K} THEN 1.0
+       CASE WHEN n_correct = 0 THEN 0.0
+            WHEN n_attempts - n_correct < {_PASSK_K} THEN 1.0
             ELSE ROUND(1.0 - list_reduce(
               list_prepend(CAST(1.0 AS DOUBLE),
                 list_transform(range(0, {_PASSK_K}),
@@ -3288,7 +3299,11 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right sequential product fold (Spark aggregate /
     DuckDB list_reduce), so the double result is bit-identical before
     the 6dp ROUND; the n-c < k branch returns an exact 1.0 (every draw
-    of k must include a correct attempt).
+    of k must include a correct attempt). The c = 0 guard comes FIRST:
+    the Chen et al. shortcut assumes n >= k, and without it a task with
+    zero correct attempts but n < k total would fall into the n-c < k
+    branch and report 1.0 instead of the correct 0.0 (ADVICE r9;
+    latent on fixtures with >= 45 events/user, real at small n).
 
     Scale: one hash aggregate over the attempts fact (map-side partial
     on the task key), then a per-row projection — the cheapest possible
@@ -3304,14 +3319,7 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "task_id",
         "n_attempts",
         "n_correct",
-        F.expr(
-            f"""CASE WHEN n_attempts - n_correct < {_PASSK_K} THEN 1.0
-            ELSE ROUND(1.0 - aggregate(sequence(0, {_PASSK_K} - 1),
-              CAST(1.0 AS DOUBLE),
-              (acc, i) -> acc * (CAST(n_attempts - n_correct - i AS DOUBLE)
-                                 / CAST(n_attempts - i AS DOUBLE))), 6) + 0.0
-            END"""
-        ).alias("pass_at_k"),
+        F.expr(_PASSK_EXPR).alias("pass_at_k"),
     )
 
 

@@ -2122,7 +2122,11 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crank") <= _PQ_R)
         .drop("crank")
     )
-    q = vecs.select(
+    # broadcast side is the QUERY PANEL only (ADVICE r9): shortlist's
+    # query_id already satisfies _QUERY_FILTER, so filtering before the
+    # broadcast keeps the exchanged side ~1% of the corpus instead of
+    # shipping N full vectors to every executor
+    q = vecs.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),

@@ -4,6 +4,8 @@ really overflowed and went to their true second choice."""
 
 import math
 
+from fractions import Fraction
+
 from pyspark.sql import functions as F
 
 from dig_aggregator_core_spark.operators import clustering as CL
@@ -15,7 +17,8 @@ def test_balance_invariants(spark, sf_dir):
     vecs = load(spark, sf_dir, "embeddings")
     n = vecs.count()
     k = vecs.filter(F.expr(CL._BAL_SEED_SQL)).count()
-    cap = int(math.ceil(CL._BAL_SLACK * n / k))
+    # mirrors the operator's exact-integer ceiling (no float rounding)
+    cap = -(-CL._BAL_SLACK_NUM * n // (CL._BAL_SLACK_DEN * k))
 
     assert len(out) == n  # exactly one row per vector
     assert len({r["vec_id"] for r in out}) == n
@@ -56,3 +59,25 @@ def test_balance_invariants(spark, sf_dir):
         }
         order = sorted(cos, key=lambda c: (-cos[c], c))
         assert s["cent_id"] == order[1], (s, order[:3])
+
+
+def test_cap_integer_ceiling_matches_exact_rational():
+    """The cap formula must equal the exact rational ceiling for every
+    (n, k) — including the 11N % 10K == 0 boundary where the float form
+    math.ceil(1.1*n/k) rounds one too high (1.1*220 -> 242.0000...03).
+    ADVICE r9: the engines must be bit-identical by construction."""
+    num, den = CL._BAL_SLACK_NUM, CL._BAL_SLACK_DEN
+    boundary_hit = False
+    for n in range(1, 400):
+        for k in (1, 2, 3, 8, 11, 16, 32):
+            exact = -(-Fraction(num * n, den * k).numerator
+                      // Fraction(num * n, den * k).denominator)
+            got = -(-num * n // (den * k))
+            assert got == exact, (n, k, got, exact)
+            if (num * n) % (den * k) == 0:
+                boundary_hit = True
+                # the float form is exactly the bug ADVICE describes
+                # at (220, 11): double product overshoots the integer
+                if n == 220 and k == 11:
+                    assert math.ceil(1.1 * n / k) == got + 1
+    assert boundary_hit
