@@ -283,6 +283,21 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "timeseries_theil_sen", "tokenizer_bpe_apply",
         "tokenizer_vocab_coverage", "tokenizer_wordpiece_apply",
         "window_moving_median",
+        # green in CORRECTNESS_r09.json (50 rows, all hash-verified):
+        # the r9 subtraction (28 exactness-lift evictions + ann_ivf_probe
+        # + mm_decode_features) all re-verified green on their current
+        # plans, so that subtraction folded away; plus these 19 r9
+        # registrations:
+        "ann_index_append", "ann_index_append_multiprobe",
+        "dedup_cc_incremental", "dedup_incremental_minhash",
+        "feature_fit_transform_persist", "graph_sssp_weighted",
+        "mmr_diversified_topk", "privacy_dp_quantile",
+        "sample_reservoir_priority", "sink_sharded_jsonl_manifest",
+        "sink_webdataset_shards", "stream_ann_index_append",
+        "stream_cc_incremental", "stream_dedup_minhash",
+        "tokenizer_unigram_em_step", "tokenizer_unigram_viterbi",
+        # (kmeans_balanced_assign, eval_pass_at_k, ann_pq_adc were also
+        # r9-green but are in the r10 eviction below)
     }
     # RE-VERIFY CONVENTION, now mechanical (VERDICT r7 task 2): any query
     # whose PHYSICAL PLAN changed after its latest driver evidence is
@@ -292,40 +307,20 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
     # effective value (the r7 per-family state-partition split left every
     # applyInPandasWithState fold at 16 partitions, identical to the
     # value its r3–r6 evidence ran under, so the fold twins stay
-    # verified). Evicted for r9 (the r8 queue of 30 evictions all
-    # re-verified green in CORRECTNESS_r08.json, so the old subtraction
-    # was folded away):
+    # verified). Evicted for r10 (the r9 subtraction of 30 all
+    # re-verified green in CORRECTNESS_r09.json, so it was folded away):
     - frozenset(
         {
-            # r9 exactness lift (VERDICT r8 task 2): the coarse-key
-            # subset of the ROUND(SUM(double)) watchlist converted to
-            # exact integer units — every name's aggregate expressions
-            # changed, so the driver re-verifies the shipping form. All
-            # 28 sweep-green at sf0.01 AND sf0.1 this session.
-            "q1_pricing_summary", "rollup_agg", "histogram_fixed_buckets",
-            "incremental_join_maintenance", "q5_local_supplier",
-            "in_subquery", "q7_volume_shipping", "q19_disjunctive_pred",
-            "q6_forecast_revenue", "q9_product_profit",
-            "q17_small_qty_revenue", "q22_global_sales", "join_inner_dim",
-            "range_join_bands", "join_null_safe", "sample_hash_systematic",
-            "join_hint_shuffle_hash", "join_bloom_prefilter",
-            "pivot_status_by_priority", "sample_group_kfold",
-            "sink_partition_pruning", "scan_csv_roundtrip",
-            "scan_dpp_partitioned_join", "sink_bucketed_partitioned_write",
-            "scan_avro_roundtrip", "scd2_point_in_time", "filter_null_nan",
-            "stream_static_join",
-            # r9 continuation: ann_ivf_probe's centroid filter gained
-            # the fixed-K cap (vec_id < 2848) after the x100 scaleproof
-            # measured the uncapped form at 202.8x wall for 100x data —
-            # the plan changed (extra predicate), so the driver
-            # re-verifies; results at the correctness SFs are identical
-            # (the cap never binds below N=2848). Sweep-green at sf0.01
-            # AND sf0.1 post-fix.
-            "ann_ivf_probe",
-            # r9 multimodal de-stub (VERDICT r8 task 3): mm_decode_features
-            # rebuilt on the REAL pure-Python P6/PPM decode path with an
-            # md5 raster-digest oracle; sweep-green at sf0.01 AND sf0.1.
-            "mm_decode_features",
+            # r10 ADVICE fixes, each changing the shipping expression
+            # after its r9 evidence: kmeans_balanced_assign's cap is now
+            # an exact integer ceiling (same value at fixture SFs, but
+            # both oracle and Spark literal changed); eval_pass_at_k
+            # gained the c=0 guard branch; ann_pq_adc's exact-rerank
+            # broadcast side is now query-filtered. All three
+            # sweep-green at sf0.01 AND sf0.1 post-fix.
+            "kmeans_balanced_assign",
+            "eval_pass_at_k",
+            "ann_pq_adc",
         }
     )
 )
@@ -334,19 +329,12 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # Unverified names deliberately ranked LAST within the unverified tier:
 # the harness budget is ~50 rows per round, so operators added (or
 # rewritten) AFTER a round's queue is frozen park here rather than
-# displace a never-checked name. Round 9: the ledger is CLOSED — all 349
-# registered names have driver evidence on their current plans
-# (CORRECTNESS_r08.json drained the final queue: the r8 subtraction
-# removed 28 names from the literal plus 2 tokenizer names dropped from
-# the literal directly = 30 evictions total, all re-verified green, plus
-# the last 14 never-checked names and 6 bonus re-runs). The r9 queue is
-# therefore just new registrations + any r9 plan-rewrite evictions.
-# Final r9 queue: 48 names = 29 exactness/de-stub evictions (above) +
-# 19 r9 registrations (11 first sitting + stream_cc_incremental +
-# 8 continuation-sitting: ann_index_append_multiprobe, ann_pq_adc,
-# mmr_diversified_topk, graph_sssp_weighted, sink_webdataset_shards,
-# stream_ann_index_append, eval_pass_at_k, kmeans_balanced_assign) —
-# under the ~50 budget; registrations closed for the round.
+# displace a never-checked name. Round 10: the ledger stays CLOSED —
+# CORRECTNESS_r09.json drained the r9 queue (all 30 evictions + all 19
+# r9 registrations re-/first-verified green, 50/50), so every one of the
+# 368 pre-r10 names has driver evidence on its r9-era plan. The r10
+# queue = the 3 ADVICE-fix evictions (above) + this round's new
+# registrations — far under the ~50 budget.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 
