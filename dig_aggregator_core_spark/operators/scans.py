@@ -1091,3 +1091,141 @@ def sink_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 sink_webdataset_shards.__doc__ = sink_webdataset_shards.__doc__.format(
     n=_EXPORT_SHARDS
 )
+
+
+# ------------------------------------------------ JDBC modality (Derby)
+
+
+@query(
+    "scan_jdbc_roundtrip",
+    oracle="""
+    SELECT r_name AS region, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_nation
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC scan/sink (VERDICT r9 task 3) — the reference ledger's
+    NATIVE storage modality is a database over JDBC (reference
+    Db.scala:53; runs.sql:1-12): sink the nation dimension into an
+    embedded-Derby database via df.write.jdbc, read it back as a
+    PARTITIONED jdbc scan — 4 range-bounded parallel connections on
+    n_nationkey, the shape that keeps a database read from collapsing
+    into a one-task stage at scale — then broadcast-join the region dim
+    and aggregate. Derby ships on Spark's classpath here; a
+    MySQL/Postgres deployment changes only url + driver options."""
+    from ..sources.jdbcio import (
+        derby_url,
+        read_jdbc,
+        scratch_db,
+        write_jdbc,
+    )
+
+    url = derby_url(scratch_db("db"))
+    nation = load(spark, sf_dir, "nation")
+    # metadata-sized dim: one writer connection is right; a fact-table
+    # sink would instead keep its partition fan-out
+    write_jdbc(nation.coalesce(1), url, '"nation_jdbc"', mode="overwrite")
+    back = read_jdbc(
+        spark,
+        url,
+        '"nation_jdbc"',
+        partition_column="n_nationkey",
+        lower=0,
+        upper=25,
+        num_partitions=4,
+    )
+    region = load(spark, sf_dir, "region")
+    return (
+        back.join(
+            F.broadcast(region),
+            back["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )
+
+
+@query(
+    "jdbc_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+      FROM supplier
+    ),
+    updates AS (
+      SELECT s_suppkey, s_nationkey, acctbal_cents * 2 AS acctbal_cents
+      FROM base WHERE s_suppkey % 3 = 0
+      UNION ALL
+      SELECT s_suppkey + 1000000 AS s_suppkey, s_nationkey,
+             acctbal_cents + 7 AS acctbal_cents
+      FROM base WHERE s_suppkey % 5 = 0
+    ),
+    merged AS (
+      SELECT b.s_suppkey, b.s_nationkey, b.acctbal_cents FROM base b
+      WHERE b.s_suppkey NOT IN (SELECT s_suppkey FROM updates)
+      UNION ALL
+      SELECT s_suppkey, s_nationkey, acctbal_cents FROM updates
+    )
+    SELECT s_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(acctbal_cents) AS BIGINT) AS total_cents
+    FROM merged GROUP BY s_nationkey
+    """,
+)
+def jdbc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database-side MERGE upsert over JDBC — the portable twin of the
+    reference's INSERT ... ON DUPLICATE KEY UPDATE (Runs.scala:93-102):
+    the supplier dim is sunk as the base table, then an update batch
+    (doubled balances for suppkey % 3 = 0, brand-new keys for
+    suppkey % 5 = 0) is staged via df.write.jdbc and folded in with ONE
+    set-oriented MERGE INTO statement executed in the database — never a
+    per-row Python loop. The read-back aggregate proves matched keys
+    were REPLACED (not appended) and new keys inserted. Money stays in
+    exact integer cents end-to-end."""
+    from ..sources.jdbcio import (
+        derby_url,
+        jdbc_upsert,
+        read_jdbc,
+        scratch_db,
+        write_jdbc,
+    )
+
+    url = derby_url(scratch_db("db"))
+    base = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.expr("CAST(ROUND(s_acctbal * 100) AS BIGINT)").alias(
+            "acctbal_cents"
+        ),
+    )
+    write_jdbc(base.coalesce(1), url, '"supplier_jdbc"', mode="overwrite")
+    updates = base.filter(F.col("s_suppkey") % 3 == 0).select(
+        "s_suppkey",
+        "s_nationkey",
+        (F.col("acctbal_cents") * 2).alias("acctbal_cents"),
+    ).unionByName(
+        base.filter(F.col("s_suppkey") % 5 == 0).select(
+            (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+            "s_nationkey",
+            (F.col("acctbal_cents") + 7).alias("acctbal_cents"),
+        )
+    )
+    jdbc_upsert(spark, url, "supplier_jdbc", updates, key=["s_suppkey"])
+    back = read_jdbc(
+        spark,
+        url,
+        '"supplier_jdbc"',
+        partition_column="s_nationkey",
+        lower=0,
+        upper=25,
+        num_partitions=4,
+    )
+    return back.groupBy(F.col("s_nationkey").alias("nation")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("acctbal_cents").cast("bigint").alias("total_cents"),
+    )
