@@ -380,7 +380,11 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter(F.expr(_QUERY_FILTER) & (F.col("rk") <= _N_PROBE))
         .select(F.col("vec_id").alias("query_id"), "cent_id")
     )
-    q = vecs.select(
+    # broadcast side is the QUERY PANEL only (same ADVICE-r9 class as
+    # ann_pq_adc's rerank): probes' query_id already satisfies
+    # _QUERY_FILTER, so filter before the broadcast rather than shipping
+    # all N vectors to every executor
+    q = vecs.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -2005,6 +2009,95 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     return [by_k[k] for k in sorted(by_k)]
 
 
+# the three PQ building blocks, shared by ann_pq_adc (flat scan) and
+# ann_ivf_pq (cell-confined scan) — extracting them changes neither plan
+
+_PQ_SQ_FOLD = (
+    f"aggregate(zip_with(slice(zv, m * {_PQ_SUB} + 1, {_PQ_SUB}), c,"
+    " (x, y) -> (x - y) * (x - y)),"
+    " CAST(0 AS BIGINT), (a, x) -> a + x)"
+)
+_PQ_CODES_EXPR = (
+    f"transform(sequence(0, {_PQ_M - 1}), m -> CAST(aggregate("
+    f" transform(element_at(cb, m + 1), c -> {_PQ_SQ_FOLD}),"
+    " named_struct('d', CAST(9223372036854775807 AS BIGINT),"
+    "               'k', -1, 'i', 0),"
+    " (acc, d) -> CASE WHEN d < acc.d"
+    "   THEN named_struct('d', d, 'k', acc.i, 'i', acc.i + 1)"
+    "   ELSE named_struct('d', acc.d, 'k', acc.k, 'i', acc.i + 1) END"
+    ").k AS INT))"
+)
+_PQ_DOT_FOLD = (
+    f"aggregate(zip_with(slice(zv, m * {_PQ_SUB} + 1, {_PQ_SUB}), c,"
+    " (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+)
+
+
+def _pq_zvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vectors + integer quantization + the codebook column.
+
+    The codebook rides as a COLUMN from a broadcast 1-row frame, not a
+    literal: ConstantFolding does not fold a CreateArray inside a
+    lambda body, so a literal codebook is re-materialized per row per
+    reference (measured 5.8 s vs 1.25 s for the sf0.1 encode); the
+    fully-unrolled no-lambda draft was worse still (~12 s of
+    analysis/codegen). The 1-row cross join broadcasts 16x64 ints."""
+    cb = _pq_codebook(spark, sf_dir)
+    cbdf = spark.createDataFrame(
+        [
+            (
+                [
+                    [
+                        [int(x) for x in cb[k][m * _PQ_SUB:(m + 1) * _PQ_SUB]]
+                        for k in range(_PQ_K)
+                    ]
+                    for m in range(_PQ_M)
+                ],
+            )
+        ],
+        "cb: array<array<array<bigint>>>",
+    )
+    return (
+        _vecs(spark, sf_dir)
+        .withColumn(
+            "zv",
+            F.expr(
+                f"transform(v, x -> CAST(round(x * {_PQ_SCALE}) AS BIGINT))"
+            ),
+        )
+        .crossJoin(F.broadcast(cbdf))
+    )
+
+
+def _pq_codes(zvecs: DataFrame) -> DataFrame:
+    """ENCODE: (vec_id, m, code) — a zero-shuffle projection (argmin
+    over K codeword distances per subspace, BIGINT-exact)."""
+    return zvecs.select(
+        "vec_id", F.expr(_PQ_CODES_EXPR).alias("codes")
+    ).select("vec_id", F.posexplode("codes").alias("m", "code"))
+
+
+def _pq_dt(zvecs: DataFrame) -> DataFrame:
+    """Query distance tables: (query_id, m, k, partial) — |q| x M x K
+    rows, broadcast-sized."""
+    return (
+        zvecs.filter(F.expr(_QUERY_FILTER))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}), m ->"
+                    f" transform(element_at(cb, m + 1),"
+                    f" c -> {_PQ_DOT_FOLD}))"
+                )
+            ).alias("m", "partials"),
+        )
+        .select(
+            "query_id", "m", F.posexplode("partials").alias("k", "partial")
+        )
+    )
+
+
 @query("ann_pq_adc", oracle=_PQ_ORACLE)
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) scoring
@@ -2035,76 +2128,9 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_probe's cell confinement (scan only probed cells' codes) and
     the codes relation is ~1/128 the corpus bytes, so the scan is
     memory-bandwidth-bound exactly as production PQ serving is."""
-    cb = _pq_codebook(spark, sf_dir)
-    # the codebook rides as a COLUMN from a broadcast 1-row frame, not a
-    # literal: ConstantFolding does not fold a CreateArray inside a
-    # lambda body, so a literal codebook is re-materialized per row per
-    # reference (measured 5.8 s vs 1.25 s for the sf0.1 encode); the
-    # fully-unrolled no-lambda draft was worse still (~12 s of
-    # analysis/codegen). The 1-row cross join broadcasts 16x64 ints.
-    cbdf = spark.createDataFrame(
-        [
-            (
-                [
-                    [
-                        [int(x) for x in cb[k][m * _PQ_SUB:(m + 1) * _PQ_SUB]]
-                        for k in range(_PQ_K)
-                    ]
-                    for m in range(_PQ_M)
-                ],
-            )
-        ],
-        "cb: array<array<array<bigint>>>",
-    )
-    vecs = (
-        _vecs(spark, sf_dir)
-        .withColumn(
-            "zv",
-            F.expr(
-                f"transform(v, x -> CAST(round(x * {_PQ_SCALE}) AS BIGINT))"
-            ),
-        )
-        .crossJoin(F.broadcast(cbdf))
-    )
-    sq_fold = (
-        f"aggregate(zip_with(slice(zv, m * {_PQ_SUB} + 1, {_PQ_SUB}), c,"
-        " (x, y) -> (x - y) * (x - y)),"
-        " CAST(0 AS BIGINT), (a, x) -> a + x)"
-    )
-    codes_expr = (
-        f"transform(sequence(0, {_PQ_M - 1}), m -> CAST(aggregate("
-        f" transform(element_at(cb, m + 1), c -> {sq_fold}),"
-        " named_struct('d', CAST(9223372036854775807 AS BIGINT),"
-        "               'k', -1, 'i', 0),"
-        " (acc, d) -> CASE WHEN d < acc.d"
-        "   THEN named_struct('d', d, 'k', acc.i, 'i', acc.i + 1)"
-        "   ELSE named_struct('d', acc.d, 'k', acc.k, 'i', acc.i + 1) END"
-        ").k AS INT))"
-    )
-    codes = vecs.select(
-        "vec_id", F.expr(codes_expr).alias("codes")
-    ).select("vec_id", F.posexplode("codes").alias("m", "code"))
-
-    dot_fold = (
-        f"aggregate(zip_with(slice(zv, m * {_PQ_SUB} + 1, {_PQ_SUB}), c,"
-        " (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
-    )
-    dt = (
-        vecs.filter(F.expr(_QUERY_FILTER))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {_PQ_M - 1}), m ->"
-                    f" transform(element_at(cb, m + 1),"
-                    f" c -> {dot_fold}))"
-                )
-            ).alias("m", "partials"),
-        )
-        .select(
-            "query_id", "m", F.posexplode("partials").alias("k", "partial")
-        )
-    )
+    vecs = _pq_zvecs(spark, sf_dir)
+    codes = _pq_codes(vecs)
+    dt = _pq_dt(vecs)
     adc = (
         codes.join(
             F.broadcast(dt),
@@ -2166,6 +2192,232 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_pq_adc.__doc__ = ann_pq_adc.__doc__.format(
     m=_PQ_M, sub=_PQ_SUB, k=_PQ_K, s=_PQ_SCALE, r=_PQ_R
 )
+
+
+# ------------------------------------------- IVF + PQ (cell-confined ADC)
+
+# nprobe for the COMPOSED op, deeper than ann_ivf_probe's 2: the double
+# quantization (coarse cells + PQ codes, both untrained seed sets)
+# compounds, and the recall sweep on the sf0.01 panel read
+# nprobe=2 -> 0.64, 4 -> 0.76, 6 -> 0.80 = the flat-ADC baseline
+# (ann_pq_adc). 6 of 32 cells still confines the ADC scan to ~1/5 of
+# the corpus codes; with trained centroids the same recall arrives at
+# far smaller nprobe/K ratios — nprobe is the serving-time recall/cost
+# dial, exactly as in FAISS IndexIVFPQ.
+_IVFPQ_NPROBE = 6
+
+_IVFPQ_ORACLE = f"""
+WITH {_VECS_SQL},
+centroids AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vecs
+  WHERE {_CENTROID_FILTER_SQL}
+),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT x.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(x.v) + 1), i -> x.v[i] * c.cv[i])),
+               (acc, x) -> acc + x) / (x.nrm * c.cn) DESC, c.cent_id) AS rk
+    FROM vecs x CROSS JOIN centroids c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT q.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.cv[i])),
+               (acc, x) -> acc + x) / (q.nrm * c.cn) DESC, c.cent_id) AS rk
+    FROM (SELECT * FROM vecs WHERE {_QUERY_FILTER}) q CROSS JOIN centroids c
+  ) WHERE rk <= {_IVFPQ_NPROBE}
+),
+z AS (
+  SELECT vec_id, v, nrm,
+         list_transform(v, x -> CAST(round(x * {_PQ_SCALE}) AS BIGINT)) AS zv
+  FROM vecs
+),
+cb AS (
+  SELECT CAST(vec_id // {_PQ_SEED_MOD} AS INT) AS k, zv FROM z
+  WHERE {_PQ_SEED_SQL}
+),
+mgrid AS (SELECT CAST(unnest(range(0, {_PQ_M})) AS INT) AS m),
+enc AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT t.vec_id, t.m, t.k,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.m
+                              ORDER BY t.d ASC, t.k ASC) AS rk
+    FROM (
+      SELECT x.vec_id, g.m, c.k,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {_PQ_SUB} + 1),
+                 i -> (x.zv[g.m * {_PQ_SUB} + i] - c.zv[g.m * {_PQ_SUB} + i])
+                    * (x.zv[g.m * {_PQ_SUB} + i] - c.zv[g.m * {_PQ_SUB} + i]))),
+               (acc, y) -> acc + y) AS d
+      FROM z x CROSS JOIN mgrid g CROSS JOIN cb c
+    ) t
+  ) WHERE rk = 1
+),
+dt AS (
+  SELECT q.vec_id AS query_id, g.m, c.k,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, {_PQ_SUB} + 1),
+             i -> q.zv[g.m * {_PQ_SUB} + i] * c.zv[g.m * {_PQ_SUB} + i])),
+           (acc, y) -> acc + y) AS partial
+  FROM (SELECT * FROM z WHERE {_QUERY_FILTER}) q
+  CROSS JOIN mgrid g CROSS JOIN cb c
+),
+adc AS (
+  SELECT dt.query_id, e.vec_id AS neighbor_id,
+         CAST(SUM(dt.partial) AS BIGINT) AS adc_dot
+  FROM probes p
+  JOIN dt ON dt.query_id = p.query_id
+  JOIN assigned a ON a.cent_id = p.cent_id
+  JOIN enc e ON e.vec_id = a.vec_id AND e.m = dt.m AND e.code = dt.k
+  WHERE e.vec_id <> dt.query_id
+  GROUP BY dt.query_id, e.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, adc_dot FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_dot DESC, neighbor_id) AS crank
+    FROM adc
+  ) WHERE crank <= {_PQ_R}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_dot,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+           (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos
+  FROM shortlist s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dot, ROUND(cos, 6) AS cosine,
+       CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rk
+  FROM rer
+) WHERE rk <= {_TOPK}
+"""
+
+
+@query("ann_ivf_pq", oracle=_IVFPQ_ORACLE)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (VERDICT r9 task 4) — the billion-vector
+    serving shape ann_pq_adc's docstring names: the coarse quantizer
+    (ann_ivf_probe's fixed-K centroid set) confines the ADC scan to the
+    nprobe={np} probed cells per query, so the scored relation is
+    ~nprobe/K of the corpus codes instead of the flat N x M scan. This
+    is exactly FAISS's IndexIVFPQ layout: cells hold PQ codes, queries
+    score only the cells they probe, the exact-cosine rerank touches
+    only the R={r} shortlist.
+
+    Spark shape: cell assignment joins the codes relation on vec_id
+    (adds cent_id); the query distance tables join the probe pairs on
+    query_id (adds cent_id, x nprobe rows, still broadcast-sized); ADC
+    is then one equi-join on (cent_id, m, code) + a partial-agg — the
+    cell key in the join IS the confinement, no post-filter. At scale
+    the codes relation is written bucketed by cent_id, so probe joins
+    hit co-located partitions and untouched cells are never read.
+
+    All ADC math BIGINT-exact (the ann_pq_adc device); the assignment
+    and probe ranking use the bit-reproducible sequential cosine fold
+    both engines share."""
+    vecs = _vecs(spark, sf_dir)
+    cents = F.broadcast(
+        vecs.filter(F.expr(_CENTROID_FILTER_SQL)).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    cos_to_cent = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (nrm * cn)"
+    )
+    rk_w = Window.partitionBy("vec_id").orderBy(
+        F.col("cc").desc(), F.col("cent_id")
+    )
+    ranked = (
+        vecs.crossJoin(cents)
+        .withColumn("cc", cos_to_cent)
+        .withColumn("rk", F.row_number().over(rk_w))
+    )
+    assigned = ranked.filter(F.col("rk") == 1).select("vec_id", "cent_id")
+    probes = ranked.filter(
+        F.expr(_QUERY_FILTER) & (F.col("rk") <= _IVFPQ_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+
+    zvecs = _pq_zvecs(spark, sf_dir)
+    # codes + their cell: (vec_id, m, code, cent_id) — N x M rows
+    codes = _pq_codes(zvecs).join(assigned, "vec_id")
+    # query tables x probed cells: broadcast-sized (|q| x nprobe x M x K)
+    dt = _pq_dt(zvecs).join(probes, "query_id").select(
+        "query_id",
+        F.col("cent_id").alias("p_cent"),
+        F.col("m").alias("qm"),
+        "k",
+        "partial",
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dt),
+            (codes["cent_id"] == dt["p_cent"])
+            & (codes["m"] == dt["qm"])
+            & (codes["code"] == dt["k"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("partial").alias("adc_dot"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("crank", F.row_number().over(w_c))
+        .filter(F.col("crank") <= _PQ_R)
+        .drop("crank")
+    )
+    q = vecs.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    rer = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dot",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+ann_ivf_pq.__doc__ = ann_ivf_pq.__doc__.format(np=_IVFPQ_NPROBE, r=_PQ_R)
 
 
 # --------------------------------------- MMR diversified top-k (RAG serving)

@@ -321,6 +321,9 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             "kmeans_balanced_assign",
             "eval_pass_at_k",
             "ann_pq_adc",
+            # same ADVICE class applied to ann_ivf_probe: the rerank
+            # broadcast side is now query-filtered (plan changed)
+            "ann_ivf_probe",
         }
     )
 )
