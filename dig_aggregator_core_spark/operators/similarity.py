@@ -1652,9 +1652,9 @@ def ann_index_append(
     )
 
 
-@query(
-    "ann_index_append",
-    oracle=f"""
+# shared by ann_index_append and ann_index_probe_join (same serving
+# semantics; only the Spark-side pruning mechanism differs)
+_APPEND_SERVE_ORACLE = f"""
     WITH {_VECS_SQL},
     sig AS (SELECT *, {_SIGNS_SQL} AS signs FROM vecs),
     b AS (SELECT GREATEST(4, LEAST({_MAXBITS},
@@ -1676,8 +1676,10 @@ def ann_index_append(
                                    ORDER BY cos DESC, neighbor_id) AS rk
       FROM scored
     ) WHERE rk <= {_TOPK}
-    """,
-)
+    """
+
+
+@query("ann_index_append", oracle=_APPEND_SERVE_ORACLE)
 def ann_index_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN serving over an APPEND-MAINTAINED index (r9): the persisted
     index holds the committed 90% of the corpus at a width fixed from
@@ -1696,6 +1698,78 @@ def ann_index_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     index path forces that here."""
     idx_dir, width = _append_bootstrap(spark, sf_dir)
     return _serve_appended_index(spark, sf_dir, idx_dir, width)
+
+
+@query("ann_index_probe_join", oracle=_APPEND_SERVE_ORACLE)
+def ann_index_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-as-queries index serving (VERDICT r9 task 5): identical
+    results to ann_index_append, but the probed buckets reach the index
+    through a BROADCAST JOIN on the partition column instead of a
+    driver-collected literal IN-list. The IN-list device
+    (_serve_appended_index) is right for a bounded serving panel; it is
+    wrong when the query set is itself corpus-scale — the collect()
+    would pull millions of bucket ids to the driver and the IN literal
+    would explode the plan. Here nothing is collected: the distinct
+    query buckets stay a DataFrame, and Spark's dynamic partition
+    pruning turns the broadcast join into runtime partition filters on
+    the bucketed index scan (the plan carries `dynamicpruning` on
+    pbucket; pinned by tests/test_probe_join_plan.py), so untouched
+    bucket partitions are still never read — same pruning, no driver
+    round-trip, no literal."""
+    import os
+
+    idx_dir, width = _append_bootstrap(spark, sf_dir)
+    queries = (
+        _vecs(spark, sf_dir)
+        .withColumn("signs", F.expr(_SIGNS_SPARK))
+        .filter(F.expr(_QUERY_FILTER))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.concat(
+                F.lit("b"), F.expr(f"substring(signs, 1, {width})")
+            ).alias("pbucket"),
+        )
+    )
+    index = spark.read.parquet(os.path.join(idx_dir, "index.parquet")).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "pbucket",
+    )
+    # what broadcasts is the DISTINCT BUCKET SET — bounded by 2^width no
+    # matter how many queries there are (corpus-as-queries stays a
+    # broadcast); the semi-join on the partition column is what DPP
+    # turns into runtime partition filters on the index scan
+    qbuckets = queries.select("pbucket").distinct()
+    pruned = index.join(F.broadcast(qbuckets), "pbucket", "left_semi")
+    # the scoring join carries the vectors; no hint — Catalyst/AQE
+    # broadcasts a panel-sized query frame and shuffle-hash-joins a
+    # corpus-sized one on the same (already co-partitioned) bucket key
+    scored = pruned.join(queries, "pbucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "cos",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr("substring(pbucket, 2)").alias("bucket"),
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
 
 
 def _serve_appended_index(
