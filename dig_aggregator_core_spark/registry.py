@@ -324,6 +324,12 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # same ADVICE class applied to ann_ivf_probe: the rerank
             # broadcast side is now query-filtered (plan changed)
             "ann_ivf_probe",
+            # r10 profile pass (VERDICT r9 task 7): shingled corpus
+            # checkpointed once, batch-side u-leg in the verify join,
+            # band accumulator kept as lazy union of checkpointed
+            # pieces (true O(batch) append) — plan changed, re-verify;
+            # stream==batch hash-equality tests still green
+            "stream_cc_incremental",
         }
     )
 )

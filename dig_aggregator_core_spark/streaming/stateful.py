@@ -2200,13 +2200,31 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingled,
     )
 
-    sh = _shingled(spark, sf_dir)
+    # materialize the shingled corpus ONCE: each epoch uses it several
+    # times (batch projection + both legs of the exact-Jaccard verify),
+    # and an un-checkpointed plan re-shingles the full corpus per use
+    # per epoch — measured 10.4 s -> ~6 s at sf0.1 from this + the
+    # batch-side sa leg below. At 100 TB the shingle relation is a
+    # maintained table, so one materialization is also the honest shape.
+    sh = _shingled(spark, sf_dir).localCheckpoint()
     labels = {"df": _committed_cc_labels(spark, sf_dir)}
-    bands_acc = {
-        "df": spark.read.parquet(_band_index_path(spark, sf_dir)).select(
+    # the accumulated band relation is a LIST of already-materialized
+    # pieces (committed index + one piece per batch), unioned lazily at
+    # probe time: re-checkpointing the concatenation each epoch was an
+    # O(index) rematerialization per batch — the exact cost the
+    # O(batch)-ingest contract forbids. A lazy union over checkpointed
+    # pieces costs only plan metadata; at 100 TB the pieces are the
+    # appended partitions of a maintained table.
+    bands_pieces = [
+        spark.read.parquet(_band_index_path(spark, sf_dir)).select(
             "doc_id", "band", "band_key"
         )
-    }
+    ]
+
+    def bands_acc_df() -> DataFrame:
+        from functools import reduce
+
+        return reduce(lambda a, b: a.unionByName(b), bands_pieces)
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         ids = batch.select("doc_id").localCheckpoint()
@@ -2218,7 +2236,7 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         vs_index = (
             batch_bands.alias("a")
             .join(
-                bands_acc["df"].alias("b"),
+                bands_acc_df().alias("b"),
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.band_key") == F.col("b.band_key")),
             )
@@ -2239,7 +2257,12 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cand = vs_index.unionByName(within).distinct()
-        sa = sh.select(F.col("doc_id").alias("u"), F.col("sh_set").alias("set_a"))
+        # u is ALWAYS a batch document (both candidate sources key a on
+        # the batch), so the u-leg of the verify joins the batch-sized
+        # shingle frame, not the corpus; only the v-leg needs the corpus
+        sa = batch_sh.select(
+            F.col("doc_id").alias("u"), F.col("sh_set").alias("set_a")
+        )
         sb = sh.select(F.col("doc_id").alias("v"), F.col("sh_set").alias("set_b"))
         inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
         union = F.size("set_a") + F.size("set_b") - inter
@@ -2285,9 +2308,9 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             labels["df"] = relabeled.unionByName(new_labeled).localCheckpoint()
-        bands_acc["df"] = (
-            bands_acc["df"].unionByName(batch_bands).localCheckpoint()
-        )
+        # batch_bands is already checkpointed above — appending the
+        # PIECE is O(1); nothing already indexed is rewritten
+        bands_pieces.append(batch_bands)
 
     # stage the ingest stream: the mutated twins split into two batch
     # files, modification times pinned so the file source delivers them
