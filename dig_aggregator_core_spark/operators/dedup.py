@@ -705,15 +705,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- embedding
 
-# integer sign bucket over the first 4 dims (bit i set when dim i >= 0);
+# integer sign bucket over the first nb dims (bit i set when dim i >= 0);
 # an int key (vs the string key in similarity.py) makes Hamming-1
-# multi-probe a cheap XOR against the single-bit masks
-_IBUCKET_SQL = " + ".join(
-    f"(CASE WHEN v[{i}] >= 0 THEN {2 ** (i - 1)} ELSE 0 END)"
-    for i in range(1, 5)
+# multi-probe a cheap XOR against the single-bit masks.
+#
+# nb is OCCUPANCY-ADAPTIVE (r10; the ann_lsh_adaptive device): the r10
+# x100 scaleproof caught the fixed-4-bit form as a real quadratic — with
+# 10 labels x 16 buckets the block COUNT was constant, so block size
+# tracked N and the within-block verify was N^2/160 (the run had to be
+# killed at x100; the same K-tracks-N class as the r9 IVF-probe and
+# balanced-assign catches). Width now grows with the corpus
+# (ceil(log2(count/64)), clamped to [4, 16]), holding expected block
+# occupancy ~constant; Hamming-1 multi-probe covers every width bit, so
+# the one-hyperplane-straddle recall guarantee is unchanged. Both
+# engines compute the same width from the same count, so the oracle
+# hash-match pins the whole scheme.
+_IBUCKET_NB_SQL = (
+    "GREATEST(4, LEAST(16, CAST(ceil(log2(COUNT(*) / 64.0)) AS INT)))"
 )
-_IBUCKET_SPARK = " + ".join(
-    f"(CASE WHEN v[{i}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(0, 4)
+_IBUCKET_SQL = (
+    "list_reduce(list_prepend(0, list_transform(range(0, b.nb),"
+    " i -> CASE WHEN v[i + 1] >= 0 THEN (1 << i) ELSE 0 END)),"
+    " (acc, x) -> acc + x)"
+)
+_IBUCKET_SPARK = (
+    "aggregate(sequence(0, nb - 1), 0,"
+    " (acc, i) -> acc + (CASE WHEN v[i] >= 0 THEN shiftleft(1, i)"
+    " ELSE 0 END))"
+)
+# masks: 0 (the bucket itself) + one per width bit
+_IMASKS_SPARK = (
+    "concat(array(0), transform(sequence(0, nb - 1),"
+    " i -> shiftleft(1, i)))"
 )
 
 _EMB_CORPUS_SQL = f"""
@@ -726,15 +749,23 @@ ecorpus AS (
   SELECT vec_id + 1000000, list_transform(v, x -> x * 1.01 + 0.001), label
   FROM ebase
 ),
+bwidth AS (
+  SELECT {_IBUCKET_NB_SQL} AS nb FROM ecorpus
+),
 enorm AS (
   SELECT vec_id, v, label, {_IBUCKET_SQL} AS bucket,
          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
               list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
-  FROM ecorpus
+  FROM ecorpus CROSS JOIN bwidth b
+),
+emasks AS (
+  SELECT unnest(list_prepend(0,
+           list_transform(range(0, nb), i -> (1 << i)))) AS m
+  FROM bwidth
 ),
 eprobe AS (
   SELECT vec_id, v, label, nrm, xor(bucket, m.m) AS pkey
-  FROM enorm CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS m) m
+  FROM enorm CROSS JOIN emasks m
 )
 """
 
@@ -759,18 +790,23 @@ _EMB_COS_SQL = """
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: cosine >= 0.999 blocked on (label, sign-LSH
     bucket) with Hamming-1 multi-probe. The label stands in for an IVF
-    coarse-quantizer cell; the 4-sign-bit bucket splits each cell a further
-    16 ways, so the quadratic verify term is per (label, bucket)
-    micro-block — the shape that survives a 100x corpus.
+    coarse-quantizer cell; the sign bucket splits each cell 2^nb further
+    ways with nb OCCUPANCY-ADAPTIVE (ceil(log2(corpus/64)), clamped to
+    [4, 16]) — the r10 x100 scaleproof proved the fixed-4-bit form
+    quadratic (constant block count, block size tracking N), the same
+    K-tracks-N class as the r9 IVF-probe catch. With adaptive width the
+    per-(label, bucket) micro-block stays ~constant-sized, so the verify
+    term is linear in the corpus.
 
     Multi-probe: one side additionally emits its bucket with each single
-    sign bit flipped (XOR with 0/1/2/4/8), so a true near-dup pair whose
-    vectors straddle a hyperplane on one dimension (e.g. the ground-truth
-    mutation x*1.01+0.001 flipping a dim in [-0.00099, 0)) still shares a
-    probe key — single-bucket blocking would silently drop it. A pair's
-    buckets differ from each other by at most one bit in exactly one mask,
-    so no distinct() is needed. The oracle applies the identical probe
-    scheme, so the hash-match pins blocking, probing, and scoring.
+    sign bit flipped (XOR with 0 and every 1<<i for i < nb), so a true
+    near-dup pair whose vectors straddle a hyperplane on one dimension
+    (e.g. the ground-truth mutation x*1.01+0.001 flipping a dim in
+    [-0.00099, 0)) still shares a probe key — single-bucket blocking
+    would silently drop it. A pair's buckets differ from each other by
+    at most one bit in exactly one mask, so no distinct() is needed. The
+    oracle applies the identical width + probe scheme, so the hash-match
+    pins blocking, probing, and scoring.
 
     Dot products fold sequentially over the vector so Spark and the oracle
     produce bit-identical doubles."""
@@ -784,8 +820,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(v, x -> x * 1.01 + 0.001)").alias("v"),
         "label",
     )
+    corpus0 = emb.unionByName(mut)
+    # 1-row adaptive-width frame (the ann_lsh_adaptive device) — both
+    # bucket bits and probe masks derive from it, so block occupancy
+    # stays ~64 as the corpus grows (see _IBUCKET_NB_SQL comment)
+    nbdf = corpus0.agg(F.expr(_IBUCKET_NB_SQL).alias("nb"))
     corpus = (
-        emb.unionByName(mut)
+        corpus0.crossJoin(F.broadcast(nbdf))
         .withColumn(
             "nrm",
             F.expr(
@@ -801,7 +842,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "nrm",
         F.explode(
-            F.array(*[F.expr(f"bucket ^ {m}") for m in (0, 1, 2, 4, 8)])
+            F.expr(f"transform({_IMASKS_SPARK}, m -> bucket ^ m)")
         ).alias("pkey"),
     )
     a = corpus.alias("a")

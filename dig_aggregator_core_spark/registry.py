@@ -330,6 +330,13 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # pieces (true O(batch) append) — plan changed, re-verify;
             # stream==batch hash-equality tests still green
             "stream_cc_incremental",
+            # r10 x100 catch (VERDICT r9 task 1): the fixed-4-bit sign
+            # bucket made the embedding near-dup verify N^2/160 (block
+            # count constant, block size tracking N — the run had to be
+            # killed at x100); width is now occupancy-adaptive on both
+            # engines. Sweep-green sf0.01 + sf0.1; ground-truth twin
+            # recall pinned by tests/test_embedding_cosine_recall.py.
+            "dedup_embedding_cosine",
         }
     )
 )
