@@ -1055,10 +1055,14 @@ def _cc_labels(edge_pairs: DataFrame) -> DataFrame:
     while True:
         new_edges = _small_star(_large_star(edges)).localCheckpoint()
         n_new = new_edges.count()
-        if n_new == n_edges and new_edges.exceptAll(edges).isEmpty():
-            edges = new_edges
-            break
+        stop = n_new == n_edges and new_edges.exceptAll(edges).isEmpty()
+        # superseded iterate: free its cached blocks (a localCheckpoint
+        # is pinned storage until unpersisted; leaking one per iteration
+        # per call was measurable GC pressure across bench runs)
+        edges.unpersist()
         edges, n_edges = new_edges, n_new
+        if stop:
+            break
     roots = edges.groupBy("u").agg(F.min("v").alias("root"))
     return nodes.join(roots, "u", "left").select(
         "u",

@@ -2200,14 +2200,13 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingled,
     )
 
-    # materialize the shingled corpus ONCE: each epoch uses it several
-    # times (batch projection + both legs of the exact-Jaccard verify),
-    # and an un-checkpointed plan re-shingles the full corpus per use
-    # per epoch — measured 10.4 s -> ~6 s at sf0.1 from this + the
-    # batch-side sa leg below. At 100 TB the shingle relation is a
-    # maintained table, so one materialization is also the honest shape.
-    sh = _shingled(spark, sf_dir).localCheckpoint()
+    # _shingled is session-memoized AND persisted (its own cache), so
+    # every per-epoch use reads cached blocks — no extra checkpoint on
+    # top (an earlier draft added one: it re-materialized the persisted
+    # relation into fresh checkpoint blocks on every run for nothing)
+    sh = _shingled(spark, sf_dir)
     labels = {"df": _committed_cc_labels(spark, sf_dir)}
+    base_labels = labels["df"]  # the shared _CC_BASE_CACHE entry
     # the accumulated band relation is a LIST of already-materialized
     # pieces (committed index + one piece per batch), unioned lazily at
     # probe time: re-checkpointing the concatenation each epoch was an
@@ -2229,6 +2228,7 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         ids = batch.select("doc_id").localCheckpoint()
         if ids.isEmpty():
+            ids.unpersist()
             return
         batch_sh = sh.join(F.broadcast(ids), "doc_id")
         batch_bands = _bands_of(batch_sh).localCheckpoint()
@@ -2272,6 +2272,7 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint()
         )
+        prev_labels = None
         if not edges.isEmpty():
             cur = labels["df"]
             lu = cur.select(F.col("u").alias("lu_k"), F.col("component").alias("lu_c"))
@@ -2307,10 +2308,21 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "component"
                 ),
             )
+            prev_labels = labels["df"]
             labels["df"] = relabeled.unionByName(new_labeled).localCheckpoint()
         # batch_bands is already checkpointed above — appending the
         # PIECE is O(1); nothing already indexed is rewritten
         bands_pieces.append(batch_bands)
+        # free the per-epoch checkpoints this epoch superseded: pinned
+        # localCheckpoint blocks otherwise accumulate across epochs AND
+        # across repeated runs in one session (measured as 10 s -> 27 s
+        # run-to-run swings from GC pressure in a quiet window). The
+        # committed label base (epoch 0's prev) is the shared
+        # _CC_BASE_CACHE entry — never unpersist that one.
+        ids.unpersist()
+        edges.unpersist()
+        if prev_labels is not None and prev_labels is not base_labels:
+            prev_labels.unpersist()
 
     # stage the ingest stream: the mutated twins split into two batch
     # files, modification times pinned so the file source delivers them
@@ -2342,6 +2354,12 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(base, ignore_errors=True)
+    # the per-batch band pieces are dead once the stream drains (the
+    # returned labeling is its own checkpoint); freeing them keeps
+    # repeated runs memory-flat. sh is the SHARED _SH_CACHE entry —
+    # never unpersisted here.
+    for piece in bands_pieces[1:]:
+        piece.unpersist()
     return labels["df"].select(
         F.col("u").alias("doc_id"), "component"
     )
