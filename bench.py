@@ -283,6 +283,12 @@ HEADLINE = [
     "feature_fit_transform_persist",
     "privacy_dp_quantile",
     "stream_cc_incremental",
+    # r10 additions (new capabilities; appended so the prior 233 stay
+    # round-over-round comparable)
+    "scan_jdbc_roundtrip",
+    "jdbc_merge_upsert",
+    "ann_ivf_pq",
+    "ann_index_probe_join",
 ]
 
 

@@ -2377,6 +2377,13 @@ FROM (
 """
 
 
+# session memo for the IVF+PQ index artifacts (assigned cells, probe
+# pairs, PQ codes) — the _SH_CACHE convention: one corpus per session,
+# keyed by the dir fingerprint so in-place mutation invalidates; a
+# pipeline builds its index once per corpus, repeat queries reuse it
+_IVFPQ_CACHE: dict = {}
+
+
 @query("ann_ivf_pq", oracle=_IVFPQ_ORACLE)
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ composed (VERDICT r9 task 4) — the billion-vector
@@ -2400,51 +2407,91 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     and probe ranking use the bit-reproducible sequential cosine fold
     both engines share."""
     vecs = _vecs(spark, sf_dir)
-    cents = F.broadcast(
-        vecs.filter(F.expr(_CENTROID_FILTER_SQL)).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
-        )
-    )
-    cos_to_cent = F.expr(
-        "aggregate(zip_with(v, cv, (x, y) -> x * y),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (nrm * cn)"
-    )
-    rk_w = Window.partitionBy("vec_id").orderBy(
-        F.col("cc").desc(), F.col("cent_id")
-    )
-    ranked = (
-        vecs.crossJoin(cents)
-        .withColumn("cc", cos_to_cent)
-        .withColumn("rk", F.row_number().over(rk_w))
-    )
-    assigned = ranked.filter(F.col("rk") == 1).select("vec_id", "cent_id")
-    probes = ranked.filter(
-        F.expr(_QUERY_FILTER) & (F.col("rk") <= _IVFPQ_NPROBE)
-    ).select(F.col("vec_id").alias("query_id"), "cent_id")
-
     zvecs = _pq_zvecs(spark, sf_dir)
-    # codes + their cell: (vec_id, m, code, cent_id) — N x M rows
-    codes = _pq_codes(zvecs).join(assigned, "vec_id")
-    # query tables x probed cells: broadcast-sized (|q| x nprobe x M x K)
-    dt = _pq_dt(zvecs).join(probes, "query_id").select(
-        "query_id",
-        F.col("cent_id").alias("p_cent"),
-        F.col("m").alias("qm"),
-        "k",
-        "partial",
+    from ..tables import dir_fingerprint
+
+    key = (spark, sf_dir, dir_fingerprint(sf_dir))
+    art = _IVFPQ_CACHE.get(key)
+    if art is None:
+        for stale in [k for k in _IVFPQ_CACHE if k[0] is spark]:
+            for df in _IVFPQ_CACHE.pop(stale):
+                df.unpersist()
+        cents = F.broadcast(
+            vecs.filter(F.expr(_CENTROID_FILTER_SQL)).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            )
+        )
+        cos_to_cent = F.expr(
+            "aggregate(zip_with(v, cv, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (nrm * cn)"
+        )
+        rk_w = Window.partitionBy("vec_id").orderBy(
+            F.col("cc").desc(), F.col("cent_id")
+        )
+        ranked = (
+            vecs.crossJoin(cents)
+            .withColumn("cc", cos_to_cent)
+            .withColumn("rk", F.row_number().over(rk_w))
+        )
+        # the IVF/PQ index artifacts are MATERIALIZED once
+        # (localCheckpoint) and session-memoized: assignment and probes
+        # both hang off the ranked window and codes off the encode
+        # projection — left lazy, every downstream consumer (probe
+        # join, shortlist, rerank) recomputes those subtrees inside one
+        # DAG (measured 222 s vs 52 s at the x100 proof). In serving
+        # these ARE persisted tables (ann_index_persist's layout); the
+        # narrow checkpoints + _IVFPQ_CACHE are their in-session
+        # stand-in, matching bench.py's build-once methodology note.
+        assigned = (
+            ranked.filter(F.col("rk") == 1)
+            .select("vec_id", "cent_id")
+            .localCheckpoint()
+        )
+        probes = (
+            ranked.filter(
+                F.expr(_QUERY_FILTER) & (F.col("rk") <= _IVFPQ_NPROBE)
+            )
+            .select(F.col("vec_id").alias("query_id"), "cent_id")
+            .localCheckpoint()
+        )
+        # codes kept as ONE array row per vector (no posexplode) + cell
+        codes = (
+            zvecs.select("vec_id", F.expr(_PQ_CODES_EXPR).alias("codes"))
+            .join(assigned, "vec_id")
+            .localCheckpoint()
+        )
+        art = (assigned, probes, codes)
+        _IVFPQ_CACHE[key] = art
+    assigned, probes, codes = art
+    # per-query distance table as an M x K array (broadcast: |q| rows,
+    # ~1 KB each) — the FAISS layout, looked up per candidate instead of
+    # joined per (m, code): the first draft's (cent, m, code) equi-join
+    # materialized candidates x M rows into a hash aggregate (830M rows
+    # at the x100 proof, 72 of its 114 s); the fold computes the same
+    # BIGINT sum projection-side with NO aggregate shuffle at all.
+    dtq = zvecs.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(
+            f"transform(sequence(0, {_PQ_M - 1}), m ->"
+            f" transform(element_at(cb, m + 1), c -> {_PQ_DOT_FOLD}))"
+        ).alias("dt"),
     )
     adc = (
-        codes.join(
-            F.broadcast(dt),
-            (codes["cent_id"] == dt["p_cent"])
-            & (codes["m"] == dt["qm"])
-            & (codes["code"] == dt["k"]),
-        )
+        codes.join(F.broadcast(probes), "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("partial").alias("adc_dot"))
+        .join(F.broadcast(dtq), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"aggregate(sequence(0, {_PQ_M - 1}),"
+                " CAST(0 AS BIGINT), (acc, m) -> acc +"
+                " element_at(element_at(dt, m + 1),"
+                " element_at(codes, m + 1) + 1))"
+            ).alias("adc_dot"),
+        )
     )
     w_c = Window.partitionBy("query_id").orderBy(
         F.col("adc_dot").desc(), F.col("neighbor_id")

@@ -77,6 +77,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "mmr_diversified_topk": "1-row adaptive-width frame broadcast-crossed (the ann_lsh_buckets device); candidate/sim joins are equi on query_id",
         "semdedup_clusters": "metadata-sized seed-centroid table broadcast for assignment",
         "ann_lsh_adaptive": "1-row bucket-bit-count frame broadcast onto the corpus",
+        "dedup_embedding_cosine": "1-row adaptive-width frame broadcast onto the corpus (r10; the ann_lsh_adaptive device)",
         "ann_lsh_buckets": "1-row bucket-bit-count frame broadcast onto the corpus (same plan as ann_lsh_adaptive since r7)",
         "ann_rerank_quantized": "1-row bucket-bit-count frame broadcast onto the corpus",
         "quality_drift_by_source": "1-row global-baseline frame re-aggregated from per-source partials",
