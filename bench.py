@@ -289,6 +289,8 @@ HEADLINE = [
     "jdbc_merge_upsert",
     "ann_ivf_pq",
     "ann_index_probe_join",
+    "eval_pass_at_k_ci",
+    "mmr_over_index",
 ]
 
 

@@ -3324,3 +3324,121 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 eval_pass_at_k.__doc__ = eval_pass_at_k.__doc__.format(k=_PASSK_K)
+
+
+# ----------------------------------- pass@k corpus aggregate + bootstrap CI
+
+# h in [0,1) from md5(task:replica) — the bootstrap_confidence device,
+# keyed on the TASK so a whole task (all its attempts) is resampled as a
+# unit, which is the statistically honest bootstrap for a per-task metric
+_PASSK_H_SQL = (
+    "(CAST(('0x' || substr(md5(task_id || ':' || r), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+_PASSK_H_SPARK = (
+    "(CAST(conv(substring(md5(concat(CAST(task_id AS STRING), ':',"
+    " CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0)"
+)
+
+_PASSK_CI_ORACLE = f"""
+WITH per_task AS (
+  SELECT user_id AS task_id,
+         CAST(COUNT(*) AS BIGINT) AS n_attempts,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT task_id,
+       CASE WHEN n_correct = 0 THEN 0.0
+            WHEN n_attempts - n_correct < {{k}} THEN 1.0
+            ELSE ROUND(1.0 - list_reduce(
+              list_prepend(CAST(1.0 AS DOUBLE),
+                list_transform(range(0, {{k}}),
+                  i -> CAST(n_attempts - n_correct - i AS DOUBLE)
+                     / CAST(n_attempts - i AS DOUBLE))),
+              (acc, x) -> acc * x), 6) + 0.0
+       END AS pk
+  FROM per_task
+),
+reps AS (
+  SELECT s.task_id, s.pk, r
+  FROM scored s, LATERAL unnest(generate_series(0, {{b}} - 1)) AS t(r)
+),
+weighted AS (
+  SELECT r,
+         SUM(({{w_sql}}) * pk) AS wv,
+         SUM({{w_sql}}) AS w
+  FROM reps GROUP BY r
+),
+means AS (
+  SELECT list(ROUND(wv / w, 6) ORDER BY ROUND(wv / w, 6)) AS ms
+  FROM weighted
+)
+SELECT CAST((SELECT COUNT(*) FROM scored) AS BIGINT) AS n_tasks,
+       (SELECT ROUND(AVG(pk), 6) FROM scored) AS mean_pass_at_k,
+       ms[{{lo}}] AS ci_lo,
+       ms[{{hi}}] AS ci_hi,
+       CAST(len(ms) AS INT) AS n_replicas
+FROM means
+""".format(
+    k=_PASSK_K,
+    b=_BOOT_B,
+    w_sql=_BOOT_W.format(h=_PASSK_H_SQL),
+    lo=max(1, int(0.05 * _BOOT_B)),
+    hi=int(0.95 * _BOOT_B),
+)
+
+
+@query("eval_pass_at_k_ci", oracle=_PASSK_CI_ORACLE)
+def eval_pass_at_k_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level pass@k with a bootstrap confidence interval — the
+    number an eval report actually prints (point estimate + error bars),
+    composed from eval_pass_at_k's per-task estimator and
+    bootstrap_confidence's deterministic replica-weight device. The
+    bootstrap resamples TASKS (not attempts): each task's pass@k is one
+    observation, weighted per replica by the md5(task:replica) hash, so
+    the CI reflects task-sampling noise, which is what dominates eval
+    variance in practice (Chen et al. report exactly this interval).
+
+    Scale: one hash aggregate over attempts (the eval_pass_at_k shape),
+    then the replica dimension explodes over the TASK relation (already
+    tiny relative to attempts), one (replica) partial agg, and a
+    B-element sort — error bars for free on top of the eval pass."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy(F.col("user_id").alias("task_id")).agg(
+        F.count("*").cast("bigint").alias("n_attempts"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("n_correct"),
+    )
+    scored = per.select(
+        "task_id", F.expr(_PASSK_EXPR).alias("pk")
+    ).localCheckpoint()
+    reps = scored.select(
+        "task_id",
+        "pk",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
+    )
+    w = F.expr(_BOOT_W.format(h=_PASSK_H_SPARK))
+    weighted = reps.groupBy("r").agg(
+        F.sum(w * F.col("pk")).alias("wv"),
+        F.sum(w).alias("w"),
+    )
+    means = weighted.agg(
+        F.array_sort(
+            F.collect_list(F.round(F.col("wv") / F.col("w"), 6))
+        ).alias("ms")
+    )
+    stats = scored.agg(
+        F.count("*").cast("bigint").alias("n_tasks"),
+        F.round(F.avg("pk"), 6).alias("mean_pass_at_k"),
+    )
+    lo_i, hi_i = max(1, int(0.05 * _BOOT_B)), int(0.95 * _BOOT_B)
+    return stats.crossJoin(means).select(
+        "n_tasks",
+        "mean_pass_at_k",
+        F.element_at("ms", lo_i).alias("ci_lo"),
+        F.element_at("ms", hi_i).alias("ci_hi"),
+        F.size("ms").alias("n_replicas"),
+    )

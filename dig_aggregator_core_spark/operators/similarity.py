@@ -2731,6 +2731,15 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    return _mmr_from_cand(cand)
+
+
+def _mmr_from_cand(cand: DataFrame) -> DataFrame:
+    """The MMR machinery downstream of ANY candidate source: pairwise
+    sims over the R-bounded shortlist, then the k-step greedy as one
+    fold per query (shared by mmr_diversified_topk's inline LSH
+    candidates and mmr_over_index's persisted-index candidates).
+    `cand` columns: query_id, neighbor_id, rel (6dp), cv, cn."""
     a = cand.select(
         "query_id",
         F.col("neighbor_id").alias("i"),
@@ -2799,3 +2808,82 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 mmr_diversified_topk.__doc__ = mmr_diversified_topk.__doc__.format(
     k=_MMR_K, r=_MMR_R
 )
+
+
+# ------------------------------------- MMR over the persisted ANN index
+
+# same unrolled-greedy oracle, but candidates bucket at the INDEX's
+# committed-count width (the ann_index_append serving contract) instead
+# of the full-corpus adaptive width
+_MMR_IDX_ORACLE = _MMR_ORACLE.replace(
+    f"b AS (SELECT {_NBITS_SQL} AS nb FROM sig),",
+    f"b AS (SELECT {_NBITS_SQL} AS nb FROM sig"
+    f" WHERE {_INC_COMMIT_FILTER}),",
+)
+assert _MMR_IDX_ORACLE != _MMR_ORACLE  # the swap must have landed
+
+
+@query("mmr_over_index", oracle=_MMR_IDX_ORACLE)
+def mmr_over_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k SERVED OFF THE PERSISTED INDEX (r10
+    serving-path composition, PLANS r10 queue): candidates come from the
+    append-maintained bucket index at its recorded width — the
+    ann_index_append contract — instead of being re-derived from the raw
+    corpus per query batch, which is how a RAG stack actually runs
+    (index maintained by ingest, re-rank reads it). Downstream the exact
+    mmr_diversified_topk greedy applies (_mmr_from_cand), so diversity
+    semantics are identical; only the candidate source differs.
+
+    Scale: the index read is bucket-partitioned parquet; the probe is an
+    equi-join on the bucket key (the ann_index_probe_join shape — no
+    driver IN-list), candidates cut to R per query before the R^2 sims
+    relation. The oracle replays the same committed-width bucketing."""
+    import os
+
+    idx_dir, width = _append_bootstrap(spark, sf_dir)
+    queries = (
+        _vecs(spark, sf_dir)
+        .withColumn("signs", F.expr(_SIGNS_SPARK))
+        .filter(F.expr(_QUERY_FILTER))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.concat(
+                F.lit("b"), F.expr(f"substring(signs, 1, {width})")
+            ).alias("pbucket"),
+        )
+    )
+    index = spark.read.parquet(
+        os.path.join(idx_dir, "index.parquet")
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "pbucket",
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        index.join(F.broadcast(queries), "pbucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (qn * cn)"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w_r))
+        .filter(F.col("rk") <= _MMR_R)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("rel"),
+            "cv",
+            "cn",
+        )
+        .persist()
+    )
+    return _mmr_from_cand(cand)

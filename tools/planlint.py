@@ -85,6 +85,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "tokenizer_unigram_em_step": "1-row piece-total frame broadcast for the micro-nat renormalization",
         "feature_fit_transform_persist": "1-row persisted cut table broadcast onto the eval split (the TRANSFORM half)",
         "privacy_dp_quantile": "1-row selected-bin frame crossed with the 1-row true-median audit frame",
+        "eval_pass_at_k_ci": "1-row corpus-stats frame crossed with the 1-row sorted-replica-means frame",
         "negative_sampling_recsys": "1-row catalog-count frame broadcast for hash-draws",
         "ann_lsh_multiprobe": "1-row bucket-bit-count frame broadcast onto the corpus",
         "ann_hard_negatives": "1-row bucket-bit-count frame broadcast onto the corpus",
