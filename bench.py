@@ -291,6 +291,7 @@ HEADLINE = [
     "ann_index_probe_join",
     "eval_pass_at_k_ci",
     "mmr_over_index",
+    "kmeans_balanced_assign_r2",
 ]
 
 

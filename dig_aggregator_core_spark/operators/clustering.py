@@ -560,3 +560,174 @@ def kmeans_balanced_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 kmeans_balanced_assign.__doc__ = kmeans_balanced_assign.__doc__.format(
     slack=f"{_BAL_SLACK_NUM}/{_BAL_SLACK_DEN}"
 )
+
+
+# ---------------------------------- balanced assignment, 2-round strict
+
+_BAL2_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+              (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vecs
+  WHERE {_BAL_SEED_SQL}
+),
+cap AS (
+  SELECT CAST(({_BAL_SLACK_NUM} * (SELECT COUNT(*) FROM vecs)
+               + {_BAL_SLACK_DEN} * (SELECT COUNT(*) FROM cents) - 1)
+              // ({_BAL_SLACK_DEN} * (SELECT COUNT(*) FROM cents))
+         AS BIGINT) AS cap
+),
+ranked AS (
+  SELECT x.vec_id, c.cent_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(x.v) + 1), i -> x.v[i] * c.cv[i])),
+           (acc, y) -> acc + y) / (x.nrm * c.cn) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(x.v) + 1), i -> x.v[i] * c.cv[i])),
+             (acc, y) -> acc + y) / (x.nrm * c.cn) DESC, c.cent_id)
+           AS choice_rk
+  FROM vecs x CROSS JOIN cents c
+),
+first_choice AS (
+  SELECT vec_id, cent_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY cent_id
+                            ORDER BY cos DESC, vec_id) AS cap_rk
+  FROM ranked WHERE choice_rk = 1
+),
+kept AS (
+  SELECT f.vec_id, f.cent_id, f.cos, 1 AS choice
+  FROM first_choice f, cap WHERE f.cap_rk <= cap.cap
+),
+load1 AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS used FROM kept GROUP BY cent_id
+),
+second AS (
+  SELECT r.vec_id, r.cent_id, r.cos,
+         ROW_NUMBER() OVER (PARTITION BY r.cent_id
+                            ORDER BY r.cos DESC, r.vec_id) AS rk2
+  FROM ranked r
+  JOIN (SELECT f.vec_id FROM first_choice f, cap
+        WHERE f.cap_rk > cap.cap) o ON o.vec_id = r.vec_id
+  WHERE r.choice_rk = 2
+),
+kept2 AS (
+  SELECT s.vec_id, s.cent_id, s.cos, 2 AS choice
+  FROM second s CROSS JOIN cap
+  LEFT JOIN load1 l ON l.cent_id = s.cent_id
+  WHERE s.rk2 <= cap.cap - COALESCE(l.used, 0)
+),
+third AS (
+  SELECT r.vec_id, r.cent_id, r.cos, 3 AS choice
+  FROM ranked r
+  JOIN (SELECT s.vec_id FROM second s CROSS JOIN cap
+        LEFT JOIN load1 l ON l.cent_id = s.cent_id
+        WHERE s.rk2 > cap.cap - COALESCE(l.used, 0)) o2
+    ON o2.vec_id = r.vec_id
+  WHERE r.choice_rk = 3
+)
+SELECT vec_id, CAST(cent_id AS BIGINT) AS cent_id,
+       ROUND(cos, 6) AS cosine, CAST(choice AS INT) AS choice
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM kept2
+      UNION ALL SELECT * FROM third)
+"""
+
+
+@query("kmeans_balanced_assign_r2", oracle=_BAL2_ORACLE)
+def kmeans_balanced_assign_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round capacity-balanced assignment (PLANS r10 queue:
+    spill-cap enforcement at choice 2): round 1 is
+    kmeans_balanced_assign's keep-top-cap-per-centroid; round 2 ranks
+    the spilled vectors per SECOND-choice centroid and admits only up to
+    that centroid's REMAINING capacity (cap - round-1 load), so after
+    two rounds every cell's choice-1+2 load is <= cap exactly — round
+    1's one-round form only bounds it by cap + spill-in. Whatever still
+    overflows lands at its third choice (choice = 3), the trivially
+    repeatable next round.
+
+    Exactness: the same integer cap and bit-exact sequential cosine as
+    round 1; remaining capacity is integer arithmetic over the
+    broadcast K-row round-1 load table, so admission can never diverge
+    cross-engine. Scale: two windows on high-cardinality keys plus one
+    K-row broadcast — same shape as round 1, one more pass."""
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(transform(v, x -> x * x),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        ),
+    )
+    from pyspark.sql import Window
+
+    cents = F.broadcast(
+        vecs.filter(F.expr(_BAL_SEED_SQL)).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    n = vecs.count()
+    k = vecs.filter(F.expr(_BAL_SEED_SQL)).count()
+    cap = -(-_BAL_SLACK_NUM * n // (_BAL_SLACK_DEN * k))
+    w_choice = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id")
+    )
+    ranked = (
+        vecs.crossJoin(cents)
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(v, cv, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (nrm * cn)"
+            ),
+        )
+        .withColumn("choice_rk", F.row_number().over(w_choice))
+        .select("vec_id", "cent_id", "cos", "choice_rk")
+        .localCheckpoint()
+    )
+    w_cap = Window.partitionBy("cent_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    first = ranked.filter(F.col("choice_rk") == 1).withColumn(
+        "cap_rk", F.row_number().over(w_cap)
+    )
+    kept = first.filter(F.col("cap_rk") <= cap).select(
+        "vec_id", "cent_id", "cos", F.lit(1).alias("choice")
+    )
+    load1 = kept.groupBy("cent_id").agg(
+        F.count("*").cast("bigint").alias("used")
+    )
+    overflow1 = first.filter(F.col("cap_rk") > cap).select("vec_id")
+    second = (
+        ranked.filter(F.col("choice_rk") == 2)
+        .join(overflow1, "vec_id")
+        .withColumn("rk2", F.row_number().over(w_cap))
+    )
+    with_cap = second.join(F.broadcast(load1), "cent_id", "left").withColumn(
+        "remaining", F.lit(cap) - F.coalesce(F.col("used"), F.lit(0))
+    )
+    kept2 = with_cap.filter(F.col("rk2") <= F.col("remaining")).select(
+        "vec_id", "cent_id", "cos", F.lit(2).alias("choice")
+    )
+    overflow2 = with_cap.filter(F.col("rk2") > F.col("remaining")).select(
+        "vec_id"
+    )
+    third = (
+        ranked.filter(F.col("choice_rk") == 3)
+        .join(overflow2, "vec_id")
+        .select("vec_id", "cent_id", "cos", F.lit(3).alias("choice"))
+    )
+    return kept.unionByName(kept2).unionByName(third).select(
+        "vec_id",
+        F.col("cent_id").cast("bigint").alias("cent_id"),
+        F.round("cos", 6).alias("cosine"),
+        F.col("choice").cast("int").alias("choice"),
+    )

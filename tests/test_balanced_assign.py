@@ -81,3 +81,26 @@ def test_cap_integer_ceiling_matches_exact_rational():
                 if n == 220 and k == 11:
                     assert math.ceil(1.1 * n / k) == got + 1
     assert boundary_hit
+
+
+def test_r2_strict_cap_and_coverage(spark, sf_dir):
+    """Two-round form (r10): every vector exactly once; choice-1+2 load
+    per centroid <= cap EXACTLY (round 1 only bounds cap + spill-in);
+    choice-3 rows really overflowed round 2's remaining capacity."""
+    out = CL.kmeans_balanced_assign_r2(spark, sf_dir).collect()
+    vecs = load(spark, sf_dir, "embeddings")
+    n = vecs.count()
+    k = vecs.filter(F.expr(CL._BAL_SEED_SQL)).count()
+    cap = -(-CL._BAL_SLACK_NUM * n // (CL._BAL_SLACK_DEN * k))
+
+    assert len(out) == n
+    assert len({r["vec_id"] for r in out}) == n
+    load12 = {}
+    for r in out:
+        assert r["choice"] in (1, 2, 3)
+        if r["choice"] in (1, 2):
+            load12[r["cent_id"]] = load12.get(r["cent_id"], 0) + 1
+    for cent, cnt in load12.items():
+        assert cnt <= cap, (cent, cnt, cap)
+    # the fixture must actually exercise round 2 (and ideally round 3)
+    assert any(r["choice"] == 2 for r in out)

@@ -164,6 +164,7 @@ SHUFFLE_CEILING: dict[str, int] = {
     "graph_bfs_distance": 16,  # fixed frontier rounds x (join + distinct + anti)
     "link_prediction_adamic_adar": 10,  # reverse cap + candidate join + 2 anti + score + top-k over the checkpointed capped adjacency
     "graph_clustering_coefficient": 16,  # degree-orientation joins + two oriented triangle legs + corner-credit rollup (each post-checkpoint, linear)
+    "kmeans_balanced_assign_r2": 14,  # 2 enforcement rounds: 3 per-centroid windows + K-row load agg + overflow joins + 3-way union; every shuffle keyed on vec_id/cent_id, linear
 }
 
 
