@@ -292,6 +292,7 @@ HEADLINE = [
     "eval_pass_at_k_ci",
     "mmr_over_index",
     "kmeans_balanced_assign_r2",
+    "stream_jdbc_cdc_upsert",
 ]
 
 

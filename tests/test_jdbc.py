@@ -125,3 +125,52 @@ def test_registered_jdbc_queries_run(spark, sf_dir):
     rows = {r["nation"]: r for r in mu.collect()}
     assert rows  # per-nation aggregate over merged supplier table
     assert all(r["n_rows"] > 0 for r in rows.values())
+
+
+def test_conditional_merge_is_order_independent(spark, url):
+    """Pins the Derby semantics stream_jdbc_cdc_upsert relies on: MERGE
+    SET expressions evaluate against the PRE-update row (SQL standard),
+    so a newer-wins CASE + additive counter converge to the same state
+    whichever order the batches apply in."""
+    from dig_aggregator_core_spark.sources.jdbcio import jdbc_execute
+
+    newer = 's."ts" > t."ts"'
+    merge = (
+        'MERGE INTO "oi_state" t USING "oi_stage" s ON t."k" = s."k"'
+        " WHEN MATCHED THEN UPDATE SET "
+        f'"ts" = CASE WHEN {newer} THEN s."ts" ELSE t."ts" END, '
+        f'"v" = CASE WHEN {newer} THEN s."v" ELSE t."v" END, '
+        '"n" = t."n" + s."n"'
+        ' WHEN NOT MATCHED THEN INSERT ("k", "ts", "v", "n")'
+        ' VALUES (s."k", s."ts", s."v", s."n")'
+    )
+    batch_a = [(1, 10, "a10", 2), (2, 5, "b5", 1)]
+    batch_b = [(1, 7, "a7", 3), (3, 1, "c1", 1)]  # k=1 OLDER in batch b
+
+    def run(order):
+        jdbc_execute(
+            spark, url,
+            'CREATE TABLE "oi_state" ("k" BIGINT PRIMARY KEY,'
+            ' "ts" BIGINT, "v" VARCHAR(16), "n" BIGINT)',
+        )
+        for rows in order:
+            df = spark.createDataFrame(
+                rows, "k bigint, ts bigint, v string, n bigint"
+            )
+            write_jdbc(
+                df.coalesce(1), url, '"oi_stage"', mode="overwrite",
+                create_types="v VARCHAR(16)",
+            )
+            jdbc_execute(spark, url, merge)
+        got = {
+            (r["k"], r["ts"], r["v"], r["n"])
+            for r in read_jdbc(spark, url, '"oi_state"').collect()
+        }
+        jdbc_execute(spark, url, 'DROP TABLE "oi_state"')
+        return got
+
+    ab = run([batch_a, batch_b])
+    ba = run([batch_b, batch_a])
+    assert ab == ba
+    # and the converged state is newer-wins with accumulated counts
+    assert ab == {(1, 10, "a10", 5), (2, 5, "b5", 1), (3, 1, "c1", 1)}
