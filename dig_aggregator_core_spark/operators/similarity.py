@@ -2197,7 +2197,13 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     query distance tables (|q| x M x K rows, broadcast) join the
     exploded codes (N x M rows) on (m, code) and aggregate SUM(partial)
     per (query, vector) — one partial-agg shuffle, map-side combined;
-    never a query x corpus cartesian. The exact-cosine pass touches only
+    never a query x corpus cartesian. (An r10 A/B replaced this with
+    ann_ivf_pq's per-pair lookup fold and REVERTED it: the flat scan's
+    pair join is unselective, so the fold rides a row-at-a-time
+    BroadcastNestedLoopJoin — 165 s vs this plan's ~74 s at the x100
+    proof. The fold wins only where a selective hash join keys the
+    pairs, as the cell key does in ann_ivf_pq.) The exact-cosine pass
+    touches only
     R rows per query. At 100 TB the flat ADC scan composes with
     ann_ivf_probe's cell confinement (scan only probed cells' codes) and
     the codes relation is ~1/128 the corpus bytes, so the scan is
