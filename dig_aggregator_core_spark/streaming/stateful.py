@@ -46,13 +46,25 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries here either emit no ts-derived columns or invert the embedding
     with tables.instant_as_ntz before emitting.
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    if os.path.isdir(src):
+        # multi-file dataset (e.g. the scaleproof corpora): stream the
+        # directory itself — the single-file glob below would match NO
+        # leaf files and silently stream zero rows (caught by the r10
+        # stream_jdbc_cdc_upsert x100 row reading 0.3x)
+        stream = spark.readStream.schema(raw_schema).parquet(src)
+    else:
+        # driver fixture: events.parquet is one FILE, so stream the
+        # parent dir filtered to exactly that file
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -1269,7 +1281,14 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over documents.parquet — the shape of a corpus
     arriving continuously from a crawler/ingest bus rather than sitting
     complete in a lake."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    import os
+
+    src = f"{sf_dir}/documents.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    if os.path.isdir(src):
+        # multi-file dataset: the single-file glob below would stream
+        # zero rows (same hazard as _events_stream, fixed r10)
+        return spark.readStream.schema(raw_schema).parquet(src)
     return (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
