@@ -256,12 +256,19 @@ class JdbcRunsLedger:
         return self._read().collect()
 
     def insert(self, stage, output, inputs, now=None) -> None:
+        self.insert_many(stage, {output: list(inputs)}, now)
+
+    def insert_many(self, stage, outputs_map, now=None) -> None:
+        """Batched upsert covering every output of a run in ONE staged
+        MERGE (the parquet twin's one-versioned-write economics, here
+        one database round-trip)."""
         from ..plans.ledger import RUNS_SCHEMA, utc_now
 
         ts = now or utc_now()
         rows = [
             (self.project, self.method, stage, i.key, i.version, output, ts)
-            for i in sorted(inputs, key=lambda x: x.key)
+            for output in sorted(outputs_map)
+            for i in sorted(outputs_map[output], key=lambda x: x.key)
         ]
         if not rows:
             return
@@ -294,3 +301,158 @@ class JdbcRunsLedger:
             f"\"output\" = '{esc(output)}'",
         )
         return 0
+
+
+def _ts_literal(dt) -> str:
+    """A Derby/standard TIMESTAMP literal with microsecond precision
+    (JDBC escape syntax, accepted by Derby, MySQL and Postgres)."""
+    return "{ts '" + dt.strftime("%Y-%m-%d %H:%M:%S.%f") + "'}"
+
+
+class JdbcRunStatusLedger:
+    """The reference `runstatus` table on its native modality (reference
+    runstatus.sql:1-12; RunStatus.scala:56-128): per-output lifecycle
+    with the re-insert-RESETS-started/ended rule (RunStatus.scala:79-83)
+    expressed as the MERGE's matched arm. Twin of
+    plans.ledger.RunStatusLedger — same public surface, so a Context can
+    swap the parquet ledgers for database ones (jdbc_context below)."""
+
+    KEY = ["project", "method", "stage", "output"]
+
+    def __init__(
+        self, spark: SparkSession, url: str, project: str, method: str
+    ):
+        self.spark = spark
+        self.url = url
+        self.project = project
+        self.method = method
+
+    def migrate(self) -> None:
+        conn = self.spark._jvm.java.sql.DriverManager.getConnection(  # noqa: SLF001
+            self.url
+        )
+        try:
+            rs = conn.getMetaData().getTables(None, None, "runstatus", None)
+            exists = rs.next()
+            rs.close()
+        finally:
+            conn.close()
+        if not exists:
+            jdbc_execute(
+                self.spark,
+                self.url,
+                'CREATE TABLE "runstatus" ('
+                '"project" VARCHAR(200) NOT NULL, '
+                '"method" VARCHAR(200) NOT NULL, '
+                '"stage" VARCHAR(200) NOT NULL, '
+                '"output" VARCHAR(1024) NOT NULL, '
+                '"started" TIMESTAMP, "ended" TIMESTAMP, '
+                '"created" TIMESTAMP NOT NULL, '
+                # runstatus.sql:11 — the unique key
+                'CONSTRAINT "runstatus_uk" UNIQUE '
+                '("project", "method", "stage", "output"))',
+            )
+
+    def drop(self) -> None:
+        jdbc_execute(self.spark, self.url, 'DROP TABLE "runstatus"')
+
+    def _read(self) -> DataFrame:
+        return read_jdbc(self.spark, self.url, '"runstatus"')
+
+    def all(self) -> list:
+        return self._read().collect()
+
+    def insert(self, stage, output, now=None) -> None:
+        self.insert_many(stage, [output], now)
+
+    def insert_many(self, stage, outputs, now=None) -> None:
+        from ..plans.ledger import RUNSTATUS_SCHEMA, utc_now
+
+        ts = now or utc_now()
+        rows = [
+            (self.project, self.method, stage, o, None, None, ts)
+            for o in sorted(outputs)
+        ]
+        if not rows:
+            return
+        new = self.spark.createDataFrame(rows, RUNSTATUS_SCHEMA)
+        # MERGE's matched arm IS the reset rule: started/ended -> NULL
+        jdbc_upsert(self.spark, self.url, "runstatus", new, self.KEY)
+
+    def _esc(self, s: str) -> str:
+        return s.replace("'", "''")
+
+    def _set_many(self, stage, outputs, col, ts) -> None:
+        if not outputs:
+            return
+        in_list = ", ".join(f"'{self._esc(o)}'" for o in sorted(outputs))
+        jdbc_execute(
+            self.spark,
+            self.url,
+            f'UPDATE "runstatus" SET "{col}" = {_ts_literal(ts)} WHERE '
+            f"\"project\" = '{self._esc(self.project)}' AND "
+            f"\"method\" = '{self._esc(self.method)}' AND "
+            f"\"stage\" = '{self._esc(stage)}' AND "
+            f'"output" IN ({in_list})',
+        )
+
+    def start(self, stage, output, now=None) -> None:
+        from ..plans.ledger import utc_now
+
+        self._set_many(stage, [output], "started", now or utc_now())
+
+    def start_many(self, stage, outputs, now=None) -> None:
+        from ..plans.ledger import utc_now
+
+        self._set_many(stage, list(outputs), "started", now or utc_now())
+
+    def end(self, stage, output, now=None) -> None:
+        from ..plans.ledger import utc_now
+
+        self._set_many(stage, [output], "ended", now or utc_now())
+
+    def end_many(self, stage, outputs, now=None) -> None:
+        from ..plans.ledger import utc_now
+
+        self._set_many(stage, list(outputs), "ended", now or utc_now())
+
+    def of(self, stage: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return self._read().filter(
+            (F.col("project") == self.project)
+            & (F.col("method") == self.method)
+            & (F.col("stage") == stage)
+        )
+
+    def delete(self, stage: str, output: str) -> int:
+        jdbc_execute(
+            self.spark,
+            self.url,
+            'DELETE FROM "runstatus" WHERE '
+            f"\"project\" = '{self._esc(self.project)}' AND "
+            f"\"method\" = '{self._esc(self.method)}' AND "
+            f"\"stage\" = '{self._esc(stage)}' AND "
+            f"\"output\" = '{self._esc(output)}'",
+        )
+        return 0
+
+
+def jdbc_context(spark, project, method, warehouse, lister, url):
+    """A plans.context.Context whose provenance ledgers live in a
+    DATABASE over JDBC instead of parquet — the reference's actual
+    deployment (its Context talks to MySQL; Db.scala:53). Everything
+    else (listing, staging, stages, jobs) is unchanged: the ledger
+    surface is identical, so the whole Method machinery runs against
+    either store (pinned by the end-to-end twin in tests/test_jdbc.py)."""
+    from ..plans.context import Context
+
+    return Context(
+        spark=spark,
+        project=project,
+        method_name=method,
+        warehouse=warehouse,
+        lister=lister,
+        _runs=JdbcRunsLedger(spark, url, project, method),
+        _status=JdbcRunStatusLedger(spark, url, project, method),
+    )

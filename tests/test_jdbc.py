@@ -174,3 +174,94 @@ def test_conditional_merge_is_order_independent(spark, url):
     assert ab == ba
     # and the converged state is newer-wins with accumulated counts
     assert ab == {(1, 10, "a10", 5), (2, 5, "b5", 1), (3, 1, "c1", 1)}
+
+
+def test_jdbc_runstatus_reset_and_lifecycle(spark, url):
+    """Twin of the parquet RunStatus tests: insert -> start -> end sets
+    the lifecycle; re-insert of an existing key RESETS started/ended to
+    NULL (reference RunStatus.scala:79-83) via the MERGE's matched arm."""
+    from dig_aggregator_core_spark.sources.jdbcio import JdbcRunStatusLedger
+
+    st = JdbcRunStatusLedger(spark, url, "test", "TestMethod")
+    st.migrate()
+    try:
+        st.insert("S", "o1")
+        st.start("S", "o1", T0)
+        st.end("S", "o1", T0 + timedelta(seconds=5))
+        rows = {r.output: r for r in st.all()}
+        assert rows["o1"].started == T0
+        assert rows["o1"].ended == T0 + timedelta(seconds=5)
+
+        st.insert("S", "o1")  # re-insert resets lifecycle
+        rows = {r.output: r for r in st.all()}
+        assert rows["o1"].started is None and rows["o1"].ended is None
+        st.delete("S", "o1")
+        assert st.all() == []
+    finally:
+        st.drop()
+
+
+def test_method_end_to_end_against_jdbc_ledgers(spark, tmp_path):
+    """The full Method machinery (discover -> route -> run -> commit ->
+    delta on re-run) against DATABASE ledgers — the reference's actual
+    deployment shape (its Context talks to MySQL over JDBC; Db.scala:53).
+    Mirrors tests/test_end_to_end_method.py's first scenario, swapping
+    only the ledger store via jdbc_context."""
+    import time as _time
+
+    from dig_aggregator_core_spark.plans.context import local_lister
+    from dig_aggregator_core_spark.plans.opts import Opts
+    from dig_aggregator_core_spark.sources.jdbcio import jdbc_context
+    from tests.test_end_to_end_method import (
+        FrequencyStage,
+        read_result,
+        write_dataset,
+    )
+
+    data = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    write_dataset(data, "AFR", "d1", [("v1", 0.1, 1.0)], 10.0)
+    write_dataset(data, "EUR", "d1", [("v3", 0.5, 5.0)], 10.0)
+
+    ctx = jdbc_context(
+        spark,
+        project="itest_jdbc",
+        method="FrequencyMethod",
+        warehouse=str(tmp_path / "wh"),
+        lister=local_lister(data),
+        url=derby_url(scratch_db("e2e")),
+    )
+    ctx.runs.migrate()
+    ctx.runstatus.migrate()
+    try:
+        stage = FrequencyStage(ctx, data, out)
+        stage.run(Opts(yes=True))
+        assert sorted(stage.jobs_run) == ["AFR", "EUR"]
+        assert read_result(spark, f"{out}/AFR") == {"v1": (0.1, 1.0)}
+
+        # provenance committed to the DATABASE: inputs per output
+        by_out = {}
+        for r in ctx.runs.of("FrequencyStage").collect():
+            by_out.setdefault(r.output, set()).add(r.input)
+        assert "variants/AFR/d1/part-00000.json" in by_out["AFR"]
+        assert "variants/EUR/d1/metadata" in by_out["AFR"]  # ALL-routed
+
+        # lifecycle rows closed
+        st = {r.output: r for r in ctx.runstatus.of("FrequencyStage").collect()}
+        assert st["AFR"].started is not None and st["AFR"].ended is not None
+
+        # quiescent re-run: fresh ledger -> zero jobs
+        stage.jobs_run.clear()
+        stage.run(Opts(yes=True))
+        assert stage.jobs_run == []
+
+        # a new dataset lands -> delta re-run (metadata is ALL-routed)
+        _time.sleep(1.1)
+        write_dataset(data, "AFR", "d2", [("v1", 0.3, 3.0)], 30.0)
+        stage.jobs_run.clear()
+        stage.run(Opts(yes=True))
+        assert sorted(stage.jobs_run) == ["AFR", "EUR"]
+        assert read_result(spark, f"{out}/AFR")["v1"] == (0.25, 2.5)
+    finally:
+        ctx.runs.drop()
+        ctx.runstatus.drop()
