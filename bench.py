@@ -293,6 +293,7 @@ HEADLINE = [
     "mmr_over_index",
     "kmeans_balanced_assign_r2",
     "stream_jdbc_cdc_upsert",
+    "ann_ivf_pq_trained",
 ]
 
 

@@ -39,11 +39,12 @@ _DIST_SQL = (
 )
 
 
-def _kmeans_oracle() -> str:
-    """Chained-CTE replay of the iteration schedule: c0 = init, then
-    ITERS rounds of (assign a{i} against c{i-1}, centroids c{i} from
-    a{i}); report counts from the last assignment and the first two
-    dimensions of the centroids it induces."""
+def kmeans_cent_ctes() -> tuple[list[str], str]:
+    """The chained-CTE replay of the TRAINING schedule (c0 = init, then
+    ITERS-1 rounds of assign + re-estimate): returns (ctes, final) with
+    `final` naming the trained (cid, v) centroid set — shared by
+    _kmeans_oracle and ann_ivf_pq_trained's oracle so the two can never
+    drift."""
     ctes = [
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
         " FROM embeddings)",
@@ -51,7 +52,7 @@ def _kmeans_oracle() -> str:
         f" AS BIGINT) AS cid, v FROM (SELECT vec_id, v FROM v"
         f" ORDER BY vec_id LIMIT {K}))",
     ]
-    for i in range(1, ITERS + 1):
+    for i in range(1, ITERS):
         ctes.append(
             f"a{i} AS (SELECT vec_id, v, cid FROM ("
             f" SELECT x.vec_id, x.v, c.cid,"
@@ -59,14 +60,30 @@ def _kmeans_oracle() -> str:
             f" ORDER BY {_DIST_SQL}, c.cid) AS rn"
             f" FROM v x CROSS JOIN c{i - 1} c) WHERE rn = 1)"
         )
-        if i < ITERS:
-            ctes.append(
-                f"c{i} AS (SELECT cid, list(m ORDER BY pos) AS v FROM ("
-                f" SELECT cid, pos, ROUND(AVG(a.v[CAST(pos AS INT)]), 6)"
-                f" AS m FROM a{i} a CROSS JOIN"
-                f" (SELECT unnest(range(1, {DIM + 1})) AS pos) p"
-                f" GROUP BY cid, pos) GROUP BY cid)"
-            )
+        ctes.append(
+            f"c{i} AS (SELECT cid, list(m ORDER BY pos) AS v FROM ("
+            f" SELECT cid, pos, ROUND(AVG(a.v[CAST(pos AS INT)]), 6)"
+            f" AS m FROM a{i} a CROSS JOIN"
+            f" (SELECT unnest(range(1, {DIM + 1})) AS pos) p"
+            f" GROUP BY cid, pos) GROUP BY cid)"
+        )
+    return ctes, f"c{ITERS - 1}"
+
+
+def _kmeans_oracle() -> str:
+    """Chained-CTE replay of the iteration schedule: c0 = init, then
+    ITERS rounds of (assign a{i} against c{i-1}, centroids c{i} from
+    a{i}); report counts from the last assignment and the first two
+    dimensions of the centroids it induces."""
+    ctes, final = kmeans_cent_ctes()
+    ctes = list(ctes)
+    ctes.append(
+        f"a{ITERS} AS (SELECT vec_id, v, cid FROM ("
+        f" SELECT x.vec_id, x.v, c.cid,"
+        f" ROW_NUMBER() OVER (PARTITION BY x.vec_id"
+        f" ORDER BY {_DIST_SQL}, c.cid) AS rn"
+        f" FROM v x CROSS JOIN {final} c) WHERE rn = 1)"
+    )
     return (
         "WITH " + ",\n".join(ctes) + f"\n"
         f"SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_points,"
@@ -100,17 +117,15 @@ def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
     )
 
 
-@query("kmeans_embeddings", oracle=_kmeans_oracle())
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means (k={K}, {ITERS} Lloyd iterations) over the
-    embedding corpus: the iterative-algorithm family member beyond
-    dedup_connected_components, and the trainer for ann_ivf_probe's
-    centroid table.
-
-    The driver loop runs ITERS-1 explicit rounds — each collects only the
-    k x dim centroid matrix (metadata) and re-broadcasts it as literals —
-    and the returned plan fuses the last assign + re-estimate step, so
-    the harness hash-checks the full schedule end to end."""
+def trained_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """The ITERS-1-round trained (cid, centroid) list — the exact
+    centroid state kmeans_embeddings' returned plan assigns against.
+    Factored so ann_ivf_pq_trained (similarity.py) can use the TRAINED
+    coarse quantizer; every coordinate is 6dp-rounded each round, so
+    the set is bit-identical cross-engine and the DuckDB chained-CTE
+    replay reproduces it exactly."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -133,6 +148,25 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cid, [dims[p] for p in sorted(dims)])
             for cid, dims in sorted(by_cid.items())
         ]
+    return cents
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k={K}, {ITERS} Lloyd iterations) over the
+    embedding corpus: the iterative-algorithm family member beyond
+    dedup_connected_components, and the trainer for ann_ivf_probe's
+    centroid table.
+
+    The driver loop runs ITERS-1 explicit rounds — each collects only the
+    k x dim centroid matrix (metadata) and re-broadcasts it as literals —
+    and the returned plan fuses the last assign + re-estimate step, so
+    the harness hash-checks the full schedule end to end."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    cents = trained_centroids(spark, sf_dir)
     cdf = spark.createDataFrame(cents, "cid bigint, c array<double>")
     return (
         _assign(emb, cdf)

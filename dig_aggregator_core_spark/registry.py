@@ -349,12 +349,13 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # CORRECTNESS_r09.json drained the r9 queue (all 30 evictions + all 19
 # r9 registrations re-/first-verified green, 50/50), so every one of the
 # 368 pre-r10 names has driver evidence on its r9-era plan. Final r10
-# queue: 14 names = 6 evictions (3 ADVICE fixes + ann_ivf_probe
+# queue: 15 names = 6 evictions (3 ADVICE fixes + ann_ivf_probe
 # broadcast fix + stream_cc profile rewrite + dedup_embedding_cosine
-# adaptive width) + 8 r10 registrations (scan_jdbc_roundtrip,
+# adaptive width) + 9 r10 registrations (scan_jdbc_roundtrip,
 # jdbc_merge_upsert, ann_ivf_pq, ann_index_probe_join,
 # eval_pass_at_k_ci, mmr_over_index, kmeans_balanced_assign_r2,
-# stream_jdbc_cdc_upsert) — far under the ~50 budget; registrations
+# stream_jdbc_cdc_upsert, and the r11-queue pull-forward
+# ann_ivf_pq_trained) — far under the ~50 budget; registrations
 # closed for the round.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 

@@ -37,3 +37,18 @@ def test_ivf_pq_recall_matches_flat_adc(spark):
     composed = _recall(_topk_sets(ann_ivf_pq(spark, SF_DIR)), exact)
     assert composed >= flat, (composed, flat)
     assert composed >= 0.6, composed  # absolute floor (measured 0.80)
+
+
+def test_ivf_pq_trained_recall_matches_flat_adc(spark):
+    """The trained-quantizer composition at its shipped nprobe matches
+    the flat baseline (measured 0.80 == 0.80 on this panel); the floor
+    guards a silently-empty probe set."""
+    from dig_aggregator_core_spark.operators.similarity import (
+        ann_ivf_pq_trained,
+    )
+
+    exact = _topk_sets(ann_topk_bruteforce(spark, SF_DIR))
+    flat = _recall(_topk_sets(ann_pq_adc(spark, SF_DIR)), exact)
+    trained = _recall(_topk_sets(ann_ivf_pq_trained(spark, SF_DIR)), exact)
+    assert trained >= flat - 0.05, (trained, flat)
+    assert trained >= 0.7, trained

@@ -74,6 +74,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "ann_ivf_probe": "k-row centroid table crossed for assignment + probe scoring",
         "ann_pq_adc": "1-row codebook frame (16x64 ints) broadcast-crossed onto corpus + queries; ADC itself is an equi-join on (m, code)",
         "ann_ivf_pq": "k-row centroid table + 1-row codebook frame broadcast-crossed (the ann_ivf_probe + ann_pq_adc devices); ADC is an equi-join on (cent_id, m, code)",
+        "ann_ivf_pq_trained": "K=4 trained centroid frame + 1-row codebook frame broadcast-crossed; ADC fold joins on the cell key",
         "mmr_diversified_topk": "1-row adaptive-width frame broadcast-crossed (the ann_lsh_buckets device); candidate/sim joins are equi on query_id",
         "semdedup_clusters": "metadata-sized seed-centroid table broadcast for assignment",
         "ann_lsh_adaptive": "1-row bucket-bit-count frame broadcast onto the corpus",
