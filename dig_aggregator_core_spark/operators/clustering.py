@@ -117,6 +117,13 @@ def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
     )
 
 
+# session memo for the trained centroid set (the _SH_CACHE convention:
+# keyed by dir fingerprint, one corpus per session) — a pipeline trains
+# its quantizer once per corpus; kmeans_embeddings and
+# ann_ivf_pq_trained both consume the same training run
+_CENT_CACHE: dict = {}
+
+
 def trained_centroids(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, list[float]]]:
@@ -126,6 +133,14 @@ def trained_centroids(
     coarse quantizer; every coordinate is 6dp-rounded each round, so
     the set is bit-identical cross-engine and the DuckDB chained-CTE
     replay reproduces it exactly."""
+    from ..tables import dir_fingerprint
+
+    key = (spark, sf_dir, dir_fingerprint(sf_dir))
+    hit = _CENT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for stale in [k for k in _CENT_CACHE if k[0] is spark]:
+        _CENT_CACHE.pop(stale)
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -148,6 +163,7 @@ def trained_centroids(
             (cid, [dims[p] for p in sorted(dims)])
             for cid, dims in sorted(by_cid.items())
         ]
+    _CENT_CACHE[key] = cents
     return cents
 
 
