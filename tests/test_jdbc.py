@@ -265,3 +265,30 @@ def test_method_end_to_end_against_jdbc_ledgers(spark, tmp_path):
     finally:
         ctx.runs.drop()
         ctx.runstatus.drop()
+
+
+def test_job_side_commit_runs_against_jdbc_ledger(spark, runs):
+    """The job-side commitRun hook (reference commitRun.py:24-71)
+    against the DATABASE ledger: a job upserts its own provenance
+    mid-run through the same MERGE path; dryrun is a no-op."""
+    from dig_aggregator_core_spark.plans.stage import JobContext
+
+    jc = JobContext(
+        spark=spark, method="TestMethod", stage="S", output="o1",
+        prefix="out/TestMethod/S", dryrun=False, runs=runs,
+    )
+    jc.commit_runs([inp("i1"), inp("i2", 5)])
+    assert {(r.input, r.output) for r in runs.all()} == {
+        ("i1", "o1"), ("i2", "o1")
+    }
+    # idempotent re-commit (same keys, same versions): still 2 rows
+    jc.commit_runs([inp("i1"), inp("i2", 5)])
+    assert len(runs.all()) == 2
+
+    dry = JobContext(
+        spark=spark, method="TestMethod", stage="S", output="o2",
+        prefix="test/TestMethod/S", dryrun=True, runs=runs,
+    )
+    dry.commit_runs([inp("i3")])
+    assert len(runs.all()) == 2  # dryrun committed nothing
+    runs.delete("S", "o1")
