@@ -296,8 +296,21 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "sink_webdataset_shards", "stream_ann_index_append",
         "stream_cc_incremental", "stream_dedup_minhash",
         "tokenizer_unigram_em_step", "tokenizer_unigram_viterbi",
-        # (kmeans_balanced_assign, eval_pass_at_k, ann_pq_adc were also
-        # r9-green but are in the r10 eviction below)
+        # green in CORRECTNESS_r10.json (50 rows, all hash-verified):
+        # the r10 subtraction (6 plan-change evictions) all re-verified
+        # green on their current plans, so that subtraction folded away
+        # (kmeans_balanced_assign, eval_pass_at_k, ann_pq_adc,
+        # ann_ivf_probe, stream_cc_incremental, dedup_embedding_cosine
+        # are back in the literal above); plus these 9 r10
+        # registrations:
+        "scan_jdbc_roundtrip", "jdbc_merge_upsert", "ann_ivf_pq",
+        "ann_index_probe_join", "eval_pass_at_k_ci", "mmr_over_index",
+        "kmeans_balanced_assign_r2", "stream_jdbc_cdc_upsert",
+        "ann_ivf_pq_trained",
+        # and the three r9-green names that had only ever lived in the
+        # r10 eviction comment (never in this literal), now r10-green
+        # on their post-ADVICE plans:
+        "kmeans_balanced_assign", "eval_pass_at_k", "ann_pq_adc",
     }
     # RE-VERIFY CONVENTION, now mechanical (VERDICT r7 task 2): any query
     # whose PHYSICAL PLAN changed after its latest driver evidence is
@@ -307,36 +320,13 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
     # effective value (the r7 per-family state-partition split left every
     # applyInPandasWithState fold at 16 partitions, identical to the
     # value its r3–r6 evidence ran under, so the fold twins stay
-    # verified). Evicted for r10 (the r9 subtraction of 30 all
-    # re-verified green in CORRECTNESS_r09.json, so it was folded away):
+    # verified). Evicted for r11 (the r10 subtraction of 6 all
+    # re-verified green in CORRECTNESS_r10.json, so it was folded away):
     - frozenset(
         {
-            # r10 ADVICE fixes, each changing the shipping expression
-            # after its r9 evidence: kmeans_balanced_assign's cap is now
-            # an exact integer ceiling (same value at fixture SFs, but
-            # both oracle and Spark literal changed); eval_pass_at_k
-            # gained the c=0 guard branch; ann_pq_adc's exact-rerank
-            # broadcast side is now query-filtered. All three
-            # sweep-green at sf0.01 AND sf0.1 post-fix.
-            "kmeans_balanced_assign",
-            "eval_pass_at_k",
-            "ann_pq_adc",
-            # same ADVICE class applied to ann_ivf_probe: the rerank
-            # broadcast side is now query-filtered (plan changed)
-            "ann_ivf_probe",
-            # r10 profile pass (VERDICT r9 task 7): shingled corpus
-            # checkpointed once, batch-side u-leg in the verify join,
-            # band accumulator kept as lazy union of checkpointed
-            # pieces (true O(batch) append) — plan changed, re-verify;
-            # stream==batch hash-equality tests still green
-            "stream_cc_incremental",
-            # r10 x100 catch (VERDICT r9 task 1): the fixed-4-bit sign
-            # bucket made the embedding near-dup verify N^2/160 (block
-            # count constant, block size tracking N — the run had to be
-            # killed at x100); width is now occupancy-adaptive on both
-            # engines. Sweep-green sf0.01 + sf0.1; ground-truth twin
-            # recall pinned by tests/test_embedding_cosine_recall.py.
-            "dedup_embedding_cosine",
+            # r11 plan rewrites (VERDICT r10 tasks 2 & 4), each changing
+            # the shipping plan after its r10 evidence; names added here
+            # as the rewrites land.
         }
     )
 )
