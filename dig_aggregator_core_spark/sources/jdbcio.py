@@ -35,7 +35,9 @@ double-quotes identifiers to match.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 from typing import Optional, Sequence
 
@@ -43,16 +45,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
+# Derby scratch databases created BY THIS PROCESS, removed at interpreter
+# exit so repeated harness runs don't accumulate unbounded
+# /tmp/spark_graft_derby/* directories (ADVICE r10). Unlinking is safe
+# even if the embedded engine still holds the files open on Linux.
+_SCRATCH_PATHS: set = set()
+
+
+def _cleanup_scratch() -> None:
+    for p in _SCRATCH_PATHS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
+
 
 def scratch_db(name: str) -> str:
     """A per-process Derby database path. Embedded Derby allows exactly
     one booting JVM per database directory, so the pid suffix keeps a
     concurrently-running harness (sweep + driver) from fighting over the
     boot lock; content determinism is unaffected (the database is
-    (re)populated by the caller)."""
-    return os.path.join(
+    (re)populated by the caller). The path is removed at process exit."""
+    path = os.path.join(
         tempfile.gettempdir(), "spark_graft_derby", f"{name}_{os.getpid()}"
     )
+    _SCRATCH_PATHS.add(path)
+    return path
 
 
 def derby_url(db_path: str, create: bool = True) -> str:
@@ -61,10 +79,12 @@ def derby_url(db_path: str, create: bool = True) -> str:
 
 def _quiet_derby(spark: SparkSession) -> None:
     # embedded Derby writes derby.log into user.dir (the repo checkout
-    # when run from here) unless told otherwise
+    # when run from here) unless told otherwise; the target directory
+    # must exist or Derby falls back to user.dir anyway (ADVICE r10)
+    log_dir = os.path.join(tempfile.gettempdir(), "spark_graft_derby")
+    os.makedirs(log_dir, exist_ok=True)
     spark._jvm.java.lang.System.setProperty(  # noqa: SLF001
-        "derby.stream.error.file",
-        os.path.join(tempfile.gettempdir(), "spark_graft_derby", "derby.log"),
+        "derby.stream.error.file", os.path.join(log_dir, "derby.log")
     )
 
 
@@ -75,6 +95,8 @@ def write_jdbc(
     mode: str = "overwrite",
     driver: str = DERBY_DRIVER,
     create_types: Optional[str] = None,
+    user: Optional[str] = None,
+    password: Optional[str] = None,
 ) -> None:
     """Sink via df.write.jdbc — one connection per partition. Callers
     with many partitions of metadata-sized data should coalesce first;
@@ -86,6 +108,8 @@ def write_jdbc(
     writer = df.write.format("jdbc").options(
         url=url, dbtable=table, driver=driver
     )
+    if user:
+        writer = writer.options(user=user, password=password or "")
     if create_types:
         writer = writer.option("createTableColumnTypes", create_types)
     writer.mode(mode).save()
@@ -113,6 +137,8 @@ def read_jdbc(
     upper: Optional[int] = None,
     num_partitions: int = 4,
     driver: str = DERBY_DRIVER,
+    user: Optional[str] = None,
+    password: Optional[str] = None,
 ) -> DataFrame:
     """Scan via spark.read.jdbc. With a partition column the scan issues
     num_partitions range-bounded queries in parallel (the scale path);
@@ -121,6 +147,8 @@ def read_jdbc(
     reader = spark.read.format("jdbc").options(
         url=url, dbtable=table, driver=driver
     )
+    if user:
+        reader = reader.options(user=user, password=password or "")
     if partition_column is not None:
         reader = reader.options(
             partitionColumn=partition_column,
@@ -131,21 +159,42 @@ def read_jdbc(
     return reader.load()
 
 
-def jdbc_execute(spark: SparkSession, url: str, *statements: str) -> None:
+def _connect(spark: SparkSession, url: str, user: Optional[str] = None,
+             password: Optional[str] = None):
+    """DriverManager connection, with or without credentials (embedded
+    Derby takes the no-credential form; a secret-built MySQL/Postgres
+    ledger takes the 3-arg form)."""
+    jvm = spark._jvm  # noqa: SLF001
+    if user:
+        return jvm.java.sql.DriverManager.getConnection(
+            url, user, password or ""
+        )
+    return jvm.java.sql.DriverManager.getConnection(url)
+
+
+def jdbc_execute(
+    spark: SparkSession, url: str, *statements: str,
+    user: Optional[str] = None, password: Optional[str] = None,
+) -> list:
     """Run DDL/DML statements through the JVM's DriverManager on the
     driver (embedded Derby lives in the Spark JVM, so this is an
     in-process call; against a remote database it is one round-trip per
     statement). Each batch commits atomically via explicit transaction
-    control."""
+    control. Returns the per-statement affected-row counts
+    (Statement.getUpdateCount; -1 for statements with no update count,
+    e.g. DDL on some dialects) so DELETE/UPDATE callers can report how
+    many rows they touched — matching the reference's Quill delete,
+    which returns affected rows (Runs.scala:108-116)."""
     _quiet_derby(spark)
-    jvm = spark._jvm  # noqa: SLF001
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn = _connect(spark, url, user, password)
+    counts = []
     try:
         conn.setAutoCommit(False)
         stmt = conn.createStatement()
         try:
             for sql in statements:
-                stmt.execute(sql)
+                has_resultset = stmt.execute(sql)
+                counts.append(-1 if has_resultset else stmt.getUpdateCount())
             conn.commit()
         except Exception:
             conn.rollback()
@@ -154,10 +203,109 @@ def jdbc_execute(spark: SparkSession, url: str, *statements: str) -> None:
             stmt.close()
     finally:
         conn.close()
+    return counts
 
 
 def _q(ident: str) -> str:
     return '"' + ident + '"'
+
+
+class DbSecret:
+    """Secret-shaped database config → (url, driver, user, password) —
+    the reference builds its ledger connection from an RDS secret
+    (Db.scala:11-17; RdsConfig.Secret supplies engine/host/port/
+    username/password and connectionString(schema)). This is the same
+    constructor surface WITHOUT any cloud SDK: the secret material
+    arrives as a dict, a JSON file, environment variables, or a callable
+    returning any of those — whichever channel the deployment's secret
+    manager can reach.
+
+    Engine → driver mapping mirrors Db.scala:30-34 (unknown engine
+    raises, as the reference does); ``derby`` is the in-sandbox testable
+    engine, playing the role the reference's H2 constructor plays in its
+    tests (Db.scala:21-24)."""
+
+    _DRIVERS = {
+        "mysql": "com.mysql.cj.jdbc.Driver",
+        "postgresql": "org.postgresql.Driver",
+        "derby": DERBY_DRIVER,
+        "h2": "org.h2.Driver",
+    }
+
+    def __init__(self, engine, host, username="", password="",
+                 port=None, dbname=None):
+        if engine not in self._DRIVERS:
+            raise ValueError(f"Unhandled DB engine: {engine}")
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self.username = username or ""
+        self.password = password or ""
+        self.dbname = dbname
+
+    @property
+    def driver(self) -> str:
+        return self._DRIVERS[self.engine]
+
+    def connection_string(self, schema: Optional[str] = None) -> str:
+        """The JDBC url for `schema` (default: the secret's dbname) —
+        RdsConfig.Secret.connectionString twin. Credentials are NOT
+        embedded in the url; they travel as connection properties."""
+        db = schema or self.dbname or ""
+        if self.engine == "derby":
+            # host doubles as the database directory path; embedded
+            # Derby has no network endpoint
+            return derby_url(self.host if db == "" else
+                             os.path.join(self.host, db))
+        if self.engine == "h2":
+            return f"jdbc:h2:mem:{self.host};DB_CLOSE_DELAY=-1"
+        port = self.port or {"mysql": 3306, "postgresql": 5432}[self.engine]
+        return f"jdbc:{self.engine}://{self.host}:{port}/{db}"
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DbSecret":
+        """Accepts the RDS-secret JSON key spelling (engine/host/port/
+        username/password/dbname) — extra keys ignored."""
+        return cls(
+            engine=d["engine"], host=d["host"],
+            username=d.get("username", ""), password=d.get("password", ""),
+            port=d.get("port"), dbname=d.get("dbname"),
+        )
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "DbSecret":
+        import json
+
+        with open(path) as fh:
+            return cls.from_dict(json.load(fh))
+
+    @classmethod
+    def from_env(cls, prefix: str = "DB_", env=None) -> "DbSecret":
+        env = os.environ if env is None else env
+        port = env.get(prefix + "PORT")
+        return cls(
+            engine=env[prefix + "ENGINE"], host=env[prefix + "HOST"],
+            username=env.get(prefix + "USERNAME", ""),
+            password=env.get(prefix + "PASSWORD", ""),
+            port=int(port) if port else None,
+            dbname=env.get(prefix + "DBNAME"),
+        )
+
+    @classmethod
+    def resolve(cls, source) -> "DbSecret":
+        """Normalize any secret channel: a DbSecret passes through, a
+        dict parses, a str is a JSON file path, a callable is invoked
+        and its result re-resolved (the hook a real secrets manager
+        plugs into)."""
+        if isinstance(source, cls):
+            return source
+        if callable(source):
+            return cls.resolve(source())
+        if isinstance(source, dict):
+            return cls.from_dict(source)
+        if isinstance(source, str):
+            return cls.from_json_file(source)
+        raise TypeError(f"cannot resolve a DbSecret from {type(source)!r}")
 
 
 def jdbc_upsert(
@@ -166,6 +314,9 @@ def jdbc_upsert(
     table: str,
     new: DataFrame,
     key: Sequence[str],
+    driver: str = DERBY_DRIVER,
+    user: Optional[str] = None,
+    password: Optional[str] = None,
 ) -> None:
     """Upsert `new` into `table` on `key` with standard-SQL MERGE — the
     portable twin of the reference's ON DUPLICATE KEY UPDATE
@@ -183,7 +334,8 @@ def jdbc_upsert(
     # CLOB cannot appear in the MERGE ON comparison.
     write_jdbc(
         new, url, _q(staging), mode="overwrite",
-        create_types=varchar_types(new) or None,
+        driver=driver, create_types=varchar_types(new) or None,
+        user=user, password=password,
     )
     cols = new.columns
     non_key = [c for c in cols if c not in key]
@@ -197,6 +349,10 @@ def jdbc_upsert(
         f"MERGE INTO {_q(table)} t USING {_q(staging)} s ON {on} "
         + (f"WHEN MATCHED THEN UPDATE SET {set_sql} " if non_key else "")
         + f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})",
+        # the scratch table is transport, not state — drop it in the
+        # same transaction so repeated upserts leave nothing behind
+        f"DROP TABLE {_q(staging)}",
+        user=user, password=password,
     )
 
 
@@ -210,19 +366,44 @@ class JdbcRunsLedger:
     KEY = ["project", "method", "stage", "input", "output"]
 
     def __init__(
-        self, spark: SparkSession, url: str, project: str, method: str
+        self, spark: SparkSession, url: str, project: str, method: str,
+        driver: str = DERBY_DRIVER,
+        user: Optional[str] = None, password: Optional[str] = None,
     ):
         self.spark = spark
         self.url = url
         self.project = project
         self.method = method
+        self.driver = driver
+        self.user = user
+        self.password = password
+
+    @classmethod
+    def from_secret(
+        cls, spark: SparkSession, secret, project: str, method: str,
+        schema: Optional[str] = None,
+    ) -> "JdbcRunsLedger":
+        """Build the ledger from secret-shaped config (reference
+        Db.scala:11-17 builds its Db from an RdsConfig.Secret). `secret`
+        is anything DbSecret.resolve accepts: a DbSecret, a dict, a JSON
+        file path, or a callable (the secrets-manager hook)."""
+        s = DbSecret.resolve(secret)
+        return cls(
+            spark, s.connection_string(schema), project, method,
+            driver=s.driver, user=s.username or None, password=s.password,
+        )
+
+    def _execute(self, *statements: str) -> list:
+        return jdbc_execute(
+            self.spark, self.url, *statements,
+            user=self.user, password=self.password,
+        )
 
     def migrate(self) -> None:
         """CREATE TABLE IF NOT EXISTS twin (runs.sql:1-12). Derby has no
         IF NOT EXISTS, so existence is probed via the catalog."""
-        jvm = self.spark._jvm  # noqa: SLF001
         _quiet_derby(self.spark)
-        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        conn = _connect(self.spark, self.url, self.user, self.password)
         try:
             rs = conn.getMetaData().getTables(None, None, "runs", None)
             exists = rs.next()
@@ -230,9 +411,7 @@ class JdbcRunsLedger:
         finally:
             conn.close()
         if not exists:
-            jdbc_execute(
-                self.spark,
-                self.url,
+            self._execute(
                 'CREATE TABLE "runs" ('
                 '"project" VARCHAR(200) NOT NULL, '
                 '"method" VARCHAR(200) NOT NULL, '
@@ -247,10 +426,13 @@ class JdbcRunsLedger:
             )
 
     def drop(self) -> None:
-        jdbc_execute(self.spark, self.url, 'DROP TABLE "runs"')
+        self._execute('DROP TABLE "runs"')
 
     def _read(self) -> DataFrame:
-        return read_jdbc(self.spark, self.url, '"runs"')
+        return read_jdbc(
+            self.spark, self.url, '"runs"', driver=self.driver,
+            user=self.user, password=self.password,
+        )
 
     def all(self) -> list:
         return self._read().collect()
@@ -273,7 +455,10 @@ class JdbcRunsLedger:
         if not rows:
             return
         new = self.spark.createDataFrame(rows, RUNS_SCHEMA)
-        jdbc_upsert(self.spark, self.url, "runs", new, self.KEY)
+        jdbc_upsert(
+            self.spark, self.url, "runs", new, self.KEY,
+            driver=self.driver, user=self.user, password=self.password,
+        )
 
     def of(self, stage: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -291,16 +476,13 @@ class JdbcRunsLedger:
         def esc(s: str) -> str:
             return s.replace("'", "''")
 
-        jdbc_execute(
-            self.spark,
-            self.url,
+        return self._execute(
             'DELETE FROM "runs" WHERE '
             f"\"project\" = '{esc(self.project)}' AND "
             f"\"method\" = '{esc(self.method)}' AND "
             f"\"stage\" = '{esc(stage)}' AND "
             f"\"output\" = '{esc(output)}'",
-        )
-        return 0
+        )[0]
 
 
 def _ts_literal(dt) -> str:
@@ -320,17 +502,39 @@ class JdbcRunStatusLedger:
     KEY = ["project", "method", "stage", "output"]
 
     def __init__(
-        self, spark: SparkSession, url: str, project: str, method: str
+        self, spark: SparkSession, url: str, project: str, method: str,
+        driver: str = DERBY_DRIVER,
+        user: Optional[str] = None, password: Optional[str] = None,
     ):
         self.spark = spark
         self.url = url
         self.project = project
         self.method = method
+        self.driver = driver
+        self.user = user
+        self.password = password
+
+    @classmethod
+    def from_secret(
+        cls, spark: SparkSession, secret, project: str, method: str,
+        schema: Optional[str] = None,
+    ) -> "JdbcRunStatusLedger":
+        """Secret-shaped constructor — see JdbcRunsLedger.from_secret."""
+        s = DbSecret.resolve(secret)
+        return cls(
+            spark, s.connection_string(schema), project, method,
+            driver=s.driver, user=s.username or None, password=s.password,
+        )
+
+    def _execute(self, *statements: str) -> list:
+        return jdbc_execute(
+            self.spark, self.url, *statements,
+            user=self.user, password=self.password,
+        )
 
     def migrate(self) -> None:
-        conn = self.spark._jvm.java.sql.DriverManager.getConnection(  # noqa: SLF001
-            self.url
-        )
+        _quiet_derby(self.spark)
+        conn = _connect(self.spark, self.url, self.user, self.password)
         try:
             rs = conn.getMetaData().getTables(None, None, "runstatus", None)
             exists = rs.next()
@@ -338,9 +542,7 @@ class JdbcRunStatusLedger:
         finally:
             conn.close()
         if not exists:
-            jdbc_execute(
-                self.spark,
-                self.url,
+            self._execute(
                 'CREATE TABLE "runstatus" ('
                 '"project" VARCHAR(200) NOT NULL, '
                 '"method" VARCHAR(200) NOT NULL, '
@@ -354,10 +556,13 @@ class JdbcRunStatusLedger:
             )
 
     def drop(self) -> None:
-        jdbc_execute(self.spark, self.url, 'DROP TABLE "runstatus"')
+        self._execute('DROP TABLE "runstatus"')
 
     def _read(self) -> DataFrame:
-        return read_jdbc(self.spark, self.url, '"runstatus"')
+        return read_jdbc(
+            self.spark, self.url, '"runstatus"', driver=self.driver,
+            user=self.user, password=self.password,
+        )
 
     def all(self) -> list:
         return self._read().collect()
@@ -377,7 +582,10 @@ class JdbcRunStatusLedger:
             return
         new = self.spark.createDataFrame(rows, RUNSTATUS_SCHEMA)
         # MERGE's matched arm IS the reset rule: started/ended -> NULL
-        jdbc_upsert(self.spark, self.url, "runstatus", new, self.KEY)
+        jdbc_upsert(
+            self.spark, self.url, "runstatus", new, self.KEY,
+            driver=self.driver, user=self.user, password=self.password,
+        )
 
     def _esc(self, s: str) -> str:
         return s.replace("'", "''")
@@ -386,9 +594,7 @@ class JdbcRunStatusLedger:
         if not outputs:
             return
         in_list = ", ".join(f"'{self._esc(o)}'" for o in sorted(outputs))
-        jdbc_execute(
-            self.spark,
-            self.url,
+        self._execute(
             f'UPDATE "runstatus" SET "{col}" = {_ts_literal(ts)} WHERE '
             f"\"project\" = '{self._esc(self.project)}' AND "
             f"\"method\" = '{self._esc(self.method)}' AND "
@@ -426,16 +632,13 @@ class JdbcRunStatusLedger:
         )
 
     def delete(self, stage: str, output: str) -> int:
-        jdbc_execute(
-            self.spark,
-            self.url,
+        return self._execute(
             'DELETE FROM "runstatus" WHERE '
             f"\"project\" = '{self._esc(self.project)}' AND "
             f"\"method\" = '{self._esc(self.method)}' AND "
             f"\"stage\" = '{self._esc(stage)}' AND "
             f"\"output\" = '{self._esc(output)}'",
-        )
-        return 0
+        )[0]
 
 
 def jdbc_context(spark, project, method, warehouse, lister, url):
@@ -455,4 +658,26 @@ def jdbc_context(spark, project, method, warehouse, lister, url):
         lister=lister,
         _runs=JdbcRunsLedger(spark, url, project, method),
         _status=JdbcRunStatusLedger(spark, url, project, method),
+    )
+
+
+def jdbc_context_from_secret(
+    spark, project, method, warehouse, lister, secret, schema=None
+):
+    """jdbc_context built from secret-shaped config instead of a raw
+    url — the reference's actual startup path (Method.scala:111 builds
+    the Db from the RDS secret in its config). `secret` is anything
+    DbSecret.resolve accepts."""
+    from ..plans.context import Context
+
+    return Context(
+        spark=spark,
+        project=project,
+        method_name=method,
+        warehouse=warehouse,
+        lister=lister,
+        _runs=JdbcRunsLedger.from_secret(spark, secret, project, method,
+                                         schema),
+        _status=JdbcRunStatusLedger.from_secret(spark, secret, project,
+                                                method, schema),
     )

@@ -292,3 +292,104 @@ def test_job_side_commit_runs_against_jdbc_ledger(spark, runs):
     dry.commit_runs([inp("i3")])
     assert len(runs.all()) == 2  # dryrun committed nothing
     runs.delete("S", "o1")
+
+
+def test_delete_returns_affected_row_count(spark, runs):
+    """ADVICE r10: delete must report affected rows like the parquet
+    twin (tests/test_ledger.py) and the reference's Quill delete
+    (Runs.scala:108-116), not a hardcoded 0."""
+    runs.insert("S", "o1", [inp("i1"), inp("i2", 5)])
+    runs.insert("S", "o2", [inp("i1")])
+    assert runs.delete("S", "o1") == 2
+    assert runs.delete("S", "o1") == 0  # already gone
+    assert runs.delete("S", "o2") == 1
+
+
+def test_upsert_drops_staging_table(spark, url):
+    """ADVICE r10: the MERGE's scratch table is transport, not state —
+    it must not survive the upsert."""
+    base = spark.createDataFrame([(1, 10)], "k bigint, v bigint")
+    write_jdbc(base.coalesce(1), url, '"s1"', mode="overwrite")
+    jdbc_upsert(
+        spark, url, "s1",
+        spark.createDataFrame([(2, 20)], "k bigint, v bigint"), key=["k"],
+    )
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.getMetaData().getTables(None, None, "s1_staging", None)
+        leftover = rs.next()
+        rs.close()
+    finally:
+        conn.close()
+    assert not leftover
+
+
+def test_db_secret_connection_strings_and_drivers():
+    """DbSecret twins RdsConfig.Secret -> Db (reference Db.scala:11-34):
+    engine picks the driver, connectionString(schema) the url; unknown
+    engines raise like Db.scala:32."""
+    from dig_aggregator_core_spark.sources.jdbcio import DbSecret
+
+    my = DbSecret.from_dict({
+        "engine": "mysql", "host": "db.example.internal", "port": 3306,
+        "username": "u", "password": "p", "dbname": "agg",
+    })
+    assert my.connection_string() == (
+        "jdbc:mysql://db.example.internal:3306/agg"
+    )
+    assert my.connection_string("other") == (
+        "jdbc:mysql://db.example.internal:3306/other"
+    )
+    assert my.driver == "com.mysql.cj.jdbc.Driver"
+
+    pg = DbSecret(engine="postgresql", host="h")  # default port
+    assert pg.connection_string("s") == "jdbc:postgresql://h:5432/s"
+    assert pg.driver == "org.postgresql.Driver"
+
+    with pytest.raises(ValueError, match="Unhandled DB engine"):
+        DbSecret(engine="oracle", host="h")
+
+
+def test_db_secret_resolution_channels(tmp_path):
+    """The resolver hook accepts dict / JSON file / env / callable and
+    normalizes them all to the same secret."""
+    import json
+
+    from dig_aggregator_core_spark.sources.jdbcio import DbSecret
+
+    d = {"engine": "mysql", "host": "h", "port": 3307,
+         "username": "u", "password": "p", "dbname": "db"}
+    via_dict = DbSecret.resolve(d)
+
+    p = tmp_path / "secret.json"
+    p.write_text(json.dumps(d))
+    via_file = DbSecret.resolve(str(p))
+
+    env = {"DB_ENGINE": "mysql", "DB_HOST": "h", "DB_PORT": "3307",
+           "DB_USERNAME": "u", "DB_PASSWORD": "p", "DB_DBNAME": "db"}
+    via_env = DbSecret.from_env(env=env)
+
+    via_callable = DbSecret.resolve(lambda: d)  # the secrets-manager hook
+
+    for s in (via_dict, via_file, via_env, via_callable):
+        assert s.connection_string() == "jdbc:mysql://h:3307/db"
+        assert (s.username, s.password) == ("u", "p")
+
+    with pytest.raises(TypeError):
+        DbSecret.resolve(42)
+
+
+def test_ledger_from_secret_end_to_end(spark, tmp_path):
+    """A secret-shaped config builds a WORKING ledger (the in-sandbox
+    engine is derby, playing the role H2 plays for the reference's
+    tests, Db.scala:21-24): migrate -> insert -> read -> delete."""
+    secret = {"engine": "derby", "host": scratch_db("secretdb")}
+    ledger = JdbcRunsLedger.from_secret(spark, secret, "test", "M")
+    assert ledger.driver == "org.apache.derby.jdbc.EmbeddedDriver"
+    ledger.migrate()
+    try:
+        ledger.insert("S", "o", [inp("i1")])
+        assert [(r.input, r.output) for r in ledger.all()] == [("i1", "o")]
+        assert ledger.delete("S", "o") == 1
+    finally:
+        ledger.drop()
