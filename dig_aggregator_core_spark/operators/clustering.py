@@ -139,8 +139,9 @@ def trained_centroids(
     hit = _CENT_CACHE.get(key)
     if hit is not None:
         return hit
-    for stale in [k for k in _CENT_CACHE if k[0] is spark]:
-        _CENT_CACHE.pop(stale)
+    from ..tables import evict_memo
+
+    evict_memo(_CENT_CACHE, spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),

@@ -97,15 +97,21 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches — without the persist Spark recomputes scan->split->shingle for
     each consumer (it was the slowest headline query's dominant cost).
 
-    One corpus dir is cached per session: switching sf_dir — or mutating
-    its files in place (the key carries the dir's listing fingerprint) —
-    unpersists the previous entry, so a long-lived session iterating many
-    corpus dirs can't accumulate persisted RDDs or read stale data."""
+    A BOUNDED number of corpus dirs is cached per session
+    (tables.evict_memo): mutating a dir's files in place evicts exactly
+    that dir's stale entry (the key carries the listing fingerprint),
+    switching dirs keeps recent corpora warm (an alternating
+    sf0.01/sf0.1 sweep alternates hits, ADVICE r10), and beyond the
+    bound the oldest dir is unpersisted — so a long-lived session
+    iterating many corpus dirs can't accumulate persisted RDDs or read
+    stale data."""
     key = (spark, sf_dir, dir_fingerprint(sf_dir))
     sh = _SH_CACHE.get(key)
     if sh is None:
-        for stale in [k for k in _SH_CACHE if k[0] is spark]:
-            _SH_CACHE.pop(stale).unpersist()
+        from ..tables import evict_memo
+
+        evict_memo(_SH_CACHE, spark, sf_dir,
+                   unpersist=lambda df: df.unpersist())
         sh = _corpus(spark, sf_dir).select(
             "doc_id",
             "lang",
@@ -325,8 +331,10 @@ def _bands_with_bound(spark: SparkSession, sf_dir: str):
     key = (spark, sf_dir, dir_fingerprint(sf_dir))
     hit = _BANDS_CACHE.get(key)
     if hit is None:
-        for stale in [k for k in _BANDS_CACHE if k[0] is spark]:
-            _BANDS_CACHE.pop(stale)[0].unpersist()
+        from ..tables import evict_memo
+
+        evict_memo(_BANDS_CACHE, spark, sf_dir,
+                   unpersist=lambda hit: hit[0].unpersist())
         sh = _shingled(spark, sf_dir)
         mh = sh.select(
             "doc_id",
@@ -911,8 +919,9 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir, dir_fingerprint(sf_dir))
     pairs = _PAIR_CACHE.get(key)
     if pairs is None:
-        for stale in [k for k in _PAIR_CACHE if k[0] is spark]:
-            _PAIR_CACHE.pop(stale)
+        from ..tables import evict_memo
+
+        evict_memo(_PAIR_CACHE, spark, sf_dir)
         pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
         _PAIR_CACHE[key] = pairs
     return pairs
@@ -1082,8 +1091,9 @@ def _committed_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir, dir_fingerprint(sf_dir))
     hit = _CC_BASE_CACHE.get(key)
     if hit is None:
-        for stale in [k for k in _CC_BASE_CACHE if k[0] is spark]:
-            _CC_BASE_CACHE.pop(stale)
+        from ..tables import evict_memo
+
+        evict_memo(_CC_BASE_CACHE, spark, sf_dir)
         committed = _neardup_pairs(spark, sf_dir).filter(
             (F.col("doc_a") < MUT_OFFSET) & (F.col("doc_b") < MUT_OFFSET)
         )
@@ -1326,8 +1336,10 @@ def _sj_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir, dir_fingerprint(sf_dir))
     r = _SJ_CACHE.get(key)
     if r is None:
-        for stale in [k for k in _SJ_CACHE if k[0] is spark]:
-            _SJ_CACHE.pop(stale).unpersist()
+        from ..tables import evict_memo
+
+        evict_memo(_SJ_CACHE, spark, sf_dir,
+                   unpersist=lambda df: df.unpersist())
         d = load(spark, sf_dir, "documents").select(
             "doc_id",
             F.array_distinct(

@@ -836,12 +836,12 @@ def banded_cooc_edges(
         hit = _EDGE_CACHE.get(key)
         if hit is not None:
             return hit
-        # keep sibling (band, symmetric) variants of the SAME dir+listing;
-        # evict other dirs and stale listings of this dir
-        for stale in [
-            k for k in _EDGE_CACHE if k[0] is spark and k[1:3] != key[1:3]
-        ]:
-            _EDGE_CACHE.pop(stale)
+        # keep sibling (band, symmetric) variants of the SAME dir+listing
+        # and recent other dirs (bounded); evict stale listings of this
+        # dir (ADVICE r10 via tables.evict_memo)
+        from ..tables import evict_memo
+
+        evict_memo(_EDGE_CACHE, spark, sf_dir, keep_fingerprint=key[2])
     ev = load(spark, sf_dir, "events")
     cooc = ev.select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"

@@ -2419,9 +2419,16 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir, dir_fingerprint(sf_dir))
     art = _IVFPQ_CACHE.get(key)
     if art is None:
-        for stale in [k for k in _IVFPQ_CACHE if k[0] is spark]:
-            for df in _IVFPQ_CACHE.pop(stale):
-                df.unpersist()
+        # evict only THIS corpus's stale fingerprints (ADVICE r10):
+        # unpersisting other sf_dirs' entries would thrash the memo on
+        # an alternating sf0.01/sf0.1 sweep, and truncate the lineage
+        # under any still-held result DataFrame from the other corpus
+        from ..tables import evict_memo
+
+        evict_memo(
+            _IVFPQ_CACHE, spark, sf_dir,
+            unpersist=lambda dfs: [df.unpersist() for df in dfs],
+        )
         cents = F.broadcast(
             vecs.filter(F.expr(_CENTROID_FILTER_SQL)).select(
                 F.col("vec_id").alias("cent_id"),

@@ -907,8 +907,10 @@ def _bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir, dir_fingerprint(sf_dir))
     enc = _BPE_ENC_CACHE.get(key)
     if enc is None:
-        for stale in [k for k in _BPE_ENC_CACHE if k[0] is spark]:
-            _BPE_ENC_CACHE.pop(stale).unpersist()
+        from ..tables import evict_memo
+
+        evict_memo(_BPE_ENC_CACHE, spark, sf_dir,
+                   unpersist=lambda df: df.unpersist())
         # the merge fold is the heaviest narrow map in the repo — spread
         # a small-file scan first (tables.maybe_spread; measured 4.75 s
         # -> 0.68 s at sf0.1 on 32 cores, r6)

@@ -31,6 +31,15 @@ def local_lister(root: str) -> Lister:
                     mtime = datetime.fromtimestamp(
                         os.path.getmtime(full), tz=timezone.utc
                     ).replace(tzinfo=None)
+                    # millisecond granularity, matching Hadoop's
+                    # getModificationTime, so swapping this lister for
+                    # sources.object_store.hadoop_lister on an existing
+                    # warehouse cannot shift Input versions (ADVICE
+                    # r10); truncation only LOWERS listed versions, and
+                    # freshness is strict >, so no spurious re-runs
+                    mtime = mtime.replace(
+                        microsecond=mtime.microsecond // 1000 * 1000
+                    )
                     out.append((key, mtime))
         return sorted(out)
 

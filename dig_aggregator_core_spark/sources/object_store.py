@@ -78,6 +78,12 @@ def hadoop_lister(spark: SparkSession, root: str) -> Lister:
         hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
         jpath = jvm.org.apache.hadoop.fs.Path(root)
         fs = jpath.getFileSystem(hconf)
+        # drop-in parity with local_lister (ADVICE r10): a nonexistent
+        # root lists as EMPTY (os.walk semantics), it does not raise —
+        # a method pointed at a not-yet-created input root sees "no
+        # inputs yet" on either lister
+        if not fs.exists(jpath):
+            return []
         it = fs.listFiles(jpath, True)
         out: list[tuple[str, datetime]] = []
         base = fs.makeQualified(jpath).toString().rstrip("/") + "/"

@@ -116,6 +116,48 @@ def dir_fingerprint(sf_dir: str) -> tuple:
 _FP_ERR_SEQ = itertools.count()
 
 
+def evict_memo(cache: dict, spark, sf_dir: str, unpersist=None,
+               max_dirs: int = 4, keep_fingerprint=None) -> None:
+    """Shared eviction for the session memo caches keyed
+    ``(spark, sf_dir, dir_fingerprint, *params)`` (_SH_CACHE and
+    friends). Called on a cache MISS, before the fresh derivation.
+
+    Two rules (ADVICE r10 — the old "evict everything for this session"
+    thrashed the memo on an alternating sf0.01/sf0.1 sweep, and could
+    unpersist localCheckpoint blocks out from under a still-held result
+    DataFrame of the OTHER corpus, truncating its lineage):
+
+    1. stale fingerprints of THIS corpus dir are evicted (an in-place
+       mutation invalidates exactly its own entries). Caches whose keys
+       carry extra params (graph._EDGE_CACHE's band/symmetric variants)
+       pass `keep_fingerprint` so CURRENT-listing siblings survive a
+       miss that is merely a new param combination;
+    2. the number of DISTINCT corpus dirs memoized per session is
+       bounded at `max_dirs`, oldest-inserted evicted first, so a
+       long-lived session iterating many corpora still cannot
+       accumulate unbounded persisted state.
+
+    `unpersist` receives each evicted VALUE (caches store different
+    shapes: a DataFrame, a tuple of DataFrames, a (df, bound) pair)."""
+    free = unpersist or (lambda _v: None)
+    for k in [
+        k for k in cache
+        if k[0] is spark and k[1] == sf_dir
+        and (keep_fingerprint is None or k[2] != keep_fingerprint)
+    ]:
+        free(cache.pop(k))
+    while True:
+        other_dirs: list = []
+        for k in cache:
+            if k[0] is spark and k[1] != sf_dir and k[1] not in other_dirs:
+                other_dirs.append(k[1])
+        if len(other_dirs) < max_dirs:
+            return
+        oldest = other_dirs[0]
+        for k in [k for k in cache if k[0] is spark and k[1] == oldest]:
+            free(cache.pop(k))
+
+
 _SPLIT_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
 
 

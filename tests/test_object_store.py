@@ -57,3 +57,22 @@ def test_lister_for_dispatches_on_scheme(spark, tmp_path):
     via_uri = lister_for(spark, f"file://{tmp_path}")
     assert [k for k, _ in via_path("")] == ["f.txt"]
     assert [k for k, _ in via_uri("")] == ["f.txt"]
+
+
+def test_hadoop_lister_missing_root_lists_empty(spark, tmp_path):
+    """ADVICE r10: drop-in parity — a nonexistent root yields [] on
+    BOTH listers (os.walk semantics), not FileNotFoundException."""
+    missing = tmp_path / "never_created"
+    assert local_lister(str(missing))("") == []
+    assert hadoop_lister(spark, f"file://{missing}")("") == []
+
+
+def test_listers_agree_at_full_precision(spark, tmp_path):
+    """ADVICE r10: the local lister truncates to milliseconds to match
+    Hadoop's getModificationTime, so swapping listers on an existing
+    warehouse cannot shift Input versions. Compare WITHOUT blunting to
+    seconds — the pre-fix drift was sub-second."""
+    (tmp_path / "x.json").write_text("{}")
+    assert local_lister(str(tmp_path))("") == hadoop_lister(
+        spark, f"file://{tmp_path}"
+    )("")

@@ -32,29 +32,38 @@ def test_banded_edges_params_key_separately(spark, sf_dir):
     assert graph.banded_cooc_edges(spark, sf_dir) is base
 
 
-def test_banded_edges_dir_switch_evicts(spark, sf_dir, tmp_path):
+def test_banded_edges_dir_switch_keeps_recent_bounded(spark, sf_dir, tmp_path):
+    """ADVICE r10: switching corpus dir must NOT evict the other dir's
+    entry (an alternating sf0.01/sf0.1 sweep would thrash the memo and
+    truncate lineage under still-held results) — but the number of
+    distinct dirs memoized per session stays BOUNDED (evict_memo's
+    max_dirs, oldest first)."""
     import pyspark.sql.functions as F
     import datetime
 
-    graph.banded_cooc_edges(spark, sf_dir)
-    n_before = len(
-        [k for k in graph._EDGE_CACHE if k[0] is spark and k[1] == sf_dir]
-    )
-    assert n_before >= 1
-    other = str(tmp_path / "corpus2")
+    a = graph.banded_cooc_edges(spark, sf_dir)
     base = datetime.datetime(2024, 1, 1)
-    spark.createDataFrame(
-        [("a", base, u) for u in range(1, 6)],
-        "event_type string, ts timestamp, user_id bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{other}/events.parquet")
+
+    def mk(i):
+        d = str(tmp_path / f"corpus{i}")
+        spark.createDataFrame(
+            [("a", base, u) for u in range(1, 6)],
+            "event_type string, ts timestamp, user_id bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return d
+
+    other = mk(0)
     got = graph.banded_cooc_edges(spark, other)
     # new dir's data, not the old corpus' rows
     assert got.agg(F.max("v")).collect()[0][0] <= 5
-    assert not [
-        k for k in graph._EDGE_CACHE if k[0] is spark and k[1] == sf_dir
-    ], "old-dir entries must be evicted on corpus switch"
-    # re-warm for any later test in the session
-    graph.banded_cooc_edges(spark, sf_dir)
+    # alternating back is a HIT (old-dir entry survived the switch)
+    assert graph.banded_cooc_edges(spark, sf_dir) is a
+    # but distinct dirs are bounded: after >max_dirs others, the oldest go
+    for i in range(1, 6):
+        graph.banded_cooc_edges(spark, mk(i))
+    dirs = {k[1] for k in graph._EDGE_CACHE if k[0] is spark}
+    assert len(dirs) <= 5  # max_dirs=4 others + the current dir
+    assert other not in dirs, "oldest dir must be evicted at the bound"
 
 
 def test_bpe_encode_hit_and_row_parity(spark, sf_dir):
