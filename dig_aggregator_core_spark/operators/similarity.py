@@ -931,6 +931,40 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str) -> str:
     return os.path.join(out, "index.parquet")
 
 
+_PROBE_INLIST_MAX = 256
+
+
+def _pruned_index_scan(spark, index_path: str, probe_pbuckets: DataFrame):
+    """Prune a pbucket-partitioned index scan to the probed buckets
+    (VERDICT r10 task 4 — shared by every IN-list serving path).
+
+    `probe_pbuckets` is a one-column DataFrame of prefixed partition
+    values ("b" + bucket). The physical strategy is picked by the
+    DISTINCT probe-bucket count — ONE bounded aggregate returning a
+    scalar, never an unconditional driver materialization of the
+    bucket list:
+
+    - count <= _PROBE_INLIST_MAX: collect the ids and inline an IN-list
+      literal — STATIC partition pruning at file-listing time, the
+      cheapest plan for a bounded serving panel (and the one every
+      fixture-scale run takes, so existing plans are unchanged);
+    - above the bound (corpus-as-queries at real width): broadcast
+      semi-join the distinct bucket frame on the partition column —
+      dynamic partition pruning turns it into runtime partition filters
+      (the ann_index_probe_join shape), no literal, no driver list.
+
+    Both shapes read only the probed partitions; they differ solely in
+    WHERE the pruning predicate is resolved (driver literal vs runtime
+    broadcast). Gate pinned by tests/test_probe_join_plan.py."""
+    index = spark.read.parquet(index_path)
+    qb = probe_pbuckets.toDF("pbucket").distinct()
+    if qb.count() <= _PROBE_INLIST_MAX:
+        buckets = sorted(r["pbucket"] for r in qb.collect())
+        return index.filter(F.col("pbucket").isin(buckets))
+    return index.join(F.broadcast(qb), "pbucket", "left_semi")
+
+
+
 @query(
     "ann_index_persist",
     oracle=f"""
@@ -965,11 +999,13 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     width tied to n, partition count grows with the corpus and
     per-partition occupancy stays ~64.
 
-    The query buckets are collected first (bounded by the query-panel
-    size — metadata-sized, the k-centroids class of collect) and inlined
-    as an IN-list literal, which is what turns the filter into STATIC
-    partition pruning at the file listing rather than a post-scan
-    filter. The within-bucket scoring join then proceeds exactly as the
+    The probed partitions reach the scan through the gated
+    _pruned_index_scan device (VERDICT r10 task 4): a bounded probe
+    panel inlines an IN-list literal (STATIC partition pruning at the
+    file listing); a probe set past the gate broadcast-semi-joins the
+    distinct bucket frame instead (dynamic partition pruning) — so
+    corpus-as-queries serving never materializes a bucket list on the
+    driver. The within-bucket scoring join then proceeds exactly as the
     non-persisted op. Index maintenance at scale is
     append-new-partitions + sink_compacted_write on hot buckets; a
     corpus grown past the next power of two rebuilds with one more bit
@@ -983,13 +1019,10 @@ def ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
         "bucket",
     )
-    probe_buckets = sorted(
-        r["bucket"] for r in queries.select("bucket").distinct().collect()
-    )
     index = (
-        spark.read.parquet(idx_path)
-        .filter(
-            F.col("pbucket").isin([f"b{b}" for b in probe_buckets])
+        _pruned_index_scan(
+            spark, idx_path,
+            queries.select(F.concat(F.lit("b"), F.col("bucket"))),
         )
         .select(
             F.col("vec_id").alias("neighbor_id"),
@@ -1692,8 +1725,8 @@ def ann_index_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     and code, exactly as append_band_index did for near-dup dedup.
 
     Scale: the append writes only the batch's bucket partitions; query
-    reads stay partition-pruned (static IN-list on the probed buckets,
-    same device as ann_index_persist). A corpus grown past the next
+    reads stay partition-pruned (the gated _pruned_index_scan device,
+    same as ann_index_persist). A corpus grown past the next
     power of two rebuilds at width+1 — the content fingerprint in the
     index path forces that here."""
     idx_dir, width = _append_bootstrap(spark, sf_dir)
@@ -1775,9 +1808,11 @@ def ann_index_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _serve_appended_index(
     spark: SparkSession, sf_dir: str, idx_dir: str, width: int
 ) -> DataFrame:
-    """Probe the maintained index at its recorded width: static
-    partition-pruned IN-list over the query buckets, bucket-confined
-    scoring, top-k window (the ann_index_persist serving device)."""
+    """Probe the maintained index at its recorded width: gated
+    partition pruning over the query buckets (_pruned_index_scan —
+    IN-list literal under the gate, broadcast semi-join + DPP above
+    it), bucket-confined scoring, top-k window (the ann_index_persist
+    serving device)."""
     import os
 
     queries = (
@@ -1791,12 +1826,11 @@ def _serve_appended_index(
             F.expr(f"substring(signs, 1, {width})").alias("bucket"),
         )
     )
-    probe_buckets = sorted(
-        r["bucket"] for r in queries.select("bucket").distinct().collect()
-    )
     index = (
-        spark.read.parquet(os.path.join(idx_dir, "index.parquet"))
-        .filter(F.col("pbucket").isin([f"b{b}" for b in probe_buckets]))
+        _pruned_index_scan(
+            spark, os.path.join(idx_dir, "index.parquet"),
+            queries.select(F.concat(F.lit("b"), F.col("bucket"))),
+        )
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("v").alias("cv"),
@@ -1936,14 +1970,10 @@ def ann_index_append_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_flip_sql("bucket", "i")).alias("pbucket"),
         )
     )
-    probe_buckets = sorted(
-        r["pbucket"]
-        for r in probes.select("pbucket").distinct().collect()
-    )
     index = (
-        spark.read.parquet(os.path.join(idx_dir, "index.parquet"))
-        .filter(
-            F.col("pbucket").isin([f"b{b}" for b in probe_buckets])
+        _pruned_index_scan(
+            spark, os.path.join(idx_dir, "index.parquet"),
+            probes.select(F.concat(F.lit("b"), F.col("pbucket"))),
         )
         .select(
             F.col("vec_id").alias("neighbor_id"),

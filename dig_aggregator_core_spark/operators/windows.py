@@ -153,12 +153,90 @@ def window_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GAP fill: ntile quartiles (global window — single-partition sort;
-    at scale prefer approx quantile cuts + a range join instead)."""
+    """GAP fill: ntile quartiles — the LITERAL form: a global window is
+    a single-partition sort (one task at any scale), so this form is
+    only for bounded inputs. The scale path is :func:`window_ntile_cuts`
+    below: identical output, computed via bounded quantile-cut buckets +
+    per-bucket offsets, parallel end to end (VERDICT r10 task 3)."""
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("orderkey"),
         F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+@query(
+    "window_ntile_cuts",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+             AS price_quartile
+    FROM orders
+    """,
+)
+def window_ntile_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe NTILE twin (VERDICT r10 task 3) — EXACT ntile output
+    (same oracle as window_ntile) with no global single-partition sort:
+
+    1. ~B approx-quantile cuts of the order key are collected once
+       (bounded driver data; their VALUES only affect load balance, not
+       the result, so approxQuantile's estimation error is harmless);
+    2. each row gets a bucket = #cuts <= key — monotone in the key and
+       tie-stable, so (bucket, key, unique tiebreak) is the global sort
+       order;
+    3. per-bucket counts (<= B rows, one partial-agg shuffle) collect to
+       cumulative offsets, broadcast back;
+    4. global rank = bucket offset + row_number within bucket (the only
+       window here partitions by bucket: ~N/B rows per task), and the
+       exact NTILE bucket-size formula (first N%n tiles get
+       ceil(N/n) rows) maps rank -> tile.
+
+    At 100 TB each stage is parallel: the quantile sketch and count agg
+    are partial-agg map-side folds, the final window sorts ~N/B rows per
+    task. Skew caveat: a single key VALUE dominating the relation
+    collapses into one bucket (same caveat as any range partitioning) —
+    the unique tiebreak keeps the output exact regardless, only balance
+    suffers."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n_tiles, n_buckets = 4, 64
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(orders.stat.approxQuantile("o_totalprice", probs, 0.01)))
+    cuts_arr = "array(" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts) + ")"
+    bucketed = orders.withColumn(
+        "bkt",
+        F.expr(f"size(filter({cuts_arr}, c -> c <= o_totalprice))"),
+    )
+    # <= B+1 rows: bounded driver data, like the dedup occupancy gate
+    counts = sorted(
+        (r["bkt"], r["cnt"])
+        for r in bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
+                         .collect()
+    )
+    total = sum(c for _, c in counts)
+    offsets, acc = [], 0
+    for bkt, cnt in counts:
+        offsets.append((bkt, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "bkt int, off bigint")
+    w = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
+    ranked = bucketed.join(F.broadcast(off_df), "bkt").withColumn(
+        "rn", F.row_number().over(w) + F.col("off")
+    )
+    # NTILE's exact fill: q = N div n rows per tile, the first rem tiles
+    # take one extra row. Integer DIV end to end — no float rounding at
+    # any N. q=0 (fewer rows than tiles) routes every row through the
+    # first branch, so the max(q,1) guard never changes a result.
+    q, rem = divmod(total, n_tiles)
+    big = q + 1
+    tile = F.expr(
+        f"CASE WHEN rn <= {rem * big} THEN (rn - 1) DIV {big} "
+        f"ELSE {rem} + (rn - {rem * big} - 1) DIV {max(q, 1)} END + 1"
+    )
+    return ranked.select(
+        F.col("o_orderkey").alias("orderkey"),
+        tile.cast("int").alias("price_quartile"),
     )
 
 

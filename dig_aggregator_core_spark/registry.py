@@ -324,9 +324,16 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
     # re-verified green in CORRECTNESS_r10.json, so it was folded away):
     - frozenset(
         {
-            # r11 plan rewrites (VERDICT r10 tasks 2 & 4), each changing
-            # the shipping plan after its r10 evidence; names added here
-            # as the rewrites land.
+            # r11 probe-gate migration (VERDICT r10 task 4): the three
+            # IN-list ANN serving paths now route through the gated
+            # _pruned_index_scan. At fixture scale the gate picks the
+            # same static IN-list (plans effectively unchanged), but
+            # the serving expression moved — re-verify the shipping
+            # plans. Gate pinned both ways in
+            # tests/test_probe_join_plan.py.
+            "ann_index_persist",
+            "ann_index_append",
+            "ann_index_append_multiprobe",
         }
     )
 )

@@ -32,3 +32,41 @@ def test_probe_join_matches_inlist_twin(spark):
         tuple(r) for r in ann_index_append_query(spark, SF_DIR).collect()
     }
     assert join_rows == inlist_rows
+
+
+def test_gated_serving_paths_pick_by_probe_count(spark, monkeypatch):
+    """VERDICT r10 task 4: the IN-list serving paths are now gated by
+    the distinct probe-bucket count. Under the gate (every fixture-scale
+    panel) the plan keeps the static IN-list literal; above it, the
+    SAME op flips to the broadcast-semi-join + DPP shape with no driver
+    bucket list — and returns identical rows."""
+    from dig_aggregator_core_spark.operators import similarity as S
+
+    small = S.ann_index_append_query(spark, SF_DIR)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    # under the gate: the probed buckets are a STATIC IN literal in the
+    # index scan's PartitionFilters (Catalyst may add its own DPP on the
+    # scoring join on top — that's free, not the driver list)
+    assert " IN (b" in plan_small, plan_small[:2000]
+
+    monkeypatch.setattr(S, "_PROBE_INLIST_MAX", 0)
+    big = S.ann_index_append_query(spark, SF_DIR)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan_big, plan_big[:2000]
+    assert " IN (b" not in plan_big  # no driver-collected literal
+    assert {tuple(r) for r in big.collect()} == {
+        tuple(r) for r in small.collect()
+    }
+
+
+def test_gated_multiprobe_and_persist_paths(spark, monkeypatch):
+    from dig_aggregator_core_spark.operators import similarity as S
+
+    for fn in (S.ann_index_append_multiprobe, S.ann_index_persist):
+        base = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+        monkeypatch.setattr(S, "_PROBE_INLIST_MAX", 0)
+        joined = fn(spark, SF_DIR)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert " IN (b" not in plan, (fn.__name__, plan[:1500])
+        assert {tuple(r) for r in joined.collect()} == base
+        monkeypatch.setattr(S, "_PROBE_INLIST_MAX", 256)

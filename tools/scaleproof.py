@@ -89,51 +89,88 @@ OPS = [
 
 def generate(spark, k: int, out: str) -> None:
     copies = spark.range(k).select(F.col("id").alias("cp"))
-    docs = load(spark, BASE, "documents").crossJoin(copies).select(
-        (F.col("doc_id") + F.col("cp") * 10_000_000).alias("doc_id"),
-        F.array_join(
+
+    def _fresh(table: str) -> bool:
+        # already materialized (possibly by a prior round) — skip; the
+        # derivation is deterministic from BASE so a skip never serves
+        # different data
+        return not os.path.exists(os.path.join(out, f"{table}.parquet"))
+
+    if _fresh("documents"):
+        docs = load(spark, BASE, "documents").crossJoin(copies).select(
+            (F.col("doc_id") + F.col("cp") * 10_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(
+                        F.lit("c"), F.col("cp").cast("string"), t
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        docs = docs.withColumn("n_chars", F.length("text").cast("bigint"))
+        docs.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+    if _fresh("events"):
+        ev = load(spark, BASE, "events").crossJoin(copies).select(
+            (F.col("event_id") + F.col("cp") * 1_000_000_000).alias(
+                "event_id"
+            ),
+            "ts",
+            (F.col("user_id") + F.col("cp") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        ev.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "events.parquet")
+        )
+    if _fresh("embeddings"):
+        emb = load(spark, BASE, "embeddings").crossJoin(copies).select(
+            (F.col("vec_id") + F.col("cp") * 10_000_000).alias("vec_id"),
             F.transform(
-                F.split("text", " "),
-                lambda t: F.concat(F.lit("c"), F.col("cp").cast("string"), t),
+                "embedding",
+                lambda x: (
+                    x + F.col("cp").cast("float") * F.lit(0.0001)
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        emb.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet")
+        )
+    # orders IS on a scaled axis since r11 (window_ntile_cuts et al.):
+    # keys offset per copy, totalprice shifted a cent per copy so the
+    # value distribution widens instead of producing exact ties
+    orders_dst = os.path.join(out, "orders.parquet")
+    if os.path.islink(orders_dst):
+        os.unlink(orders_dst)
+    if _fresh("orders"):
+        od = load(spark, BASE, "orders").crossJoin(copies).select(
+            (F.col("o_orderkey") + F.col("cp") * 1_000_000_000).alias(
+                "o_orderkey"
             ),
-            " ",
-        ).alias("text"),
-        "lang",
-        "source",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-    )
-    docs = docs.withColumn("n_chars", F.length("text").cast("bigint"))
-    docs.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out, "documents.parquet")
-    )
-    ev = load(spark, BASE, "events").crossJoin(copies).select(
-        (F.col("event_id") + F.col("cp") * 1_000_000_000).alias("event_id"),
-        "ts",
-        (F.col("user_id") + F.col("cp") * 1_000_000).alias("user_id"),
-        "event_type",
-        "value",
-        "props",
-    )
-    ev.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out, "events.parquet")
-    )
-    emb = load(spark, BASE, "embeddings").crossJoin(copies).select(
-        (F.col("vec_id") + F.col("cp") * 10_000_000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x: (x + F.col("cp").cast("float") * F.lit(0.0001)).cast(
-                "float"
+            (F.col("o_custkey") + F.col("cp") * 1_000_000).alias(
+                "o_custkey"
             ),
-        ).alias("embedding"),
-        "label",
-    )
-    emb.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out, "embeddings.parquet")
-    )
-    # the TPC-H tables aren't on the scaled axes — link them unscaled so
-    # ops that join them (e.g. negative_sampling_recsys) still run
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.col("cp") * 0.01).alias(
+                "o_totalprice"
+            ),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        od.repartition(32).write.mode("overwrite").parquet(orders_dst)
+    # the remaining TPC-H tables aren't on the scaled axes — link them
+    # unscaled so ops that join them (e.g. negative_sampling_recsys)
+    # still run
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+              "lineitem"):
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
@@ -178,7 +215,12 @@ def main() -> None:
     for s in scales:
         k = int(s.lstrip("x"))
         out = os.path.join(ROOT, s)
-        if not os.path.exists(os.path.join(out, "embeddings.parquet")):
+        orders_p = os.path.join(out, "orders.parquet")
+        if (
+            not os.path.exists(os.path.join(out, "embeddings.parquet"))
+            or os.path.islink(orders_p)
+            or not os.path.exists(orders_p)
+        ):
             generate(spark, k, out)
         if "--gen-only" in sys.argv:
             continue
