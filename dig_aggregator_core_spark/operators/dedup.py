@@ -1081,6 +1081,57 @@ def _cc_labels(edge_pairs: DataFrame) -> DataFrame:
     )
 
 
+# contracted-delta graphs at or under this edge count are labeled with
+# one collect + union-find on the driver instead of the distributed
+# star-contraction fixpoint. 64k edges of two bigints is ~1 MB — the
+# same "bounded driver metadata" class as the k-centroid collects and
+# the probe-bucket gate.
+_DELTA_LOCAL_MAX = 65536
+
+
+def _cc_labels_delta(spark: SparkSession, edge_pairs: DataFrame) -> DataFrame:
+    """Min-label components of a CONTRACTED DELTA graph — the
+    single-pass batch-local step the incremental CC maintainers run per
+    batch (VERDICT r10 task 2).
+
+    The contracted graph is O(batch + touched components) by
+    construction (endpoints are component labels), i.e. metadata-sized
+    like the label state itself — but _cc_labels still ran the full
+    distributed large-star/small-star fixpoint on it: 3-5 iterations x
+    several jobs each, ALL fixed scheduling overhead at delta sizes
+    (the r10 profile's measured epoch floor). Here the delta is fetched
+    with ONE job (limit probes the bound) and labeled by union-find on
+    the driver — exact min-reachable-id semantics, microseconds of CPU.
+    A delta past the bound falls back to the distributed fixpoint, so
+    correctness never depends on the gate; only the constant factor
+    does."""
+    edges = edge_pairs.select("u", "v").distinct()
+    rows = edges.limit(_DELTA_LOCAL_MAX + 1).collect()
+    if len(rows) > _DELTA_LOCAL_MAX:
+        return _cc_labels(edge_pairs)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min id IS the root — the min-label invariant the
+            # distributed fixpoint converges to
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, "u bigint, component bigint")
+
+
 # stored committed labeling for the incremental CC step — the
 # _neardup_pairs memo convention (keyed by session + corpus fingerprint;
 # in production this is a maintained table, not a cache)
@@ -1161,7 +1212,9 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
     )
-    merged = _cc_labels(contracted)  # (contracted id -> merged component)
+    # (contracted id -> merged component): single-pass driver
+    # union-find under the delta gate, distributed fixpoint past it
+    merged = _cc_labels_delta(spark, contracted)
 
     # remap stored labels whose component participated in a merge
     remap = merged.select(

@@ -334,6 +334,15 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             "ann_index_persist",
             "ann_index_append",
             "ann_index_append_multiprobe",
+            # r11 single-pass CC delta (VERDICT r10 task 2): the
+            # incremental maintainers now fold the contracted delta
+            # into a driver union-find (persistent across epochs on the
+            # streaming path; gated _cc_labels_delta on the batch twin)
+            # and materialize the labeling once — plan changed, warm
+            # wall 9.0 -> ~4.2-4.9 s at sf0.1 (2.1x, target was 1.5x);
+            # stream==batch equality + dual-SF oracle re-checked.
+            "stream_cc_incremental",
+            "dedup_cc_incremental",
         }
     )
 )
@@ -342,18 +351,13 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # Unverified names deliberately ranked LAST within the unverified tier:
 # the harness budget is ~50 rows per round, so operators added (or
 # rewritten) AFTER a round's queue is frozen park here rather than
-# displace a never-checked name. Round 10: the ledger stays CLOSED —
-# CORRECTNESS_r09.json drained the r9 queue (all 30 evictions + all 19
-# r9 registrations re-/first-verified green, 50/50), so every one of the
-# 368 pre-r10 names has driver evidence on its r9-era plan. Final r10
-# queue: 15 names = 6 evictions (3 ADVICE fixes + ann_ivf_probe
-# broadcast fix + stream_cc profile rewrite + dedup_embedding_cosine
-# adaptive width) + 9 r10 registrations (scan_jdbc_roundtrip,
-# jdbc_merge_upsert, ann_ivf_pq, ann_index_probe_join,
-# eval_pass_at_k_ci, mmr_over_index, kmeans_balanced_assign_r2,
-# stream_jdbc_cdc_upsert, and the r11-queue pull-forward
-# ann_ivf_pq_trained) — far under the ~50 budget; registrations
-# closed for the round.
+# displace a never-checked name. Round 11: CORRECTNESS_r10.json drained
+# the r10 queue (all 6 evictions + all 9 registrations verified green,
+# 50/50 — folded into the literal above), so every pre-r11 name has
+# driver evidence on its r10-era plan. The r11 queue = the eviction
+# subtraction above (probe-gate migration x3, single-pass CC delta x2)
+# + new r11 registrations (window_ntile_cuts, ...) — far under the ~50
+# budget.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 

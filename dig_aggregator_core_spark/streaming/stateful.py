@@ -2190,21 +2190,28 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch's MinHash bands probe the accumulated band relation (committed
     index + every previous batch — dedup_incremental_minhash's O(batch)
     contract), (2) candidates verify at exact Jaccard >= 0.5, (3) the
-    verified edges update the stored component labeling through
-    dedup_cc_incremental's contract-and-remap step, and (4) the batch's
-    bands append to the accumulated relation (append_band_index's
-    semantics, held in-memory per run). After the stream drains, the
-    labeling must equal the FULL batch connected-components recompute —
-    which the oracle (the same recursive min-reachable-id CTE) pins, so
-    batch-order independence of the min-label merge is hash-checked,
-    not assumed.
+    verified edges contract through the IMMUTABLE committed labeling in
+    the same distributed plan and fold into a PERSISTENT driver
+    union-find (min-id roots; merges compose across epochs through
+    find()), and (4) the batch's bands append to the accumulated
+    relation (append_band_index's semantics, held in-memory per run).
+    The full labeling is materialized exactly ONCE after the drain —
+    committed labels remap through the broadcast union-find result, new
+    nodes label from driver state (the r11 single-pass rewrite, VERDICT
+    r10 task 2; the old shape re-checkpointed the corpus-sized label
+    relation and ran a distributed star-contraction fixpoint EVERY
+    epoch, the profiled wall floor). The result must equal the FULL
+    batch connected-components recompute — which the oracle (the same
+    recursive min-reachable-id CTE) pins, so batch-order independence
+    of the min-label merge is hash-checked, not assumed.
 
     foreachBatch + driver-held state is the repo's incremental-engine
     shape (streaming/incremental.py, _cdc_apply): state between epochs
-    is metadata-sized (labels + bands ride localCheckpoints; at 100 TB
-    they are maintained TABLES — plans/ledger.py's CAS versioning is
-    the durable form). Per-epoch cost is O(batch + touched components);
-    committed edges are never rescanned."""
+    is metadata-sized (the union-find is touched-components + new
+    nodes, the probe-bucket size class; at 100 TB the durable form is a
+    maintained remap TABLE — plans/ledger.py's CAS versioning). Per
+    epoch: one bands checkpoint, one probe/verify job ending in a
+    batch-sized collect. Committed edges are never rescanned."""
     import os
     import shutil
     import tempfile
@@ -2214,7 +2221,6 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         MUT_OFFSET,
         _band_index_path,
         _bands_of,
-        _cc_labels,
         _committed_cc_labels,
         _shingled,
     )
@@ -2224,8 +2230,36 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top (an earlier draft added one: it re-materialized the persisted
     # relation into fresh checkpoint blocks on every run for nothing)
     sh = _shingled(spark, sf_dir)
-    labels = {"df": _committed_cc_labels(spark, sf_dir)}
-    base_labels = labels["df"]  # the shared _CC_BASE_CACHE entry
+    base_labels = _committed_cc_labels(spark, sf_dir)  # shared cache entry
+    # PERSISTENT driver union-find over current label ids (committed
+    # component labels + new doc ids) — the r11 rewrite (VERDICT r10
+    # task 2). The old shape re-materialized the CORPUS-sized label
+    # relation every epoch (one localCheckpoint per batch — the
+    # profiled wall floor, ~1.1 s/epoch at sf0.1, alongside the
+    # star-contraction fixpoint's job overhead). Label state is
+    # metadata-sized (touched components + new nodes), so it lives
+    # here; find() composes merges ACROSS epochs, and the full labeling
+    # is materialized exactly ONCE after the drain. At 100 TB this
+    # driver state is the same size class as the probe-bucket and
+    # k-centroid collects; the durable form is a maintained remap table.
+    parent: dict = {}
+    new_ids: set = set()
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    def uf_union(a, b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min id IS the root (min-label invariant)
     # the accumulated band relation is a LIST of already-materialized
     # pieces (committed index + one piece per batch), unioned lazily at
     # probe time: re-checkpointing the concatenation each epoch was an
@@ -2289,59 +2323,42 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.join(sa, "u").join(sb, "v")
             .filter(inter.cast("double") / union >= 0.5)
             .select("u", "v")
-            .localCheckpoint()
         )
-        prev_labels = None
-        if not edges.isEmpty():
-            cur = labels["df"]
-            lu = cur.select(F.col("u").alias("lu_k"), F.col("component").alias("lu_c"))
-            lv = cur.select(F.col("u").alias("lv_k"), F.col("component").alias("lv_c"))
-            contracted = (
-                edges.join(lu, edges.u == lu.lu_k, "left")
-                .join(lv, edges.v == lv.lv_k, "left")
-                .select(
-                    F.coalesce("lu_c", "u").alias("u"),
-                    F.coalesce("lv_c", "v").alias("v"),
-                )
-                .filter(F.col("u") != F.col("v"))
-            )
-            merged = _cc_labels(contracted)
-            remap = merged.select(
-                F.col("u").alias("old_c"), F.col("component").alias("new_c")
-            )
-            relabeled = cur.join(
-                remap, cur.component == remap.old_c, "left"
-            ).select(
-                "u",
-                F.coalesce("new_c", "component").cast("bigint").alias(
-                    "component"
-                ),
-            )
-            new_nodes = (
-                edges.select("u").union(edges.select("v")).distinct()
-                .join(cur.select("u"), "u", "left_anti")
-            )
-            new_labeled = new_nodes.join(merged, "u", "left").select(
-                "u",
-                F.coalesce("component", "u").cast("bigint").alias(
-                    "component"
-                ),
-            )
-            prev_labels = labels["df"]
-            labels["df"] = relabeled.unionByName(new_labeled).localCheckpoint()
+        # contract endpoints through the IMMUTABLE committed labeling in
+        # the same distributed plan (cached base labels, broadcast-able
+        # batch edges) and fetch the batch-sized rows with ONE job —
+        # replaces the old per-epoch chain (edges checkpoint + isEmpty +
+        # contract + distributed fixpoint + corpus-wide label relation
+        # re-checkpoint). Prior epochs' merges compose through find(),
+        # so base-level contraction is sufficient.
+        lu = base_labels.select(
+            F.col("u").alias("lu_k"), F.col("component").alias("lu_c")
+        )
+        lv = base_labels.select(
+            F.col("u").alias("lv_k"), F.col("component").alias("lv_c")
+        )
+        rows = (
+            edges.join(lu, edges.u == lu.lu_k, "left")
+            .join(lv, edges.v == lv.lv_k, "left")
+            .select("u", "v", "lu_c", "lv_c")
+            .collect()
+        )
+        for r in rows:
+            cu, cv = r["lu_c"], r["lv_c"]
+            if cu is None:
+                cu = r["u"]
+                new_ids.add(r["u"])
+            if cv is None:
+                cv = r["v"]
+                new_ids.add(r["v"])
+            if cu != cv:
+                uf_union(cu, cv)
+            else:
+                parent.setdefault(cu, cu)
         # batch_bands is already checkpointed above — appending the
         # PIECE is O(1); nothing already indexed is rewritten
         bands_pieces.append(batch_bands)
-        # free the per-epoch checkpoints this epoch superseded: pinned
-        # localCheckpoint blocks otherwise accumulate across epochs AND
-        # across repeated runs in one session (measured as 10 s -> 27 s
-        # run-to-run swings from GC pressure in a quiet window). The
-        # committed label base (epoch 0's prev) is the shared
-        # _CC_BASE_CACHE entry — never unpersist that one.
         ids.unpersist()
-        edges.unpersist()
-        if prev_labels is not None and prev_labels is not base_labels:
-            prev_labels.unpersist()
 
     # stage the ingest stream: the mutated twins split into two batch
     # files, modification times pinned so the file source delivers them
@@ -2373,15 +2390,43 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(base, ignore_errors=True)
-    # the per-batch band pieces are dead once the stream drains (the
-    # returned labeling is its own checkpoint); freeing them keeps
-    # repeated runs memory-flat. sh is the SHARED _SH_CACHE entry —
-    # never unpersisted here.
+    # the per-batch band pieces are dead once the stream drains;
+    # freeing them keeps repeated runs memory-flat. sh is the SHARED
+    # _SH_CACHE entry — never unpersisted here.
     for piece in bands_pieces[1:]:
         piece.unpersist()
-    return labels["df"].select(
-        F.col("u").alias("doc_id"), "component"
-    )
+    # ONE corpus-sized materialization after the drain (was: one full
+    # label-relation localCheckpoint PER EPOCH): committed labels remap
+    # through the broadcast union-find result; new nodes label straight
+    # from the driver state.
+    remap_rows = [
+        (c, find(c)) for c in parent
+        if find(c) != c and c not in new_ids
+    ]
+    out = base_labels
+    if remap_rows:
+        remap = spark.createDataFrame(
+            remap_rows, "old_c bigint, new_c bigint"
+        )
+        out = (
+            base_labels.join(
+                F.broadcast(remap),
+                base_labels.component == remap.old_c,
+                "left",
+            )
+            .select(
+                "u",
+                F.coalesce("new_c", "component").cast("bigint").alias(
+                    "component"
+                ),
+            )
+        )
+    if new_ids:
+        new_rows = [(u, find(u)) for u in sorted(new_ids)]
+        out = out.unionByName(
+            spark.createDataFrame(new_rows, "u bigint, component bigint")
+        )
+    return out.select(F.col("u").alias("doc_id"), "component")
 
 
 def _ann_append_oracle() -> str:
