@@ -1177,9 +1177,11 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs' edges; a maintained table in production, session-memoized
     here); (2) CONTRACT each delta edge through the stored labels —
     endpoints map to their committed component (or themselves if new),
-    intra-component edges drop out; (3) run the star-contraction
-    fixpoint on the contracted graph only, which is bounded by the
-    number of TOUCHED components + new nodes, not corpus size; (4) remap
+    intra-component edges drop out; (3) label the contracted graph —
+    bounded by the number of TOUCHED components + new nodes, not corpus
+    size — with the gated single-pass device (_cc_labels_delta: driver
+    union-find under a 64k-edge bound, the distributed star-contraction
+    fixpoint past it); (4) remap
     stored labels through the merge result and union the new nodes.
     Labels are min-ids, and min(mins of merged groups) = global min, so
     the result EQUALS the full recompute — which the oracle (the same
