@@ -334,6 +334,13 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             "ann_index_persist",
             "ann_index_append",
             "ann_index_append_multiprobe",
+            # r11 compact index layout: the bucket-partitioned index
+            # writes now repartition on the partition column first (one
+            # file per bucket vs tasks-x-buckets — 57k -> ~2k files at
+            # the x100 proof); build side changed for every consumer of
+            # the persisted/appended index
+            "ann_index_probe_join",
+            "stream_ann_index_append",
             # r11 single-pass CC delta (VERDICT r10 task 2): the
             # incremental maintainers now fold the contracted delta
             # into a driver union-find (persistent across epochs on the
