@@ -924,20 +924,30 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str) -> str:
                 ).drop("bucket")
                 data_dir = os.path.join(out, "index.parquet")
                 shutil.rmtree(data_dir, ignore_errors=True)
-                # repartition on the partition column BEFORE the
-                # partitioned write: without it every task opens a file
-                # in every bucket it touches (measured 57k files for a
-                # 2k-bucket index at the x100 proof — ~29x the file
-                # count, paid again by every serve's listing); with it
-                # each bucket's rows land in one task -> one file
-                vecs.repartition("pbucket").write.partitionBy(
-                    "pbucket"
-                ).mode("overwrite").parquet(data_dir)
+                width = len(vecs.select("pbucket").first()[0]) - 1
+                _write_bucketed(vecs, width, data_dir, "overwrite")
                 open(done, "w").close()
     return os.path.join(out, "index.parquet")
 
 
 _PROBE_INLIST_MAX = 256
+
+# bucket-partitioned index writes repartition on the partition column
+# once the width implies >= 2^8 bucket partitions. Below it, the direct
+# write's file count (tasks x buckets) is tolerable and the extra
+# shuffle costs more than it saves (+2 s at the sf0.1 fixture); above
+# it, skipping the repartition exploded the x100 index to 57k files
+# (~29x — every task opens a file in every bucket it touches), paid
+# again by every serve's listing. Same gate class as _PROBE_INLIST_MAX.
+_COMPACT_WRITE_MIN_WIDTH = 8
+
+
+def _write_bucketed(df, width: int, path: str, mode: str) -> None:
+    """Bucket-partitioned index write with the width-gated one-file-per-
+    bucket repartition (see _COMPACT_WRITE_MIN_WIDTH)."""
+    if width >= _COMPACT_WRITE_MIN_WIDTH:
+        df = df.repartition("pbucket")
+    df.write.partitionBy("pbucket").mode(mode).parquet(path)
 
 
 def _pruned_index_scan(spark, index_path: str, probe_pbuckets: DataFrame):
@@ -1658,10 +1668,7 @@ def _build_committed_index(
     data_dir = os.path.join(out, "index.parquet")
     shutil.rmtree(data_dir, ignore_errors=True)
     width = keyed.select(F.first("nb")).first()[0]
-    # one file per bucket partition (see _persisted_index_path)
-    keyed.drop("nb").repartition("pbucket").write.partitionBy(
-        "pbucket"
-    ).mode("overwrite").parquet(data_dir)
+    _write_bucketed(keyed.drop("nb"), int(width), data_dir, "overwrite")
     with open(os.path.join(out, "_width"), "w") as wf:
         wf.write(str(int(width)))
 
@@ -1687,13 +1694,12 @@ def ann_index_append(
             F.lit("b"), F.expr(f"substring(signs, 1, {width})")
         ).alias("pbucket"),
     )
-    # one NEW file per touched bucket partition per append (see
-    # _persisted_index_path) — committed files untouched, and the
-    # per-append file count is the touched-bucket count, not
-    # touched-buckets x tasks
-    keyed.repartition("pbucket").write.partitionBy("pbucket").mode(
-        "append"
-    ).parquet(os.path.join(index_dir, "index.parquet"))
+    # committed files untouched; past the width gate the per-append
+    # file count is the touched-bucket count, not touched-buckets x
+    # tasks (see _write_bucketed)
+    _write_bucketed(
+        keyed, width, os.path.join(index_dir, "index.parquet"), "append"
+    )
 
 
 # shared by ann_index_append and ann_index_probe_join (same serving

@@ -104,3 +104,41 @@ def test_streaming_maintenance_equals_batch(spark, sf_dir):
     }
     assert batch == streamed
     assert batch
+
+
+def test_write_bucketed_gate_one_file_per_bucket(spark, tmp_path):
+    """r11: past the width gate the bucket-partitioned write produces
+    ONE file per bucket (not tasks x buckets — 57k files at the x100
+    proof); under the gate it writes directly (the fixture-scale fast
+    path)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dig_aggregator_core_spark.operators.similarity import (
+        _write_bucketed,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.concat(F.lit("b"), (F.col("id") % 300).cast("string")).alias(
+            "pbucket"
+        ),
+    ).repartition(8)
+
+    def files_per_bucket(path):
+        counts = []
+        for d in os.listdir(path):
+            if d.startswith("pbucket="):
+                n = len([f for f in os.listdir(os.path.join(path, d))
+                         if f.endswith(".parquet")])
+                counts.append(n)
+        return counts
+
+    gated = str(tmp_path / "gated")
+    _write_bucketed(df, 9, gated, "overwrite")  # width past the gate
+    assert max(files_per_bucket(gated)) == 1
+
+    direct = str(tmp_path / "direct")
+    _write_bucketed(df, 7, direct, "overwrite")  # under the gate
+    assert len(files_per_bucket(direct)) == 300  # same partitions either way
