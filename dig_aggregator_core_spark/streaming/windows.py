@@ -132,14 +132,27 @@ def _events_stream_ntz(spark: SparkSession, sf_dir: str):
     TIMESTAMP_NTZ, so a naive ts is embedded as a UTC instant — tz-proof
     both ways (tables.ntz_as_utc_instant / instant_as_ntz).
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source requires a directory; select just events.parquet
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    if os.path.isdir(src):
+        # multi-file dataset (e.g. the scaleproof corpora): stream the
+        # directory itself — the single-file glob below matches NO leaf
+        # files and silently streams zero rows (same r10 fix as
+        # stateful._events_stream; caught AGAIN by the r11 broad
+        # streaming x10 audit reading 0-row results on this module's
+        # window ops)
+        stream = spark.readStream.schema(raw_schema).parquet(src)
+    else:
+        # driver fixture: events.parquet is one FILE, so stream the
+        # parent dir filtered to exactly that file
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn(
