@@ -350,6 +350,29 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # stream==batch equality + dual-SF oracle re-checked.
             "stream_cc_incremental",
             "dedup_cc_incremental",
+            # r11 memory-sink fix: _run_to_memory/_run_complete now hand
+            # the drained result back as a spillable localCheckpoint and
+            # DROP the memory sink (driver-heap sink accumulation OOM'd
+            # a 16g driver during the x100 streaming campaign); the
+            # sink-consumer plans changed (MemoryPlan scan ->
+            # checkpointed RDD scan) for all 29 consumers. Five of them
+            # (topk_windowed, interval_coalesce, the three
+            # *_availablenow) ALSO got the multi-file source fix.
+            "session_window", "stream_anomaly_zscore",
+            "stream_assoc_rules", "stream_attribution_last_touch",
+            "stream_changepoint_cusum", "stream_cohort_retention",
+            "stream_decontam", "stream_dedup_minhash",
+            "stream_dedup_watermark", "stream_dedup_within_watermark",
+            "stream_ewma_stateful", "stream_funnel_stateful",
+            "stream_golden_record", "stream_interval_coalesce",
+            "stream_kafka_shaped", "stream_quality_drift",
+            "stream_session_availablenow", "stream_session_timeout_close",
+            "stream_sliding_availablenow", "stream_stateful_user_stats",
+            "stream_static_join", "stream_stream_full_outer_join",
+            "stream_stream_interval_join", "stream_stream_left_outer_join",
+            "stream_stream_right_outer_join", "stream_stream_semi_join",
+            "stream_topk_windowed", "stream_transition_matrix",
+            "stream_tumbling_availablenow",
         }
     )
 )

@@ -115,7 +115,17 @@ def _run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    return spark.table(sink)
+    # hand the drained result back as a SPILLABLE localCheckpoint and
+    # drop the memory sink: the sink table holds every output row on the
+    # DRIVER HEAP for the rest of the session, so a session running many
+    # streaming queries over big corpora accumulates sinks until the
+    # driver OOMs (caught by the r11 x100 streaming campaign — 12 ops x
+    # 3 scales killed a 16g driver). localCheckpoint blocks live in the
+    # block manager at MEMORY_AND_DISK, so pressure spills to disk
+    # instead of dying; results are identical.
+    out = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 @query(

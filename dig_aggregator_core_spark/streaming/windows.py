@@ -190,7 +190,11 @@ def _run_complete(agg) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    return spark.table(sink)
+    # spillable localCheckpoint + sink drop — see stateful._run_to_memory
+    # (driver-heap sink accumulation OOM'd the r11 x100 campaign)
+    out = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 @query("stream_tumbling_availablenow", oracle=_TUMBLING_ORACLE)
