@@ -294,6 +294,8 @@ HEADLINE = [
     "kmeans_balanced_assign_r2",
     "stream_jdbc_cdc_upsert",
     "ann_ivf_pq_trained",
+    # r11 addition: the scale-safe exact NTILE twin
+    "window_ntile_cuts",
 ]
 
 
