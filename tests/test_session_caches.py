@@ -70,8 +70,11 @@ def test_bpe_encode_hit_and_row_parity(spark, sf_dir):
     a = training._bpe_encoded(spark, sf_dir)
     b = training._bpe_encoded(spark, sf_dir)
     assert a is b
-    # cold recompute (cache cleared) returns identical rows
-    training._BPE_ENC_CACHE.clear()
+    # cold recompute (cache cleared WITH unpersist — a bare clear()
+    # orphans the persisted relation, which keeps participating in
+    # Spark's cached-plan substitution for the rest of the session)
+    for k in list(training._BPE_ENC_CACHE):
+        training._BPE_ENC_CACHE.pop(k).unpersist()
     cold = training._bpe_encoded(spark, sf_dir)
     assert cold is not a
     assert sorted(map(tuple, cold.collect())) == sorted(
