@@ -311,6 +311,12 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         # r10 eviction comment (never in this literal), now r10-green
         # on their post-ADVICE plans:
         "kmeans_balanced_assign", "eval_pass_at_k", "ann_pq_adc",
+        # green in CORRECTNESS_r11.json (50 rows, all hash-verified):
+        # the r11 subtraction (probe-gate migration x3, compact index
+        # layout x2, single-pass CC delta x2, memory-sink fix x29) all
+        # re-verified green on their current plans, so that subtraction
+        # folded away; plus the one r11 registration:
+        "window_ntile_cuts",
     }
     # RE-VERIFY CONVENTION, now mechanical (VERDICT r7 task 2): any query
     # whose PHYSICAL PLAN changed after its latest driver evidence is
@@ -320,59 +326,26 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
     # effective value (the r7 per-family state-partition split left every
     # applyInPandasWithState fold at 16 partitions, identical to the
     # value its r3–r6 evidence ran under, so the fold twins stay
-    # verified). Evicted for r11 (the r10 subtraction of 6 all
-    # re-verified green in CORRECTNESS_r10.json, so it was folded away):
+    # verified). Evicted for r12 (the r11 subtraction of 36 all
+    # re-verified green in CORRECTNESS_r11.json, so it was folded away):
     - frozenset(
         {
-            # r11 probe-gate migration (VERDICT r10 task 4): the three
-            # IN-list ANN serving paths now route through the gated
-            # _pruned_index_scan. At fixture scale the gate picks the
-            # same static IN-list (plans effectively unchanged), but
-            # the serving expression moved — re-verify the shipping
-            # plans. Gate pinned both ways in
-            # tests/test_probe_join_plan.py.
-            "ann_index_persist",
-            "ann_index_append",
-            "ann_index_append_multiprobe",
-            # r11 compact index layout: the bucket-partitioned index
-            # writes now repartition on the partition column first (one
-            # file per bucket vs tasks-x-buckets — 57k -> ~2k files at
-            # the x100 proof); build side changed for every consumer of
-            # the persisted/appended index
-            "ann_index_probe_join",
-            "stream_ann_index_append",
-            # r11 single-pass CC delta (VERDICT r10 task 2): the
-            # incremental maintainers now fold the contracted delta
-            # into a driver union-find (persistent across epochs on the
-            # streaming path; gated _cc_labels_delta on the batch twin)
-            # and materialize the labeling once — plan changed, warm
-            # wall 9.0 -> ~4.2-4.9 s at sf0.1 (2.1x, target was 1.5x);
-            # stream==batch equality + dual-SF oracle re-checked.
+            # r12 ADVICE (medium): mmr_over_index reads the same
+            # committed index whose build side got the r11 one-file-
+            # per-bucket repartition (similarity.py _write_bucketed via
+            # _append_bootstrap/_build_committed_index), but was left
+            # out of the r11 eviction set by mistake while its sibling
+            # consumers (ann_index_probe_join, stream_ann_index_append)
+            # were evicted and re-verified. Re-verify it on the current
+            # build-side layout.
+            "mmr_over_index",
+            # r12 bounded driver state (VERDICT r11 task 1): the
+            # streaming CC maintainer's per-epoch probe collect now
+            # goes through limit(bound+1) and the union-find gained
+            # distributed-epoch + compaction legs (streaming/
+            # stateful.py) — plan changed; both legs + the untripped
+            # production path pinned in tests/test_stream_cc_bound.py.
             "stream_cc_incremental",
-            "dedup_cc_incremental",
-            # r11 memory-sink fix: _run_to_memory/_run_complete now hand
-            # the drained result back as a spillable localCheckpoint and
-            # DROP the memory sink (driver-heap sink accumulation OOM'd
-            # a 16g driver during the x100 streaming campaign); the
-            # sink-consumer plans changed (MemoryPlan scan ->
-            # checkpointed RDD scan) for all 29 consumers. Five of them
-            # (topk_windowed, interval_coalesce, the three
-            # *_availablenow) ALSO got the multi-file source fix.
-            "session_window", "stream_anomaly_zscore",
-            "stream_assoc_rules", "stream_attribution_last_touch",
-            "stream_changepoint_cusum", "stream_cohort_retention",
-            "stream_decontam", "stream_dedup_minhash",
-            "stream_dedup_watermark", "stream_dedup_within_watermark",
-            "stream_ewma_stateful", "stream_funnel_stateful",
-            "stream_golden_record", "stream_interval_coalesce",
-            "stream_kafka_shaped", "stream_quality_drift",
-            "stream_session_availablenow", "stream_session_timeout_close",
-            "stream_sliding_availablenow", "stream_stateful_user_stats",
-            "stream_static_join", "stream_stream_full_outer_join",
-            "stream_stream_interval_join", "stream_stream_left_outer_join",
-            "stream_stream_right_outer_join", "stream_stream_semi_join",
-            "stream_topk_windowed", "stream_transition_matrix",
-            "stream_tumbling_availablenow",
         }
     )
 )
@@ -381,13 +354,12 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
 # Unverified names deliberately ranked LAST within the unverified tier:
 # the harness budget is ~50 rows per round, so operators added (or
 # rewritten) AFTER a round's queue is frozen park here rather than
-# displace a never-checked name. Round 11: CORRECTNESS_r10.json drained
-# the r10 queue (all 6 evictions + all 9 registrations verified green,
-# 50/50 — folded into the literal above), so every pre-r11 name has
-# driver evidence on its r10-era plan. The r11 queue = the eviction
-# subtraction above (probe-gate migration x3, single-pass CC delta x2)
-# + new r11 registrations (window_ntile_cuts, ...) — far under the ~50
-# budget.
+# displace a never-checked name. Round 12: CORRECTNESS_r11.json drained
+# the r11 queue (all 36 evictions + window_ntile_cuts verified green,
+# 50/50 — folded into the literal above), so every pre-r12 name has
+# driver evidence on its r11-era plan. The r12 queue = the eviction
+# subtraction above (mmr_over_index build-side catch-up + this round's
+# plan changes) + new r12 registrations — well under the ~50 budget.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 

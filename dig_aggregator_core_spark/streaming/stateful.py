@@ -2120,6 +2120,18 @@ def stream_session_timeout_close(
     return _run_to_memory(out, "append", state_partitions=_FOLD_STATE_PARTS)
 
 
+# observable gate telemetry for stream_cc_incremental, reset per run —
+# lets the bound test assert WHICH leg fired (driver fold / distributed
+# epoch / compaction) instead of inferring it from timings
+_CC_GATE_STATS = {
+    "fold_epochs": 0,
+    "distributed_epochs": 0,
+    "compactions": 0,
+    "max_epoch_rows": 0,
+    "max_state": 0,
+}
+
+
 @query(
     "stream_cc_incremental",
     oracle="""
@@ -2227,10 +2239,12 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time as _time
 
+    from ..operators import dedup as _dedup
     from ..operators.dedup import (
         MUT_OFFSET,
         _band_index_path,
         _bands_of,
+        _cc_labels,
         _committed_cc_labels,
         _shingled,
     )
@@ -2241,19 +2255,33 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation into fresh checkpoint blocks on every run for nothing)
     sh = _shingled(spark, sf_dir)
     base_labels = _committed_cc_labels(spark, sf_dir)  # shared cache entry
+    owned_base = False  # True once base_labels is our own checkpoint
     # PERSISTENT driver union-find over current label ids (committed
     # component labels + new doc ids) — the r11 rewrite (VERDICT r10
     # task 2). The old shape re-materialized the CORPUS-sized label
     # relation every epoch (one localCheckpoint per batch — the
     # profiled wall floor, ~1.1 s/epoch at sf0.1, alongside the
-    # star-contraction fixpoint's job overhead). Label state is
-    # metadata-sized (touched components + new nodes), so it lives
-    # here; find() composes merges ACROSS epochs, and the full labeling
-    # is materialized exactly ONCE after the drain. At 100 TB this
-    # driver state is the same size class as the probe-bucket and
-    # k-centroid collects; the durable form is a maintained remap table.
+    # star-contraction fixpoint's job overhead). Label state between
+    # epochs is touched-components + new nodes; find() composes merges
+    # ACROSS epochs, and the full labeling is materialized ONCE after
+    # the drain. r12 (VERDICT r11 task 1): both driver-state legs are
+    # now BOUNDED at the batch twin's gate (_DELTA_LOCAL_MAX,
+    # dedup.py): an epoch whose contracted delta exceeds the bound is
+    # folded through the DISTRIBUTED star-contraction fixpoint instead
+    # of being collected, and whenever the CUMULATIVE union-find
+    # crosses the bound it compacts into a fresh checkpointed base
+    # labeling and resets — lifetime driver memory is O(bound)
+    # regardless of run length or duplication rate. Correctness never
+    # depends on the gate (the min-label merge is associative across
+    # any grouping of edges — pinned by the full-recompute oracle and
+    # the tiny-bound equality test in tests/test_stream_cc_bound.py);
+    # only the per-epoch constant factor does. At 100 TB the durable
+    # form of the compacted base is a maintained remap table
+    # (plans/ledger.py's CAS versioning).
     parent: dict = {}
     new_ids: set = set()
+    for k in _CC_GATE_STATS:
+        _CC_GATE_STATS[k] = 0
 
     def find(x):
         r = x
@@ -2270,6 +2298,58 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo  # min id IS the root (min-label invariant)
+
+    def materialized_labels() -> DataFrame:
+        """Current full labeling: committed labels remapped through the
+        broadcast union-find result; new nodes straight from driver
+        state. Lazy — callers decide whether to checkpoint."""
+        remap_rows = [
+            (c, find(c)) for c in parent
+            if find(c) != c and c not in new_ids
+        ]
+        out = base_labels
+        if remap_rows:
+            remap = spark.createDataFrame(
+                remap_rows, "old_c bigint, new_c bigint"
+            )
+            out = (
+                base_labels.join(
+                    F.broadcast(remap),
+                    base_labels.component == remap.old_c,
+                    "left",
+                )
+                .select(
+                    "u",
+                    F.coalesce("new_c", "component").cast("bigint").alias(
+                        "component"
+                    ),
+                )
+            )
+        if new_ids:
+            new_rows = [(u, find(u)) for u in sorted(new_ids)]
+            out = out.unionByName(
+                spark.createDataFrame(new_rows, "u bigint, component bigint")
+            )
+        return out
+
+    def swap_base(new_base: DataFrame) -> None:
+        nonlocal base_labels, owned_base
+        if owned_base:
+            base_labels.unpersist()
+        base_labels, owned_base = new_base, True
+        parent.clear()
+        new_ids.clear()
+
+    def compact_state() -> None:
+        """Fold the accumulated union-find into a fresh checkpointed
+        base labeling and reset driver state — the bound's compaction
+        leg. The checkpoint is eager, so the old owned base (if any) is
+        no longer referenced and can be freed."""
+        if not parent and not new_ids:
+            return
+        _CC_GATE_STATS["compactions"] += 1
+        swap_base(materialized_labels().localCheckpoint())
+
     # the accumulated band relation is a LIST of already-materialized
     # pieces (committed index + one piece per batch), unioned lazily at
     # probe time: re-checkpointing the concatenation each epoch was an
@@ -2334,13 +2414,15 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(inter.cast("double") / union >= 0.5)
             .select("u", "v")
         )
-        # contract endpoints through the IMMUTABLE committed labeling in
-        # the same distributed plan (cached base labels, broadcast-able
-        # batch edges) and fetch the batch-sized rows with ONE job —
-        # replaces the old per-epoch chain (edges checkpoint + isEmpty +
-        # contract + distributed fixpoint + corpus-wide label relation
+        # contract endpoints through the IMMUTABLE current base labeling
+        # in the same distributed plan (cached/checkpointed base,
+        # broadcast-able batch edges) and fetch the batch-sized rows
+        # with ONE job (limit probes the bound) — replaces the old
+        # per-epoch chain (edges checkpoint + isEmpty + contract +
+        # distributed fixpoint + corpus-wide label relation
         # re-checkpoint). Prior epochs' merges compose through find(),
         # so base-level contraction is sufficient.
+        bound = _dedup._DELTA_LOCAL_MAX
         lu = base_labels.select(
             F.col("u").alias("lu_k"), F.col("component").alias("lu_c")
         )
@@ -2351,20 +2433,90 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(lu, edges.u == lu.lu_k, "left")
             .join(lv, edges.v == lv.lv_k, "left")
             .select("u", "v", "lu_c", "lv_c")
+            .limit(bound + 1)
             .collect()
         )
-        for r in rows:
-            cu, cv = r["lu_c"], r["lv_c"]
-            if cu is None:
-                cu = r["u"]
-                new_ids.add(r["u"])
-            if cv is None:
-                cv = r["v"]
-                new_ids.add(r["v"])
-            if cu != cv:
-                uf_union(cu, cv)
-            else:
-                parent.setdefault(cu, cu)
+        _CC_GATE_STATS["max_epoch_rows"] = max(
+            _CC_GATE_STATS["max_epoch_rows"], len(rows)
+        )
+        if len(rows) > bound:
+            _CC_GATE_STATS["distributed_epochs"] += 1
+            # over-bound epoch: never hold it on the driver (VERDICT r11
+            # task 1 — the batch twin's _cc_labels_delta gate, mirrored).
+            # Compact any accumulated driver state first so base-level
+            # contraction stays sufficient, then fold this delta through
+            # the distributed star-contraction fixpoint and remap the
+            # base distributed: exactly the batch twin's fallback shape,
+            # ending in a fresh checkpointed base with EMPTY driver state.
+            compact_state()
+            lu2 = base_labels.select(
+                F.col("u").alias("lu_k"), F.col("component").alias("lu_c")
+            )
+            lv2 = base_labels.select(
+                F.col("u").alias("lv_k"), F.col("component").alias("lv_c")
+            )
+            contracted = (
+                edges.join(lu2, edges.u == lu2.lu_k, "left")
+                .join(lv2, edges.v == lv2.lv_k, "left")
+                .select(
+                    F.coalesce("lu_c", "u").alias("cu"),
+                    F.coalesce("lv_c", "v").alias("cv"),
+                )
+                .filter(F.col("cu") != F.col("cv"))
+            )
+            merged = _cc_labels(
+                contracted.select(
+                    F.col("cu").alias("u"), F.col("cv").alias("v")
+                )
+            )
+            # merged keys are current labels: committed component ids
+            # AND new doc ids (a new node always survives contraction —
+            # it has no committed label to collapse into). Split by
+            # membership in the base's component set: committed
+            # components remap, new nodes append.
+            old_comp = base_labels.select(
+                F.col("component").alias("c")
+            ).distinct()
+            new_node_rows = merged.join(
+                old_comp, merged.u == old_comp.c, "left_anti"
+            ).select("u", "component")
+            m = merged.select(
+                F.col("u").alias("old_c"), F.col("component").alias("new_c")
+            )
+            swap_base(
+                base_labels.join(
+                    m, base_labels.component == m.old_c, "left"
+                )
+                .select(
+                    "u",
+                    F.coalesce("new_c", "component").cast("bigint").alias(
+                        "component"
+                    ),
+                )
+                .unionByName(new_node_rows)
+                .localCheckpoint()
+            )
+        else:
+            _CC_GATE_STATS["fold_epochs"] += 1
+            for r in rows:
+                cu, cv = r["lu_c"], r["lv_c"]
+                if cu is None:
+                    cu = r["u"]
+                    new_ids.add(r["u"])
+                if cv is None:
+                    cv = r["v"]
+                    new_ids.add(r["v"])
+                if cu != cv:
+                    uf_union(cu, cv)
+                else:
+                    parent.setdefault(cu, cu)
+            _CC_GATE_STATS["max_state"] = max(
+                _CC_GATE_STATS["max_state"], len(parent) + len(new_ids)
+            )
+            if len(parent) + len(new_ids) > bound:
+                # cumulative driver state crossed the bound — compact
+                # (lifetime memory stays O(bound) on unbounded ingests)
+                compact_state()
         # batch_bands is already checkpointed above — appending the
         # PIECE is O(1); nothing already indexed is rewritten
         bands_pieces.append(batch_bands)
@@ -2406,37 +2558,13 @@ def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for piece in bands_pieces[1:]:
         piece.unpersist()
     # ONE corpus-sized materialization after the drain (was: one full
-    # label-relation localCheckpoint PER EPOCH): committed labels remap
-    # through the broadcast union-find result; new nodes label straight
-    # from the driver state.
-    remap_rows = [
-        (c, find(c)) for c in parent
-        if find(c) != c and c not in new_ids
-    ]
-    out = base_labels
-    if remap_rows:
-        remap = spark.createDataFrame(
-            remap_rows, "old_c bigint, new_c bigint"
-        )
-        out = (
-            base_labels.join(
-                F.broadcast(remap),
-                base_labels.component == remap.old_c,
-                "left",
-            )
-            .select(
-                "u",
-                F.coalesce("new_c", "component").cast("bigint").alias(
-                    "component"
-                ),
-            )
-        )
-    if new_ids:
-        new_rows = [(u, find(u)) for u in sorted(new_ids)]
-        out = out.unionByName(
-            spark.createDataFrame(new_rows, "u bigint, component bigint")
-        )
-    return out.select(F.col("u").alias("doc_id"), "component")
+    # label-relation localCheckpoint PER EPOCH); under the r12 bound an
+    # over-threshold run may have compacted mid-stream, in which case
+    # driver state is small (or empty) here and this is just the remap
+    # of the last sub-bound epochs.
+    return materialized_labels().select(
+        F.col("u").alias("doc_id"), "component"
+    )
 
 
 def _ann_append_oracle() -> str:
