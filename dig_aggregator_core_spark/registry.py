@@ -346,6 +346,29 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # stateful.py) — plan changed; both legs + the untripped
             # production path pinned in tests/test_stream_cc_bound.py.
             "stream_cc_incremental",
+            # r12 size-gated drain (VERDICT r11 task 2): _drain_sink now
+            # hands small drained results back as driver-local rows
+            # (parallelized LocalRelation-style scan) instead of the
+            # unconditional localCheckpoint — the serving plan changed
+            # for every memory-sink consumer (the same 29 as the r11
+            # memory-sink eviction); both legs pinned in
+            # tests/test_drain_gate.py, all 29 re-swept oracle-green at
+            # sf0.01 + sf0.001 this round.
+            "session_window", "stream_anomaly_zscore",
+            "stream_assoc_rules", "stream_attribution_last_touch",
+            "stream_changepoint_cusum", "stream_cohort_retention",
+            "stream_decontam", "stream_dedup_minhash",
+            "stream_dedup_watermark", "stream_dedup_within_watermark",
+            "stream_ewma_stateful", "stream_funnel_stateful",
+            "stream_golden_record", "stream_interval_coalesce",
+            "stream_kafka_shaped", "stream_quality_drift",
+            "stream_session_availablenow", "stream_session_timeout_close",
+            "stream_sliding_availablenow", "stream_stateful_user_stats",
+            "stream_static_join", "stream_stream_full_outer_join",
+            "stream_stream_interval_join", "stream_stream_left_outer_join",
+            "stream_stream_right_outer_join", "stream_stream_semi_join",
+            "stream_topk_windowed", "stream_transition_matrix",
+            "stream_tumbling_availablenow",
         }
     )
 )

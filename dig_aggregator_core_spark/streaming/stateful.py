@@ -93,6 +93,74 @@ _JOIN_STATE_PARTS = 4
 _FOLD_STATE_PARTS = 16
 
 
+# Drained-result handoff bound (VERDICT r11 task 2). The memory sink is
+# ALWAYS dropped (the r11 OOM fix: sink tables pinned every output row
+# on the driver heap for the session, and 12 ops x 3 scales of the x100
+# campaign killed a 16g driver) — but the unconditional localCheckpoint
+# that replaced it re-materialized even tiny drained results through a
+# Spark job, a measured 1.9x on stream_interval_coalesce (1.21->2.30 s
+# at sf0.1). A drained result at or under BOTH bounds is handed back as
+# driver-local rows instead (LocalTableScan — zero extra jobs, and the
+# rows were transiently on the driver heap in the sink anyway); anything
+# bigger becomes the spillable localCheckpoint exactly as before. The
+# common case — bounded windowed aggregates — is far under the bounds,
+# so per-query retention stays in the repo's gated-collect size class.
+_DRAIN_LOCAL_MAX_ROWS = 8192
+_DRAIN_LOCAL_MAX_BYTES = 4 << 20
+# test-observable drain telemetry: which leg the last drain took
+_DRAIN_STATS = {"local": 0, "checkpoint": 0}
+
+
+def _progress_rowcount(q, output_mode: str):
+    """Drained-sink row count from the query's OWN progress metrics —
+    zero jobs (a count() over a 92k-row sink measured ~0.5 s; the
+    metrics are free). Memory-sink semantics per mode: complete
+    REPLACES the table each batch (table = last batch's output rows);
+    append/update ACCUMULATE (table = sum over batches). Returns None
+    when any batch didn't report, and the caller falls back to count()."""
+    import json as _json
+
+    try:
+        counts = []
+        for p in q.recentProgress:
+            d = _json.loads(p.json) if hasattr(p, "json") else dict(p)
+            n = int((d.get("sink") or {}).get("numOutputRows", -1))
+            counts.append(n)
+        if not counts or any(c < 0 for c in counts):
+            return None
+        return counts[-1] if output_mode == "complete" else sum(counts)
+    except Exception:
+        return None
+
+
+def _drain_sink(
+    spark: SparkSession, sink: str, rowcount: int | None = None
+) -> DataFrame:
+    # decide BEFORE moving rows: the row count comes free from query
+    # progress (count() fallback), and the byte check is a 256-row
+    # sample over the sink's LocalTableScan. Only a result passing both
+    # bounds is collected. An earlier draft probed with
+    # limit(bound+1).collect(), which shipped bound-many rows just to
+    # discard them on the big path — ~0.4 s of waste per big drain.
+    tbl = spark.table(sink)
+    n = rowcount if rowcount is not None else tbl.count()
+    small = n <= _DRAIN_LOCAL_MAX_ROWS
+    if small and n:
+        # byte estimate from a bounded sample — wide rows (e.g.
+        # document text) must not ride the row bound onto the driver
+        sample = tbl.limit(256).collect()
+        est = sum(len(repr(r)) for r in sample) * n // len(sample)
+        small = est <= _DRAIN_LOCAL_MAX_BYTES
+    if small:
+        out = spark.createDataFrame(tbl.collect(), tbl.schema)
+        _DRAIN_STATS["local"] += 1
+    else:
+        out = tbl.localCheckpoint()
+        _DRAIN_STATS["checkpoint"] += 1
+    spark.catalog.dropTempView(sink)
+    return out
+
+
 def _run_to_memory(
     df: DataFrame, output_mode: str, state_partitions: int = _JOIN_STATE_PARTS
 ) -> DataFrame:
@@ -115,17 +183,7 @@ def _run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    # hand the drained result back as a SPILLABLE localCheckpoint and
-    # drop the memory sink: the sink table holds every output row on the
-    # DRIVER HEAP for the rest of the session, so a session running many
-    # streaming queries over big corpora accumulates sinks until the
-    # driver OOMs (caught by the r11 x100 streaming campaign — 12 ops x
-    # 3 scales killed a 16g driver). localCheckpoint blocks live in the
-    # block manager at MEMORY_AND_DISK, so pressure spills to disk
-    # instead of dying; results are identical.
-    out = spark.table(sink).localCheckpoint()
-    spark.catalog.dropTempView(sink)
-    return out
+    return _drain_sink(spark, sink, _progress_rowcount(q, output_mode))
 
 
 @query(

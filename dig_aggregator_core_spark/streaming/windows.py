@@ -190,11 +190,12 @@ def _run_complete(agg) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
-    # spillable localCheckpoint + sink drop — see stateful._run_to_memory
-    # (driver-heap sink accumulation OOM'd the r11 x100 campaign)
-    out = spark.table(sink).localCheckpoint()
-    spark.catalog.dropTempView(sink)
-    return out
+    # size-gated drain + sink drop — see stateful._drain_sink (driver-
+    # heap sink accumulation OOM'd the r11 x100 campaign; the r12 gate
+    # hands small drained results back without the checkpoint job)
+    from .stateful import _drain_sink, _progress_rowcount
+
+    return _drain_sink(spark, sink, _progress_rowcount(q, "complete"))
 
 
 @query("stream_tumbling_availablenow", oracle=_TUMBLING_ORACLE)
