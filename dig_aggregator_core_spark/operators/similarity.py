@@ -924,7 +924,12 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str) -> str:
                 ).drop("bucket")
                 data_dir = os.path.join(out, "index.parquet")
                 shutil.rmtree(data_dir, ignore_errors=True)
-                width = len(vecs.select("pbucket").first()[0]) - 1
+                # an empty corpus has no first() row to derive the
+                # bucket width from — width 0 takes _write_bucketed's
+                # direct (non-repartitioned) leg, matching the
+                # pre-compact-layout behavior on empty input
+                head = vecs.select("pbucket").first()
+                width = len(head[0]) - 1 if head is not None else 0
                 _write_bucketed(vecs, width, data_dir, "overwrite")
                 open(done, "w").close()
     return os.path.join(out, "index.parquet")

@@ -258,7 +258,12 @@ class DbSecret:
             return derby_url(self.host if db == "" else
                              os.path.join(self.host, db))
         if self.engine == "h2":
-            return f"jdbc:h2:mem:{self.host};DB_CLOSE_DELAY=-1"
+            # in-memory h2: host names the base db; a schema/dbname
+            # request binds a DISTINCT in-memory db (host_db), matching
+            # how mysql/postgresql/derby honor the argument instead of
+            # silently ignoring it (r12 ADVICE fix)
+            name = self.host if db == "" else f"{self.host}_{db}"
+            return f"jdbc:h2:mem:{name};DB_CLOSE_DELAY=-1"
         port = self.port or {"mysql": 3306, "postgresql": 5432}[self.engine]
         return f"jdbc:{self.engine}://{self.host}:{port}/{db}"
 

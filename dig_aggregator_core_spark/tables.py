@@ -133,8 +133,9 @@ def evict_memo(cache: dict, spark, sf_dir: str, unpersist=None,
        pass `keep_fingerprint` so CURRENT-listing siblings survive a
        miss that is merely a new param combination;
     2. the number of DISTINCT corpus dirs memoized per session is
-       bounded at `max_dirs`, oldest-inserted evicted first, so a
-       long-lived session iterating many corpora still cannot
+       bounded at `max_dirs` TOTAL including the current dir (the loop
+       keeps at most max_dirs-1 others), oldest-inserted evicted first,
+       so a long-lived session iterating many corpora still cannot
        accumulate unbounded persisted state.
 
     `unpersist` receives each evicted VALUE (caches store different

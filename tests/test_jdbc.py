@@ -346,6 +346,19 @@ def test_db_secret_connection_strings_and_drivers():
     assert pg.connection_string("s") == "jdbc:postgresql://h:5432/s"
     assert pg.driver == "org.postgresql.Driver"
 
+    # h2 honors schema/dbname like the other engines (r12 ADVICE fix:
+    # it used to silently ignore them and always bind the host-named
+    # in-memory db)
+    h2 = DbSecret(engine="h2", host="hostdb")
+    assert h2.connection_string() == "jdbc:h2:mem:hostdb;DB_CLOSE_DELAY=-1"
+    assert h2.connection_string("s") == (
+        "jdbc:h2:mem:hostdb_s;DB_CLOSE_DELAY=-1"
+    )
+    h2db = DbSecret(engine="h2", host="hostdb", dbname="agg")
+    assert h2db.connection_string() == (
+        "jdbc:h2:mem:hostdb_agg;DB_CLOSE_DELAY=-1"
+    )
+
     with pytest.raises(ValueError, match="Unhandled DB engine"):
         DbSecret(engine="oracle", host="h")
 

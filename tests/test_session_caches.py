@@ -62,7 +62,9 @@ def test_banded_edges_dir_switch_keeps_recent_bounded(spark, sf_dir, tmp_path):
     for i in range(1, 6):
         graph.banded_cooc_edges(spark, mk(i))
     dirs = {k[1] for k in graph._EDGE_CACHE if k[0] is spark}
-    assert len(dirs) <= 5  # max_dirs=4 others + the current dir
+    # bound is max_dirs TOTAL including the current dir (the loop keeps
+    # at most max_dirs-1 = 3 others) — r12 ADVICE doc alignment
+    assert len(dirs) <= 4
     assert other not in dirs, "oldest dir must be evicted at the bound"
 
 
