@@ -125,10 +125,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vectors at the ~64/bucket occupancy target — the embedding dim is 64,
 # so 24 coordinate signs are free); the USED prefix length grows with the
 # corpus so occupancy stays ~64. Past the ceiling (n > 2^24 * 64) bucket
-# occupancy drifts up linearly again — at that scale use ann_ivf_probe,
-# whose centroid count is a runtime knob rather than a plan constant
-# (VERDICT r7 task 6: the previous 12-bit ceiling undershot its own
-# docstring claim from ~260k vectors).
+# occupancy drifts up linearly again — the serving path auto-routes to
+# the IVF probe plan there (r12, _LSH_CEILING_N below), whose centroid
+# count is a runtime knob rather than a plan constant (VERDICT r7 task
+# 6 raised the ceiling; VERDICT r11 task 4 made crossing it a route,
+# not a docstring).
 _MAXBITS = 24
 _SIGNS_SQL = (
     "concat("
@@ -175,21 +176,39 @@ FROM (
 """
 
 
+# adaptive-LSH width ceiling: past n = 2^_MAXBITS * 64 (~1.07e9) even
+# the widest sign prefix cannot hold the ~64/bucket occupancy target and
+# within-bucket work drifts superlinear again. r12 (VERDICT r11 task 4):
+# the op now ROUTES itself to the IVF probe plan above the ceiling —
+# whose centroid count is a runtime knob, not a plan constant — instead
+# of documenting the cliff and hoping the user reads it.
+_LSH_CEILING_N = 64 << _MAXBITS
+# test-observable route telemetry (same device as stateful's gates)
+_LSH_ROUTE_STATS = {"lsh": 0, "ivf": 0}
+
+
 def _lsh_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared plan for ann_lsh_buckets and ann_lsh_adaptive (one code
-    path, two registered names — see ann_lsh_buckets.__doc__)."""
+    path, two registered names — see ann_lsh_buckets.__doc__).
+
+    The corpus count is ONE metadata-sized scalar; it drives both the
+    over-ceiling route (above) and the used-prefix width. Deriving the
+    width driver-side replaces the previous one-row-aggregate broadcast
+    crossJoin — same value, one less exchange in the serving plan."""
+    import math
+
     vecs = _vecs(spark, sf_dir).withColumn("signs", F.expr(_SIGNS_SPARK))
-    nb = vecs.agg(
-        F.expr(
-            f"GREATEST(4, LEAST({_MAXBITS},"
-            " CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0)) AS INT)))"
-        ).alias("nb")
-    )
-    keyed = vecs.crossJoin(F.broadcast(nb)).select(
+    n = vecs.count()
+    if n > _LSH_CEILING_N:
+        _LSH_ROUTE_STATS["ivf"] += 1
+        return _ivf_probe_topk(spark, sf_dir, with_bucket=True)
+    _LSH_ROUTE_STATS["lsh"] += 1
+    nb = max(4, min(_MAXBITS, math.ceil(math.log2(max(n, 1) / 64.0))))
+    keyed = vecs.select(
         "vec_id",
         "v",
         "nrm",
-        F.expr("substring(signs, 1, nb)").alias("bucket"),
+        F.substring("signs", 1, nb).alias("bucket"),
     )
     q = keyed.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
@@ -261,11 +280,11 @@ def ann_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-bit count is ceil(log2(n/64)) clamped to [4, {m}], computed from
     the corpus count itself, so buckets hold ~64 vectors whether the
     corpus has 500 rows or a billion ({m} bits covers n up to
-    2^{m} * 64 ~= 1.07e9; past that ceiling occupancy drifts up linearly
-    — use ann_ivf_probe there, where the centroid count is a runtime
-    knob). The count reduces to ONE row and
-    broadcasts; bucketing is then a substring of the precomputed sign
-    string, so the plan is the fixed-bit plan plus one scalar exchange.
+    2^{m} * 64 ~= 1.07e9; past that ceiling the op ROUTES ITSELF to the
+    IVF probe plan, whose centroid count is a runtime knob — r12, see
+    _LSH_CEILING_N). The count is one metadata-sized scalar; bucketing
+    is a literal-width substring of the precomputed sign string, so the
+    plan is the fixed-bit plan with no extra exchange.
 
     The scaleproof measurement motivates it: fixed 4-bit bucketing went
     superlinear (44x wall at 100x rows) because occupancy grew 100x;
@@ -353,6 +372,15 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell) pairs against co-located cell partitions — the cross product is
     confined to probed cells, never the full corpus. The centroid table is
     tiny and broadcast everywhere."""
+    return _ivf_probe_topk(spark, sf_dir)
+
+
+def _ivf_probe_topk(
+    spark: SparkSession, sf_dir: str, with_bucket: bool = False
+) -> DataFrame:
+    """ann_ivf_probe's plan, shared with the adaptive-LSH over-ceiling
+    route (with_bucket=True adds the probed cell id as a `bucket`
+    string column so the routed result keeps the LSH output schema)."""
     vecs = _vecs(spark, sf_dir)
     cents = F.broadcast(
         vecs.filter(F.expr(_CENTROID_FILTER_SQL)).select(
@@ -412,15 +440,14 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
+    cols = ["query_id", "neighbor_id"]
+    if with_bucket:
+        cols.append(F.col("cent_id").cast("string").alias("bucket"))
+    cols += [F.round("cos", 6).alias("cosine"), "rank"]
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos", 6).alias("cosine"),
-            "rank",
-        )
+        .select(*cols)
     )
 
 

@@ -369,6 +369,14 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             "stream_stream_right_outer_join", "stream_stream_semi_join",
             "stream_topk_windowed", "stream_transition_matrix",
             "stream_tumbling_availablenow",
+            # r12 width-ceiling auto-route (VERDICT r11 task 4): the
+            # shared adaptive-LSH plan now derives the used prefix
+            # width driver-side from the same count that drives the
+            # over-ceiling IVF route (the one-row-aggregate broadcast
+            # crossJoin is gone) — serving plan changed for both
+            # registered names; both route legs pinned in
+            # tests/test_lsh_ceiling_route.py.
+            "ann_lsh_adaptive", "ann_lsh_buckets",
         }
     )
 )
