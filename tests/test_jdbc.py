@@ -316,7 +316,62 @@ def test_upsert_drops_staging_table(spark, url):
     )
     conn = spark._jvm.java.sql.DriverManager.getConnection(url)
     try:
-        rs = conn.getMetaData().getTables(None, None, "s1_staging", None)
+        # staging names are per-call (s1_staging_<nonce>) since the r12
+        # concurrency fix — match the whole family via a LIKE pattern
+        rs = conn.getMetaData().getTables(None, None, "s1_staging%", None)
+        leftover = rs.next()
+        rs.close()
+    finally:
+        conn.close()
+    assert not leftover
+
+
+def test_jdbc_runs_concurrent_upserts_lose_nothing(runs):
+    """VERDICT r11 task 5 — the JDBC twin of the parquet ledger's
+    barrier-threaded race (tests/test_ledger.py): two writers upserting
+    simultaneously over embedded Derby. Both writers' rows must land
+    (per-call staging tables mean neither can clobber the other's
+    transport), and the one overlapping key must resolve to exactly one
+    row via the MERGE's duplicate-key retry — upsert-under-race
+    semantics matching ON DUPLICATE KEY UPDATE (Runs.scala:93-102)."""
+    import threading
+
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def writer(tag: str) -> None:
+        try:
+            barrier.wait(timeout=30)
+            for n in range(3):
+                runs.insert(
+                    "TestStage",
+                    f"out_{tag}_{n}",
+                    [inp(f"in_{tag}_{n}", n)],
+                )
+            # both writers also hit ONE shared key with different versions
+            runs.insert("TestStage", "shared_out", [inp("shared_in", 99)])
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    rows = runs.all()
+    outputs = {r["output"] for r in rows}
+    expected = {f"out_{t}_{n}" for t in ("a", "b") for n in range(3)}
+    assert expected <= outputs, expected - outputs
+    # upsert-on-conflict: the shared key exists exactly once
+    shared = [r for r in rows if r["output"] == "shared_out"]
+    assert len(shared) == 1
+    assert len(rows) == 7
+    # no staging transport left behind by either writer
+    conn = runs.spark._jvm.java.sql.DriverManager.getConnection(runs.url)
+    try:
+        rs = conn.getMetaData().getTables(None, None, "runs_staging%", None)
         leftover = rs.next()
         rs.close()
     finally:
