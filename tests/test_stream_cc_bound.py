@@ -3,12 +3,15 @@
 matter how long the ingest runs or how duplication-heavy it is.
 
 The gate has two legs (mirroring the batch twin's _cc_labels_delta,
-operators/dedup.py):
-  * an epoch whose contracted delta exceeds _DELTA_LOCAL_MAX is folded
-    through the DISTRIBUTED star-contraction fixpoint instead of being
+operators/dedup.py) and neither triggers corpus-sized work mid-stream:
+  * an epoch whose contracted delta exceeds _DELTA_LOCAL_MAX is
+    DEFERRED as a checkpointed batch-sized pair piece instead of being
     collected;
-  * whenever the CUMULATIVE union-find crosses the bound it compacts
-    into a fresh checkpointed base labeling and resets.
+  * whenever the CUMULATIVE union-find crosses the lifetime bound (4x)
+    it SPILLS its pairs as such a piece and resets.
+At drain, deferred pieces + residual driver pairs recompose through
+one distributed star-contraction fixpoint before the single corpus
+remap.
 
 Correctness must never depend on which leg fires — the min-label merge
 is associative across any grouping of edges — so here we shrink the
@@ -35,11 +38,12 @@ def _rows(df):
     return sorted((r["doc_id"], r["component"]) for r in df.collect())
 
 
-# bound=4 forces the over-bound DISTRIBUTED epoch leg (281 > 4);
-# bound=400 lets epochs fold on the driver (281 <= 400) but trips the
-# cumulative-state compaction leg (state crosses 400 within an epoch).
+# bound=4 forces the over-bound DEFERRED epoch leg (281 > 4); bound=300
+# lets epochs fold on the driver (281 <= 300) but trips the
+# cumulative-state spill leg (lifetime bound = 4x, and driver state
+# crosses 1200 entries across the two epochs — peak ~1.9k unbounded).
 @pytest.mark.parametrize(
-    "bound, must_fire", [(4, "distributed_epochs"), (400, "compactions")]
+    "bound, must_fire", [(4, "distributed_epochs"), (300, "compactions")]
 )
 def test_stream_cc_bounded_state_equals_full_recompute(
     spark, sf_dir, monkeypatch, bound, must_fire
