@@ -1617,19 +1617,11 @@ eval_rank_fusion_rrf.__doc__ = eval_rank_fusion_rrf.__doc__.format(k=_RRF_K)
 _INC_COMMIT_FILTER = "vec_id % 10 <> 1"  # committed 90%; batch = the rest
 
 
-def _inc_index_path(spark: SparkSession, sf_dir: str) -> str:
-    """Committed-only ANN index for the append-maintenance op: same
-    layout and build discipline as _persisted_index_path, but the bucket
-    WIDTH is fixed at build time from the COMMITTED corpus count and
-    recorded in a `_width` sidecar — appended batches must bucket with
-    the index's width, not their own (an index's shard map cannot
-    re-hash itself per ingest; it rebuilds when the corpus outgrows the
-    occupancy target, which the content fingerprint in the path forces
-    here)."""
-    import fcntl
+def _inc_scratch_dir(sf_dir: str, suffix: str = "") -> str:
+    """Content-fingerprinted scratch path for an incremental index of
+    `sf_dir`'s embeddings (no build side effect — path math only)."""
     import os
     import re
-    import shutil
     import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -1651,12 +1643,27 @@ def _inc_index_path(spark: SparkSession, sf_dir: str) -> str:
         )
     except OSError:
         pass
-    out = os.path.join(
+    return os.path.join(
         tempfile.gettempdir(),
         "spark_graft_scratch",
-        "ann_inc_index_%s_%s"
-        % (re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/")), sig),
+        "ann_inc_index%s_%s_%s"
+        % (suffix, re.sub(r"[^A-Za-z0-9.]", "_", sf_dir.rstrip("/")), sig),
     )
+
+
+def _inc_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Committed-only ANN index for the append-maintenance op: same
+    layout and build discipline as _persisted_index_path, but the bucket
+    WIDTH is fixed at build time from the COMMITTED corpus count and
+    recorded in a `_width` sidecar — appended batches must bucket with
+    the index's width, not their own (an index's shard map cannot
+    re-hash itself per ingest; it rebuilds when the corpus outgrows the
+    occupancy target, which the content fingerprint in the path forces
+    here)."""
+    import fcntl
+    import os
+
+    out = _inc_scratch_dir(sf_dir)
     done = os.path.join(out, "_done")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
@@ -1855,13 +1862,20 @@ def ann_index_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _serve_appended_index(
-    spark: SparkSession, sf_dir: str, idx_dir: str, width: int
+    spark: SparkSession, sf_dir: str, idx_dir: str, width: int,
+    exclude_query_ids: DataFrame | None = None,
+    exclude_index_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the maintained index at its recorded width: gated
     partition pruning over the query buckets (_pruned_index_scan —
     IN-list literal under the gate, broadcast semi-join + DPP above
     it), bucket-confined scoring, top-k window (the ann_index_persist
-    serving device)."""
+    serving device). The exclusion hooks (one vec_id column each) are
+    the deletion lifecycle's: `exclude_index_ids` is the tombstone
+    anti-join on the candidate side, `exclude_query_ids` the serving-
+    panel membership filter — both BEFORE the top-k window (a
+    post-rank filter would leave rank gaps and lose the live
+    neighbors the deleted ones displaced)."""
     import os
 
     queries = (
@@ -1887,6 +1901,22 @@ def _serve_appended_index(
             F.expr("substring(pbucket, 2)").alias("cbucket"),
         )
     )
+    if exclude_query_ids is not None:
+        queries = queries.join(
+            F.broadcast(
+                exclude_query_ids.withColumnRenamed("vec_id", "query_id")
+            ),
+            "query_id",
+            "left_anti",
+        )
+    if exclude_index_ids is not None:
+        index = index.join(
+            F.broadcast(
+                exclude_index_ids.withColumnRenamed("vec_id", "neighbor_id")
+            ),
+            "neighbor_id",
+            "left_anti",
+        )
     scored = queries.join(
         index,
         (F.col("bucket") == F.col("cbucket"))
@@ -2055,6 +2085,269 @@ def ann_index_append_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ------------------------------------------- index deletion lifecycle (r12)
+
+# deterministic delete panel: hits BOTH committed ids (e.g. 4, 13, 22)
+# and appended ids (31, 121, ... satisfy vec_id % 10 = 1 too), and
+# overlaps the query panel (400, 2200, ... satisfy % 100 = 0), so
+# serving must both drop deleted neighbors AND drop deleted queries
+_DELETED_FILTER = "vec_id % 9 = 4"
+# compact a bucket once tombstones reach this share of its rows —
+# below it the serve-side anti-join overhead is cheaper than a rewrite
+_COMPACT_MIN_SHARE = 0.2
+
+
+def ann_index_delete(
+    spark: SparkSession, index_dir: str, deleted: DataFrame
+) -> None:
+    """Index MAINTENANCE, delete leg: record `deleted` (vec_id, v) as
+    TOMBSTONES — one O(delete-batch) append of (vec_id, pbucket) rows,
+    no committed bucket partition is rewritten (the LSM delete device:
+    FAISS IDMap remove_ids / Milvus delete logs play the same role).
+    The bucket is derived from the vector at the INDEX's recorded
+    width so compaction later knows which partitions each tombstone
+    dirties without scanning the index; a deployment whose delete
+    requests carry only ids keeps the same (id, bucket) pair in its
+    id→segment map instead. Serving anti-joins the broadcast tombstone
+    set; ann_index_compact bounds how large that set can grow."""
+    import os
+
+    with open(os.path.join(index_dir, "_width")) as wf:
+        width = int(wf.read().strip())
+    tombs = deleted.withColumn("signs", F.expr(_SIGNS_SPARK)).select(
+        "vec_id",
+        F.concat(
+            F.lit("b"), F.expr(f"substring(signs, 1, {width})")
+        ).alias("pbucket"),
+    )
+    tombs.coalesce(1).write.mode("append").parquet(
+        os.path.join(index_dir, "tombstones.parquet")
+    )
+
+
+def ann_index_compact(
+    spark: SparkSession, index_dir: str,
+    min_share: float = _COMPACT_MIN_SHARE,
+) -> None:
+    """Index MAINTENANCE, compaction leg: physically remove tombstoned
+    rows from buckets whose tombstone share reached `min_share`, and
+    drop those ids from the tombstone set — the LSM compaction that
+    keeps the serve-side anti-join bounded on a long-lived index.
+
+    Everything is confined to DIRTY buckets: the tombstone file names
+    each tombstone's bucket, so the index is read partition-pruned to
+    exactly those buckets (never a full scan); surviving rows rewrite
+    through dynamic partition overwrite (only the compacted partitions
+    are replaced — untouched bucket files keep their bytes, pinned by
+    tests/test_ann_index_delete.py); buckets left EMPTY have their
+    partition directory removed outright (a delete API call per bucket
+    on an object store). Tombstones for buckets under the share
+    threshold stay — serving keeps filtering them until they are worth
+    a rewrite."""
+    import os
+    import shutil
+
+    tomb_path = os.path.join(index_dir, "tombstones.parquet")
+    data_dir = os.path.join(index_dir, "index.parquet")
+    if not os.path.exists(tomb_path):
+        return
+    tombs = spark.read.parquet(tomb_path).localCheckpoint()
+    tomb_counts = (
+        tombs.groupBy("pbucket").agg(F.count(F.lit(1)).alias("tn"))
+    )
+    # partition-pruned sizes of the dirty buckets only (the IN-list /
+    # DPP gate, same device as serving)
+    sizes = (
+        _pruned_index_scan(spark, data_dir, tombs.select("pbucket"))
+        .groupBy("pbucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    affected = [
+        r["pbucket"]
+        for r in tomb_counts.join(sizes, "pbucket")
+        .filter(F.col("tn") >= F.col("n") * min_share)
+        .collect()  # bounded by the dirty-bucket count
+    ]
+    if not affected:
+        return
+    aff_df = spark.createDataFrame(
+        [(b,) for b in affected], "pbucket string"
+    )
+    survivors = (
+        _pruned_index_scan(spark, data_dir, aff_df.select("pbucket"))
+        .join(F.broadcast(tombs.select("vec_id")), "vec_id", "left_anti")
+        .localCheckpoint()  # materialize BEFORE overwriting the source
+    )
+    nonempty = {
+        r["pbucket"]
+        for r in survivors.select("pbucket").distinct().collect()
+    }
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if nonempty:
+            survivors.repartition("pbucket").write.partitionBy(
+                "pbucket"
+            ).mode("overwrite").parquet(data_dir)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", before
+        )
+    for b in set(affected) - nonempty:
+        shutil.rmtree(
+            os.path.join(data_dir, f"pbucket={b}"), ignore_errors=True
+        )
+    survivors.unpersist()
+    remaining = tombs.filter(~F.col("pbucket").isin(affected))
+    # rewrite-then-swap: the tombstone file is tiny (bounded between
+    # compactions), so an atomic rename replaces it
+    tmp = tomb_path + "_next"
+    remaining.coalesce(1).write.mode("overwrite").parquet(tmp)
+    tombs.unpersist()
+    shutil.rmtree(tomb_path, ignore_errors=True)
+    os.replace(tmp, tomb_path)
+
+
+def _delete_bootstrap(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Flock-idempotent bootstrap for the deletion-lifecycle consumers:
+    a PRIVATE index scratch (the shared _inc_index_path one must never
+    carry deletions — its consumers pin no-deletion semantics), built
+    committed -> appended -> tombstoned once per corpus fingerprint."""
+    import fcntl
+    import os
+
+    base = _inc_scratch_dir(sf_dir, suffix="_del")
+    os.makedirs(base, exist_ok=True)
+    ready = os.path.join(base, "_deleted")
+    if not os.path.exists(ready):
+        with open(os.path.join(base, ".lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(ready):
+                _build_committed_index(spark, sf_dir, base)
+                batch = _vecs(spark, sf_dir).filter(
+                    ~F.expr(_INC_COMMIT_FILTER)
+                )
+                ann_index_append(spark, base, batch)
+                ann_index_delete(
+                    spark, base,
+                    _vecs(spark, sf_dir).filter(F.expr(_DELETED_FILTER)),
+                )
+                open(ready, "w").close()
+    with open(os.path.join(base, "_width")) as wf:
+        width = int(wf.read().strip())
+    return base, width
+
+
+def _serve_deleted_index(
+    spark: SparkSession, sf_dir: str, idx_dir: str, width: int
+) -> DataFrame:
+    """_serve_appended_index with the deletion exclusions applied
+    BEFORE ranking. Candidate side: the REMAINING tombstones — for a
+    compacted bucket they are gone and correctness rests on the
+    physical rewrite (which is exactly what makes the rewrite
+    hash-checked against the oracle). Query side: the known delete
+    panel — a deleted id is out of the serving panel whether its
+    tombstone still exists or its bucket already compacted (the
+    serving panel is the caller's membership concern, not the
+    index's). Both sets are metadata-sized: tombstones are bounded
+    between compactions by contract, the panel is the delete log."""
+    import os
+
+    tomb_path = os.path.join(idx_dir, "tombstones.parquet")
+    tombs = (
+        spark.read.parquet(tomb_path).select("vec_id")
+        if os.path.exists(tomb_path)
+        else None
+    )
+    panel = _vecs(spark, sf_dir).filter(
+        F.expr(_DELETED_FILTER)
+    ).select("vec_id")
+    return _serve_appended_index(
+        spark, sf_dir, idx_dir, width,
+        exclude_query_ids=panel, exclude_index_ids=tombs,
+    )
+
+
+_DELETE_SERVE_ORACLE = f"""
+    WITH {_VECS_SQL},
+    sig AS (SELECT *, {_SIGNS_SQL} AS signs FROM vecs),
+    b AS (SELECT GREATEST(4, LEAST({_MAXBITS},
+            CAST(ceil(log2(GREATEST(COUNT(*), 1) / 64.0)) AS INT))) AS nb
+          FROM sig WHERE {_INC_COMMIT_FILTER}),
+    keyed AS (SELECT s.vec_id, s.v, s.nrm,
+                     substr(s.signs, 1, b.nb) AS bucket
+              FROM sig s, b
+              WHERE NOT ({_DELETED_FILTER})),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.bucket AS bucket, {_COS_SQL} AS cos
+      FROM (SELECT * FROM keyed WHERE {_QUERY_FILTER}) q
+      JOIN keyed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, bucket, ROUND(cos, 6) AS cosine,
+           CAST(rk AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOPK}
+    """
+
+
+@query("ann_index_delete", oracle=_DELETE_SERVE_ORACLE)
+def ann_index_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving over a DELETE-MAINTAINED index (r12): the append-
+    maintained index (ann_index_append's contract) takes a deletion
+    batch as TOMBSTONES — one O(batch) sidecar append, no partition
+    rewrite — and serving anti-joins the broadcast tombstone set on
+    both the neighbor and the query side. Closes the index lifecycle
+    (build -> append -> delete -> compact) the way real corpora churn:
+    takedowns, opt-outs, and re-crawls remove documents as often as
+    ingest adds them, and an index that can only grow forces periodic
+    full rebuilds at 100 TB. The oracle pins the result by scoring the
+    corpus MINUS the deleted panel under the committed-count bucketing
+    (deletion never changes the recorded width — only a rebuild does).
+
+    The deleted panel intersects both the committed and appended id
+    ranges AND the query panel, so the oracle check covers neighbor
+    removal and query removal at once. NOTE the bucketing width still
+    derives from the FULL committed count: tombstones do not shrink
+    the index's geometry."""
+    idx_dir, width = _delete_bootstrap(spark, sf_dir)
+    return _serve_deleted_index(spark, sf_dir, idx_dir, width)
+
+
+@query("ann_index_compact", oracle=_DELETE_SERVE_ORACLE)
+def ann_index_compact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving AFTER tombstone compaction (r12): buckets whose
+    tombstone share reached the threshold are rewritten without their
+    deleted rows (dynamic partition overwrite — only dirty partitions
+    are replaced; emptied buckets' directories are removed), their
+    tombstones are dropped, and serving continues through the same
+    tombstone-filtered path for the buckets still under threshold.
+    The result must be IDENTICAL to ann_index_delete's (compaction is
+    invisible to serving — same oracle pins both), which makes the
+    physical rewrite itself hash-checked: any row lost or duplicated
+    by the partition overwrite breaks the compare.
+
+    Scale: compaction reads/writes ONLY dirty buckets (partition-
+    pruned via the tombstones' recorded buckets), so its cost tracks
+    the delete rate, not the index size; the serve-side anti-join
+    stays bounded by the under-threshold tombstone residue."""
+    import fcntl
+    import os
+
+    idx_dir, width = _delete_bootstrap(spark, sf_dir)
+    marker = os.path.join(idx_dir, "_compacted")
+    if not os.path.exists(marker):
+        with open(os.path.join(idx_dir, ".lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(marker):
+                ann_index_compact(spark, idx_dir)
+                open(marker, "w").close()
+    return _serve_deleted_index(spark, sf_dir, idx_dir, width)
 
 
 # ------------------------------------------------- product quantization (PQ)
