@@ -562,6 +562,15 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (output-linear). Maintenance is append_band_index: one O(batch)
     partition-append, no committed-partition rewrite."""
     idx = spark.read.parquet(_band_index_path(spark, sf_dir))
+    return _probe_band_index(spark, sf_dir, idx)
+
+
+def _probe_band_index(
+    spark: SparkSession, sf_dir: str, idx: DataFrame
+) -> DataFrame:
+    """The ingest-batch probe/verify shared by dedup_incremental_minhash
+    and the deletion twin: batch bands join `idx` for candidates among
+    the committed side, exact Jaccard verifies at >= 0.5."""
     sh = _shingled(spark, sf_dir)
     batch_sh = sh.filter(F.col("doc_id") >= MUT_OFFSET)
     batch_bands = _bands_of(batch_sh)
@@ -593,6 +602,100 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_new", "doc_seen", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --------------------------------------- band-index deletion (r12 twin)
+
+# deterministic committed-side delete panel for the band index —
+# intersects the near-dup pair graph's doc_seen side, so deletion
+# visibly removes pairs the append-maintained index would report
+_DEDUP_DELETED_FILTER = f"doc_id % 7 = 2 AND doc_id < {MUT_OFFSET}"
+
+
+def delete_band_index(
+    spark: SparkSession, index_path: str, deleted_ids: DataFrame
+) -> None:
+    """Index MAINTENANCE, delete leg for the near-dup band index: record
+    deleted doc ids as a TOMBSTONE sidecar next to the index — one
+    O(delete-batch) append, no band partition rewrite (ann_index_delete's
+    device; the band index's compaction story differs — see
+    dedup_index_delete's docstring)."""
+    import os
+
+    deleted_ids.select("doc_id").coalesce(1).write.mode("append").parquet(
+        os.path.join(os.path.dirname(index_path), "tombstones.parquet")
+    )
+
+
+@query(
+    "dedup_index_delete",
+    oracle=f"""
+    WITH {_CORPUS_SQL}, {_MINHASH_SQL.replace('''cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)''', f'''cand AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_seen
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id >= {MUT_OFFSET} AND b.doc_id < {MUT_OFFSET}
+   AND NOT (b.doc_id % 7 = 2)
+)''')}
+    SELECT c.doc_new, c.doc_seen,
+           ROUND(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+                 / (len(sa.sh_set) + len(sb.sh_set)
+                    - len(list_intersect(sa.sh_set, sb.sh_set))), 6)
+             AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_new
+    JOIN shingled sb ON sb.doc_id = c.doc_seen
+    WHERE CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+          / (len(sa.sh_set) + len(sb.sh_set)
+             - len(list_intersect(sa.sh_set, sb.sh_set))) >= 0.5
+    """,
+)
+def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup probe over a DELETE-MAINTAINED band index
+    (r12): a panel of committed docs is taken down (tombstone sidecar —
+    delete_band_index, one O(batch) write), and the next ingest batch's
+    probe must no longer report candidate pairs against them — the
+    dedup twin of ann_index_delete, closing the same corpus-churn gap
+    (takedowns and opt-outs remove documents as often as ingest adds
+    them; a dedup index that can't forget keeps matching against
+    removed content). Serving anti-joins the broadcast tombstone set on
+    the index side BEFORE the band join, so deleted docs produce no
+    candidates at all (not top-k-displaced like ANN — every surviving
+    pair is emitted, which the oracle pins by excluding the panel from
+    the committed band side).
+
+    Compaction note: the band index partitions on `band` (4 hot
+    partitions), so the ANN twin's dirty-BUCKET rewrite has no
+    per-tombstone pruning here — a delete-heavy deployment
+    sub-partitions on (band, key-prefix) to get it back, and until a
+    rewrite runs the serve-side anti-join is the mechanism (tombstone
+    set bounded by the delete log, broadcast)."""
+    import fcntl
+    import os
+
+    index_path = _band_index_path(spark, sf_dir)
+    base = os.path.dirname(index_path)
+    marker = os.path.join(base, "_tombstoned")
+    if not os.path.exists(marker):
+        with open(os.path.join(base, ".lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(marker):
+                panel = _shingled(spark, sf_dir).filter(
+                    F.expr(_DEDUP_DELETED_FILTER)
+                )
+                delete_band_index(spark, index_path, panel)
+                open(marker, "w").close()
+    tombs = spark.read.parquet(
+        os.path.join(base, "tombstones.parquet")
+    ).select("doc_id")
+    idx = spark.read.parquet(index_path).join(
+        F.broadcast(tombs), "doc_id", "left_anti"
+    )
+    return _probe_band_index(spark, sf_dir, idx)
 
 
 # ---------------------------------------------------------------- simhash
