@@ -1349,6 +1349,128 @@ def dedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return committed_final.unionByName(new_final)
 
 
+# ------------------------------- CC maintenance under DELETION (r12)
+
+# deterministic takedown panel over the pair graph's nodes (base AND
+# mutated docs) — chosen so some components lose members, some lose
+# their min-id root (labels must shift), and some SPLIT
+_CC_DELETED_FILTER = "doc_id % 7 = 2"
+
+# stored full-graph labeling — the maintained state dedup_cc_delete
+# updates (the _CC_BASE_CACHE convention, over ALL edges not just the
+# committed subgraph)
+_CC_FULL_CACHE: dict = {}
+
+
+def _full_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir, dir_fingerprint(sf_dir))
+    hit = _CC_FULL_CACHE.get(key)
+    if hit is None:
+        from ..tables import evict_memo
+
+        evict_memo(_CC_FULL_CACHE, spark, sf_dir)
+        pairs = _neardup_pairs(spark, sf_dir)
+        hit = _cc_labels(
+            pairs.select(
+                F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+            )
+        ).localCheckpoint()
+        _CC_FULL_CACHE[key] = hit
+    return hit
+
+
+@query(
+    "dedup_cc_delete",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL}, {_MINHASH_SQL}, {_PAIRS_SQL.replace('''edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+)''', '''edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  WHERE doc_a % 7 <> 2 AND doc_b % 7 <> 2
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+  WHERE doc_a % 7 <> 2 AND doc_b % 7 <> 2
+)''')}
+    SELECT u AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_cc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC maintenance under NODE DELETION (r12) — the hard direction of
+    incremental clustering: adding edges only MERGES components
+    (dedup_cc_incremental's monotone case), but removing nodes can
+    SPLIT one, shift its min-id label, or dissolve it entirely, and no
+    local rule can decide which without re-examining the component.
+    This op re-labels ONLY the components the takedown panel touches:
+
+    (1) stored state = the full-graph labeling (a maintained table in
+    production, session-memoized here); (2) the AFFECTED component set
+    = distinct labels of deleted nodes — bounded by the delete log,
+    broadcast; (3) the affected SUBGRAPH = edges whose endpoints'
+    component is affected (one semi-join pass over the edge relation —
+    at 100 TB the edge table is stored bucketed by component label, so
+    this reads only affected buckets), minus edges touching deleted
+    nodes; (4) relabel that subgraph with the gated single-pass device
+    (_cc_labels_delta: driver union-find under the 64k bound,
+    distributed fixpoint past it) — splits fall out naturally because
+    min-reachable-id is recomputed from scratch INSIDE the subgraph;
+    (5) untouched components keep their labels verbatim; survivors
+    isolated by the deletion leave the pair graph (exactly as the
+    full-recompute oracle, which excludes the panel from the edge
+    relation, pins).
+
+    Work is bounded by the affected components' sizes, never the
+    corpus: the one full pass is the edge-relation filter in (3), which
+    partition-prunes under a component-bucketed layout. Together with
+    dedup_cc_incremental this gives the maintained clustering both
+    directions of corpus churn."""
+    pairs = _neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = _full_cc_labels(spark, sf_dir)
+    deleted_ids = labels.filter(
+        F.expr(_CC_DELETED_FILTER.replace("doc_id", "u"))
+    ).select("u")
+    return _cc_delete_maintain(spark, edges, labels, deleted_ids).select(
+        F.col("u").alias("doc_id"), "component"
+    )
+
+
+def _cc_delete_maintain(
+    spark: SparkSession, edges: DataFrame, labels: DataFrame,
+    deleted_ids: DataFrame,
+) -> DataFrame:
+    """The maintenance core of dedup_cc_delete, corpus-independent so
+    the SPLIT path can be pinned on synthetic graphs (the fixture's
+    near-dup components are clique-like and never split): affected
+    components relabel from scratch inside their surviving subgraph,
+    everything else keeps its label. `deleted_ids` is one `u` column,
+    bounded by the delete log (broadcast throughout)."""
+    affected = (
+        labels.join(F.broadcast(deleted_ids), "u", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    lab_u = labels.select("u", "component")
+    sub = (
+        edges.join(lab_u, "u")
+        .join(F.broadcast(affected), "component", "left_semi")
+        .join(F.broadcast(deleted_ids), "u", "left_anti")
+        .join(
+            F.broadcast(deleted_ids.select(F.col("u").alias("v"))),
+            "v",
+            "left_anti",
+        )
+        .select("u", "v")
+    )
+    relabeled = _cc_labels_delta(spark, sub)
+    keep = labels.join(F.broadcast(affected), "component", "left_anti")
+    return keep.unionByName(relabeled)
+
+
 _SUBSTR_W, _SUBSTR_S = 64, 32  # span window / stride (chars)
 
 _SUBSTR_ORACLE = f"""
