@@ -376,7 +376,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = [(w + 2**63) % 2**64 - 2**63 for w in words]
 
     fact = load(spark, sf_dir, "orders")
-    mask = F.array(*[F.lit(w) for w in words])
+    # one parsed expression, not 128 F.lit py4j calls (guide §5; the
+    # privacy_dp_counts lesson) — identical folded literal array
+    mask = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
     tests = [
         F.expr(
             f"(shiftright(element_at(_bloom, "

@@ -574,7 +574,14 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load(spark, sf_dir, "events").groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("true_n")
     )
-    tab = F.array(*[F.lit(z).cast("bigint") for z in _DP_TABLE])
+    # ONE parsed expression for the 1024-entry literal table: the
+    # per-element F.array(*[F.lit(z).cast(...)]) form cost 1024 py4j
+    # round trips ≈ 2.3-3.2 s of driver-side construction per call
+    # (measured; execution itself is 0.2 s) — guide §5, the driver
+    # should do almost no work. Same folded literal array either way.
+    tab = F.expr(
+        "array(" + ",".join(f"{z}L" for z in _DP_TABLE) + ")"
+    )
     bucket = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8),
