@@ -2314,19 +2314,35 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ma = mh.select(
+    # OPTIMIZATION r12 (guide §2.4 — remove shuffles outright): each
+    # candidate endpoint fetches its signature columns AND its shingle
+    # set through ONE combined side relation instead of two (mh joined
+    # at doc_a and doc_b, sh joined at doc_a and doc_b = four probe
+    # joins -> two). mh is just a narrow projection OVER the persisted
+    # sh relation, so extending it with sh_set costs nothing — the old
+    # form recomputed the signature fold per branch anyway (mh was an
+    # unmaterialized plan), it just also paid two extra joins to fetch
+    # the shingle sets separately. Plan diff in
+    # plans/r12/minhash_estimate_error_{before,after}.txt.
+    wide = sh.select(
+        "doc_id",
+        "sh_set",
+        *[
+            F.array_min(
+                F.expr(f"transform(sh_set, s -> md5(concat('{i}|', s)))")
+            ).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ],
+    )
+    ma = wide.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(_N_HASH)],
     )
-    mb = mh.select(
+    mb = wide.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
         *[F.col(f"h{i}").alias(f"b{i}") for i in range(_N_HASH)],
-    )
-    sa = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
-    )
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
     )
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
@@ -2337,8 +2353,6 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ma, "doc_a")
         .join(mb, "doc_b")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -377,6 +377,14 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # registered names; both route legs pinned in
             # tests/test_lsh_ceiling_route.py.
             "ann_lsh_adaptive", "ann_lsh_buckets",
+            # r12 optimization-round plan restructures (guide §2.3/§2.4;
+            # oracle-green at sf0.01 + sf0.001, plan diffs in plans/r12/):
+            # dq_constraint_audit folds the five report rows into one
+            # shared-scan stats row + stack() (24 -> 14 scans, 36 -> 24
+            # Exchange refs); minhash_estimate_error fetches signature
+            # columns and shingle sets through one combined side
+            # relation per endpoint (4 probe joins -> 2).
+            "dq_constraint_audit", "minhash_estimate_error",
         }
     )
 )
