@@ -396,7 +396,12 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def w_grid(vlit: list[int]):
-        varr = F.array(*[F.lit(int(x)).cast("bigint") for x in vlit])
+        # ONE parsed array expression, not 64 F.lit(..).cast(..) py4j
+        # round trips per iteration (the privacy_dp_counts batch-1
+        # lesson); the literal is byte-identical in the plan
+        varr = F.expr(
+            "array(" + ", ".join(f"{int(x)}L" for x in vlit) + ")"
+        )
         s = F.expr(
             "aggregate(zip_with(xi, vlit, (a, b) -> a * b),"
             " CAST(0 AS BIGINT), (a, b) -> a + b)"

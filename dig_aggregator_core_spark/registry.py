@@ -385,6 +385,13 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # columns and shingle sets through one combined side
             # relation per endpoint (4 probe joins -> 2).
             "dq_constraint_audit", "minhash_estimate_error",
+            # chunk_cdc_rolling spreads the one-file fixture scan before
+            # the md5-per-position projection (0 -> 2 Exchange refs,
+            # 3.74 -> 0.73 s); dsir_importance_select builds bigrams via
+            # zip_with over slices instead of the index-lambda transform
+            # (pass-1 aggregate 2.64 -> 0.77 s) and embeds the ratio
+            # table as one parsed map literal.
+            "chunk_cdc_rolling", "dsir_importance_select",
         }
     )
 )
