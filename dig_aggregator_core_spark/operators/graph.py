@@ -1044,8 +1044,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure / spam-subgraph feature (dense local cliques score ~1,
     star centers score 0). Runs on the BANDED co-occurrence graph (the
     graph_bfs_distance device — linear |edges|, see
-    graph_degree_assortativity) with the same oriented (u<v) triangle
-    join — each triangle found ONCE,
+    graph_degree_assortativity) with a degree-ORIENTED adjacency
+    intersection — each triangle found ONCE on its lowest-degree edge,
     then credited to its three corners by an explode-style union, so
     the per-node count needs no /2 or /6 correction juggling beyond the
     closed form's own factor.
@@ -1055,9 +1055,10 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed-DIV cross-engine trap doesn't apply). Nodes with d < 2 have
     no defined coefficient and are excluded (division guard).
 
-    Scale shape: inherits the triangle join's single-node-key shuffles
-    and low->high orientation (the skew guard); the corner-credit union
-    and both count aggregations key on node. Output is nodes-sized — a
+    Scale shape: single-node-key shuffles only (adjacency aggregate,
+    corner-credit aggregate) with the low->high orientation as the skew
+    guard; wedges are compared inside a narrow per-edge projection and
+    never exchanged. Output is nodes-sized — a
     per-node FEATURE, not a report, so no top-k window is imposed.
     Reference analog: frequencyAnalysis.py's per-group statistics layer
     (frequencyAnalysis.py:31-35) as a topology feature.
@@ -1096,29 +1097,64 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.s").alias("u"), F.col("e.t").alias("v"))
         .localCheckpoint()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+    # Adjacency-INTERSECTION triangle listing (r12): the former
+    # wedge-join (e1 |><| e2 on v=u, then probe e3) materialized and
+    # shuffled every wedge — 17.2M wedge rows for 188k edges at sf0.1 on
+    # this dense co-occurrence graph — before the e3 probe killed the
+    # open ones. Intersecting out-neighbor sets per EDGE does the same
+    # element-compares inside a narrow projection: no wedge rows ever
+    # hit an exchange, and the only wide ops are the nodes-sized adj
+    # aggregate and the corner-credit aggregate. A triangle x<y<z (in
+    # the degree order) is found exactly once, on its (x, y) edge, as
+    # z in N+(x) /\ N+(y) — same multiplicity as the wedge join, so the
+    # corner credits are unchanged. No broadcast HINT on adj: it is
+    # nodes-sized (fits at every test SF, where Catalyst auto-BHJs it;
+    # at 100 TB it degrades to a node-keyed shuffle join that still
+    # exchanges only nodes+edges rows, never wedges). Measured
+    # 3.16 s -> 0.86 s exec at sf0.1, identical 1500-row output.
+    par = spark.sparkContext.defaultParallelism
+    spread = (
+        edges.repartition(par, "u")
+        if edges.rdd.getNumPartitions() < par
+        else edges
+    )
+    adj = edges.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    ew = (
+        spread.join(
+            adj.select(F.col("u"), F.col("nbrs").alias("un")), "u", "left"
+        )
         .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u"))
-            & (F.col("e3.v") == F.col("e2.v")),
+            adj.select(
+                F.col("u").alias("v"), F.col("nbrs").alias("vn")
+            ),
+            "v",
+            "left",
         )
         .select(
-            F.col("e1.u").alias("a"),
-            F.col("e1.v").alias("b"),
-            F.col("e2.v").alias("c"),
+            "u",
+            "v",
+            F.expr(
+                "array_intersect(coalesce(un, array()),"
+                " coalesce(vn, array()))"
+            ).alias("ws"),
         )
     )
-    # Corner credit via explode, NOT a 3-way unionAll of projections:
-    # tris is an unmaterialized 3-way join, so a union would repeat that
-    # join subtree three times in the plan (exchange reuse dedups the
-    # shuffle maps but the reduce-side probe still runs per branch).
-    # One explode = one join pass. Measured 9.6 s -> see PLANS.md.
+    # corner credit in ONE explode: u and v each close size(ws)
+    # triangles on this edge, every w in ws closes one
     pert = (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        ew.select(
+            F.explode(
+                F.expr(
+                    "concat(array(named_struct('node', u, 'c', size(ws)),"
+                    "             named_struct('node', v, 'c', size(ws))),"
+                    "       transform(ws, w -> named_struct('node', w,"
+                    "                                       'c', 1)))"
+                )
+            ).alias("s")
+        )
+        .select("s.node", "s.c")
         .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+        .agg(F.sum("c").cast("bigint").alias("tri"))
     )
     return (
         deg.filter(F.col("d") >= 2)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, maybe_spread
 
 _TOPK = 5
 _QUERY_FILTER = "vec_id % 100 = 0"
@@ -42,7 +42,14 @@ _COS_SQL = """
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "embeddings").select(
+    # The per-row vector math downstream (norms, dot folds, PQ encode)
+    # is a narrow CPU-bound map; a one-file fixture scan would pin the
+    # whole family onto one core. maybe_spread repartitions ONLY when
+    # the scan itself is under-partitioned (no-op at real scale where
+    # input splits already parallelize) — guide §2.
+    return maybe_spread(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", "vec_id"
+    ).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         "label",
@@ -2458,24 +2465,42 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[int]]:
 # the three PQ building blocks, shared by ann_pq_adc (flat scan) and
 # ann_ivf_pq (cell-confined scan) — extracting them changes neither plan
 
+# zv (the per-row quantized vector) and the per-subspace slice are
+# LET-BOUND via 1-element transform(array(...), x -> ...) wrappers: the
+# optimizer inlines a once-referenced alias into consumers
+# (CollapseProject), and inlined inside these lambda bodies the 64-dim
+# quantization transform(v, ...) would re-run once per (m, k) codeword
+# probe — M*K = 128x per row instead of once (measured: sf0.1 encode
+# 1.26 s -> 0.90 s let-bound, -> 0.51 s with the _vecs spread). A
+# lambda variable is bound once per element, so references are free.
 _PQ_SQ_FOLD = (
-    f"aggregate(zip_with(slice(zv, m * {_PQ_SUB} + 1, {_PQ_SUB}), c,"
-    " (x, y) -> (x - y) * (x - y)),"
+    "aggregate(zip_with(zs, c, (x, y) -> (x - y) * (x - y)),"
     " CAST(0 AS BIGINT), (a, x) -> a + x)"
 )
 _PQ_CODES_EXPR = (
-    f"transform(sequence(0, {_PQ_M - 1}), m -> CAST(aggregate("
+    "element_at(transform(array(zv), zvv ->"
+    f" transform(sequence(0, {_PQ_M - 1}), m -> element_at(transform("
+    f"  array(slice(zvv, m * {_PQ_SUB} + 1, {_PQ_SUB})), zs ->"
+    " CAST(aggregate("
     f" transform(element_at(cb, m + 1), c -> {_PQ_SQ_FOLD}),"
     " named_struct('d', CAST(9223372036854775807 AS BIGINT),"
     "               'k', -1, 'i', 0),"
     " (acc, d) -> CASE WHEN d < acc.d"
     "   THEN named_struct('d', d, 'k', acc.i, 'i', acc.i + 1)"
     "   ELSE named_struct('d', acc.d, 'k', acc.k, 'i', acc.i + 1) END"
-    ").k AS INT))"
+    ").k AS INT)), 1))), 1)"
 )
 _PQ_DOT_FOLD = (
-    f"aggregate(zip_with(slice(zv, m * {_PQ_SUB} + 1, {_PQ_SUB}), c,"
-    " (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    "aggregate(zip_with(zs, c, (x, y) -> x * y),"
+    " CAST(0 AS BIGINT), (a, x) -> a + x)"
+)
+# query distance table, same let-binding (shared by _pq_dt and the two
+# IVF-PQ dtq sites)
+_PQ_DT_EXPR = (
+    "element_at(transform(array(zv), zvv ->"
+    f" transform(sequence(0, {_PQ_M - 1}), m -> element_at(transform("
+    f"  array(slice(zvv, m * {_PQ_SUB} + 1, {_PQ_SUB})), zs ->"
+    f" transform(element_at(cb, m + 1), c -> {_PQ_DOT_FOLD})), 1))), 1)"
 )
 
 
@@ -2530,13 +2555,7 @@ def _pq_dt(zvecs: DataFrame) -> DataFrame:
         zvecs.filter(F.expr(_QUERY_FILTER))
         .select(
             F.col("vec_id").alias("query_id"),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {_PQ_M - 1}), m ->"
-                    f" transform(element_at(cb, m + 1),"
-                    f" c -> {_PQ_DOT_FOLD}))"
-                )
-            ).alias("m", "partials"),
+            F.posexplode(F.expr(_PQ_DT_EXPR)).alias("m", "partials"),
         )
         .select(
             "query_id", "m", F.posexplode("partials").alias("k", "partial")
@@ -2858,10 +2877,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BIGINT sum projection-side with NO aggregate shuffle at all.
     dtq = zvecs.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
-        F.expr(
-            f"transform(sequence(0, {_PQ_M - 1}), m ->"
-            f" transform(element_at(cb, m + 1), c -> {_PQ_DOT_FOLD}))"
-        ).alias("dt"),
+        F.expr(_PQ_DT_EXPR).alias("dt"),
     )
     adc = (
         codes.join(F.broadcast(probes), "cent_id")
@@ -3108,10 +3124,7 @@ def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dtq = zvecs.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
-        F.expr(
-            f"transform(sequence(0, {_PQ_M - 1}), m ->"
-            f" transform(element_at(cb, m + 1), c -> {_PQ_DOT_FOLD}))"
-        ).alias("dt"),
+        F.expr(_PQ_DT_EXPR).alias("dt"),
     )
     adc = (
         codes.join(F.broadcast(probes), "cid")

@@ -392,6 +392,32 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # (pass-1 aggregate 2.64 -> 0.77 s) and embeds the ratio
             # table as one parsed map literal.
             "chunk_cdc_rolling", "dsir_importance_select",
+            # r12 vector-family spread + PQ let-binding (guide §2/§5):
+            # _vecs now maybe_spreads the embeddings scan before the
+            # narrow per-row vector math (one fixture file = one
+            # partition serialized the whole family onto one core), and
+            # the shared PQ encode/distance-table exprs let-bind zv via
+            # 1-element transform wrappers so CollapseProject cannot
+            # inline the 64-dim quantization into the per-codeword
+            # lambdas (it re-ran M*K=128x per row). Every query whose
+            # subtree includes the embeddings scan gains the spread
+            # Exchange -> plan changed -> evicted; all swept
+            # oracle-green at sf0.01 this round (22/22).
+            "ann_topk_bruteforce", "ann_ivf_probe", "ann_lsh_multiprobe",
+            "ann_hard_negatives", "ann_rerank_quantized",
+            "ann_index_persist", "ann_recall_eval", "eval_ndcg_at_k",
+            "eval_mrr_map", "eval_rank_fusion_rrf", "ann_index_append",
+            "ann_index_probe_join", "ann_index_append_multiprobe",
+            "ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_trained",
+            "mmr_diversified_topk",
+            # r12 adjacency-intersection triangle listing (guide §2.2
+            # shuffle fewer bytes): graph_clustering_coefficient now
+            # intersects degree-oriented out-neighbor sets per edge
+            # instead of materializing the wedge join (17.2M wedge rows
+            # for 188k edges at sf0.1 never hit an exchange any more);
+            # exec 3.3 s -> 0.9 s, identical 1500-row output,
+            # oracle-green at sf0.01 + sf0.001.
+            "graph_clustering_coefficient",
         }
     )
 )
