@@ -2138,19 +2138,35 @@ def simjoin_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
     )
-    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
-    return (
+    # ONE array_intersect per candidate pair (r12): filtering and both
+    # containment outputs on the raw expression evaluated it 2x per pair
+    # (predicate pushdown substitutes the alias into the Filter; codegen
+    # CSE only dedups within the Project). The scored relation is
+    # candidate-sized numbers (pair ids + 3 ints) — materializing it
+    # once via localCheckpoint costs far less than re-intersecting 97k
+    # shingle-set pairs, and at corpus scale the verification intersect
+    # IS the dominant cost of this op. Measured 3.00 -> 2.55 s sf0.1.
+    scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(
-            inter / F.least(F.size("set_a"), F.size("set_b")) >= _CONT_T
-        )
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter / F.size("set_a"), 6).alias("cont_a_in_b"),
-            F.round(inter / F.size("set_b"), 6).alias("cont_b_in_a"),
+            F.size("set_a").alias("na"),
+            F.size("set_b").alias("nb"),
+            F.size(F.array_intersect("set_a", "set_b"))
+            .cast("double")
+            .alias("inter"),
         )
+        .localCheckpoint()
+    )
+    return scored.filter(
+        F.col("inter") / F.least("na", "nb") >= _CONT_T
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("inter") / F.col("na"), 6).alias("cont_a_in_b"),
+        F.round(F.col("inter") / F.col("nb"), 6).alias("cont_b_in_a"),
     )
 
 

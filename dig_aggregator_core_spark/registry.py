@@ -418,6 +418,24 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # exec 3.3 s -> 0.9 s, identical 1500-row output,
             # oracle-green at sf0.01 + sf0.001.
             "graph_clustering_coefficient",
+            # r12 avro-roundtrip boundary work (guide §4/§2): the sink
+            # spreads an under-partitioned input before the pure-Python
+            # encode (1 partition serialized the whole write), and the
+            # graftavro reader hands each split back as ONE Arrow
+            # RecordBatch instead of per-row pickled tuples. 6.8 s ->
+            # 2.0 s cold-session total; oracle-green, avro interop
+            # tests (both directions vs the bundled Java avro) green.
+            "scan_avro_roundtrip",
+            # r12 simjoin_containment single-eval verification (guide
+            # §2.2 shuffle fewer bytes / §5): the containment filter and
+            # both output ratios evaluated array_intersect over the two
+            # shingle sets 2x per candidate pair (pushdown substitutes
+            # the alias into the Filter; codegen CSE only dedups within
+            # one Project). The pair-sized scored relation (ids + 3
+            # ints) is materialized once via localCheckpoint and the
+            # filter/ratios run on the stored `inter`. 3.00 -> 2.55 s
+            # sf0.1; oracle-green at sf0.01 + sf0.001.
+            "simjoin_containment",
         }
     )
 )
