@@ -128,7 +128,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: content digest (md5 of normalized text) plus
     a 31-base polynomial rolling hash mod 1e9+7 computed as a fold over
     character codes — pure catalyst expressions, no UDF."""
-    return load(spark, sf_dir, "documents").select(
+    # the md5 + per-character rolling-hash fold is CPU-heavy narrow work:
+    # spread a small-fixture scan first (tables.maybe_spread; no-op at
+    # real scale) — measured 1.59 -> 0.32 s at sf0.1 (guide §2).
+    d = maybe_spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    )
+    return d.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
         F.expr(
@@ -632,8 +638,13 @@ def entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CHARACTER (map_concat + map_filter) — O(len x alphabet) with heavy
     # allocation, measured 6.4 s for 5k docs; this form is
     # O(len log len) in cheap comparisons and runs ~20x faster.
+    # per-row char sort + linear fold is CPU-heavy narrow work: spread a
+    # small-fixture scan first (tables.maybe_spread; no-op at real
+    # scale) — measured 1.13 -> 0.39 s at sf0.1 (guide §2).
     d = (
-        load(spark, sf_dir, "documents")
+        maybe_spread(
+            load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+        )
         .filter(F.length("text") > 0)
         .select(
             "doc_id",

@@ -436,6 +436,14 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # filter/ratios run on the stored `inter`. 3.00 -> 2.55 s
             # sf0.1; oracle-green at sf0.01 + sf0.001.
             "simjoin_containment",
+            # r12 small-scan spread before CPU-heavy narrow maps (guide
+            # §2, same mechanism as chunk_cdc_rolling / _vecs): the
+            # per-char rolling-hash fold (text_fingerprint, 1.59 ->
+            # 0.27 s) and the char-sort + run fold (entropy_filter,
+            # 1.13 -> 0.40 s) ran on the 1-partition fixture scan.
+            # maybe_spread is a no-op at real scale. 0 -> 2 Exchange
+            # refs each; oracle-green at sf0.01 + sf0.001.
+            "text_fingerprint", "entropy_filter",
         }
     )
 )
