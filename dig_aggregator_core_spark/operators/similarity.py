@@ -971,22 +971,29 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str) -> str:
 
 _PROBE_INLIST_MAX = 256
 
-# bucket-partitioned index writes repartition on the partition column
-# once the width implies >= 2^8 bucket partitions. Below it, the direct
-# write's file count (tasks x buckets) is tolerable and the extra
-# shuffle costs more than it saves (+2 s at the sf0.1 fixture); above
-# it, skipping the repartition exploded the x100 index to 57k files
-# (~29x — every task opens a file in every bucket it touches), paid
-# again by every serve's listing. Same gate class as _PROBE_INLIST_MAX.
+# retained for the serving-side gates that key off index width; the
+# write itself is now unconditionally one-file-per-bucket (below)
 _COMPACT_WRITE_MIN_WIDTH = 8
 
 
 def _write_bucketed(df, width: int, path: str, mode: str) -> None:
-    """Bucket-partitioned index write with the width-gated one-file-per-
-    bucket repartition (see _COMPACT_WRITE_MIN_WIDTH)."""
-    if width >= _COMPACT_WRITE_MIN_WIDTH:
-        df = df.repartition("pbucket")
-    df.write.partitionBy("pbucket").mode(mode).parquet(path)
+    """Bucket-partitioned index write, ONE file per bucket.
+
+    The repartition on the partition column keeps the per-write file
+    count at the touched-bucket count instead of tasks x buckets.
+    Originally width-gated at 2^8 buckets because with the 1-2-partition
+    fixture scan the direct write emitted few files and the shuffle cost
+    +2 s; once _vecs spreads the scan to defaultParallelism (r12) the
+    direct write emitted tasks x buckets files (measured 840 for 32
+    buckets at sf0.1 — write 2.4 s, readback 0.49 s vs 1.25 s / 0.16 s
+    with the repartition), so the repartition now wins at EVERY width.
+    Scale-safe without the gate: index width grows with corpus size by
+    construction (nb = ceil(log2(n/64))), so a small width implies a
+    small corpus where bucket-count write parallelism is plenty; at
+    x100 this is exactly the r11 57k->2k-file compact layout."""
+    df.repartition("pbucket").write.partitionBy("pbucket").mode(
+        mode
+    ).parquet(path)
 
 
 def _pruned_index_scan(spark, index_path: str, probe_pbuckets: DataFrame):
@@ -1713,7 +1720,10 @@ def _build_committed_index(
     )
     data_dir = os.path.join(out, "index.parquet")
     shutil.rmtree(data_dir, ignore_errors=True)
-    width = keyed.select(F.first("nb")).first()[0]
+    # width from the 1-row count aggregate, not from `keyed` — fetching
+    # it through the crossJoin ran the whole signs pipeline as an extra
+    # job (A/B 0.39 s vs 0.18 s warm at sf0.1)
+    width = nb.first()[0]
     _write_bucketed(keyed.drop("nb"), int(width), data_dir, "overwrite")
     with open(os.path.join(out, "_width"), "w") as wf:
         wf.write(str(int(width)))

@@ -444,6 +444,22 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # maybe_spread is a no-op at real scale. 0 -> 2 Exchange
             # refs each; oracle-green at sf0.01 + sf0.001.
             "text_fingerprint", "entropy_filter",
+            # r12 unconditional one-file-per-bucket index write (guide
+            # §6): after the _vecs spread, _write_bucketed's below-gate
+            # direct leg emitted tasks x buckets files (840 for 32
+            # buckets at sf0.1); the repartition("pbucket") now applies
+            # at every width (write 2.4 -> 1.25 s, readback 0.49 ->
+            # 0.16 s, stream_ann_index_append 5.6 -> 3.6 s), and the
+            # committed-index width comes from the 1-row count aggregate
+            # instead of an extra pass through the signs pipeline. The
+            # serving PLAN shape is unchanged (file layout only), but
+            # per the standing build-side-changed convention — and
+            # ADVICE r11 item 1 (mmr_over_index reads the same committed
+            # index) — every consumer of a _write_bucketed index is
+            # (re-)listed: ann_index_persist/append/probe_join/
+            # append_multiprobe above, plus the two below. All six
+            # oracle-green at sf0.01 + sf0.001 on the new layout.
+            "mmr_over_index", "stream_ann_index_append",
         }
     )
 )
