@@ -184,12 +184,16 @@ def window_ntile_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. each row gets a bucket = #cuts <= key — monotone in the key and
        tie-stable, so (bucket, key, unique tiebreak) is the global sort
        order;
-    3. per-bucket counts (<= B rows, one partial-agg shuffle) collect to
-       cumulative offsets, broadcast back;
+    3. per-bucket counts (<= B rows, one partial-agg shuffle) turn into
+       cumulative offsets + the grand total WITHIN the plan (a window
+       over the <= B-row counts relation — metadata-sized, so its
+       single-partition sort is free), broadcast back; no second driver
+       collect round-trip;
     4. global rank = bucket offset + row_number within bucket (the only
-       window here partitions by bucket: ~N/B rows per task), and the
-       exact NTILE bucket-size formula (first N%n tiles get
-       ceil(N/n) rows) maps rank -> tile.
+       corpus-sized window partitions by bucket: ~N/B rows per task),
+       and the exact NTILE bucket-size formula (first N%n tiles get
+       ceil(N/n) rows) maps rank -> tile as pure integer arithmetic on
+       the broadcast total.
 
     At 100 TB each stage is parallel: the quantile sketch and count agg
     are partial-agg map-side folds, the final window sorts ~N/B rows per
@@ -208,18 +212,25 @@ def window_ntile_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bkt",
         F.expr(f"size(filter({cuts_arr}, c -> c <= o_totalprice))"),
     )
-    # <= B+1 rows: bounded driver data, like the dedup occupancy gate
-    counts = sorted(
-        (r["bkt"], r["cnt"])
-        for r in bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
-                         .collect()
+    # <= B+1 count rows: offsets + grand total computed IN the plan (two
+    # windows over the metadata-sized counts relation) instead of a
+    # collect + createDataFrame round-trip — one driver job saved per
+    # run, same exact integers either way
+    counts = bucketed.groupBy("bkt").agg(
+        F.count("*").cast("bigint").alias("cnt")
     )
-    total = sum(c for _, c in counts)
-    offsets, acc = [], 0
-    for bkt, cnt in counts:
-        offsets.append((bkt, acc))
-        acc += cnt
-    off_df = spark.createDataFrame(offsets, "bkt int, off bigint")
+    w_off = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_df = counts.select(
+        "bkt",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0).cast("bigint"))
+        .alias("off"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
     w = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
     ranked = bucketed.join(F.broadcast(off_df), "bkt").withColumn(
         "rn", F.row_number().over(w) + F.col("off")
@@ -227,12 +238,14 @@ def window_ntile_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NTILE's exact fill: q = N div n rows per tile, the first rem tiles
     # take one extra row. Integer DIV end to end — no float rounding at
     # any N. q=0 (fewer rows than tiles) routes every row through the
-    # first branch, so the max(q,1) guard never changes a result.
-    q, rem = divmod(total, n_tiles)
-    big = q + 1
+    # first branch, so the greatest(q,1) guard never changes a result.
     tile = F.expr(
-        f"CASE WHEN rn <= {rem * big} THEN (rn - 1) DIV {big} "
-        f"ELSE {rem} + (rn - {rem * big} - 1) DIV {max(q, 1)} END + 1"
+        f"CASE WHEN rn <= (total % {n_tiles}) * (total DIV {n_tiles} + 1)"
+        f" THEN (rn - 1) DIV (total DIV {n_tiles} + 1)"
+        f" ELSE (total % {n_tiles})"
+        f"  + (rn - (total % {n_tiles}) * (total DIV {n_tiles} + 1) - 1)"
+        f"    DIV greatest(total DIV {n_tiles}, 1L)"
+        f" END + 1"
     )
     return ranked.select(
         F.col("o_orderkey").alias("orderkey"),

@@ -460,6 +460,20 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # append_multiprobe above, plus the two below. All six
             # oracle-green at sf0.01 + sf0.001 on the new layout.
             "mmr_over_index", "stream_ann_index_append",
+            # r12 resume batch 8 (guide §2.4 remove shuffles / §5): FoF
+            # and Adamic-Adar each re-derived the banded cooc relation +
+            # the _FOF_CAP window per call (checkpoint=False bypassed
+            # _EDGE_CACHE entirely); both now read the session-memoized
+            # capped_cooc_edges checkpoint (graph.py). FoF+AA isolated
+            # min-of-3 7.09 -> 3.78 s combined; oracle-green at sf0.01.
+            "graph_neighborhood_2hop", "link_prediction_adamic_adar",
+            # r12 resume batch 9 (guide §5 the driver does no data
+            # work): window_ntile_cuts computes bucket offsets + grand
+            # total IN the plan (two windows over the <= 65-row counts
+            # relation, broadcast back) instead of a collect +
+            # createDataFrame round trip; 2.02 -> 1.63 s isolated
+            # min-of-5 back-to-back; oracle-green at sf0.01.
+            "window_ntile_cuts",
         }
     )
 )

@@ -48,9 +48,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..tables import raw_schema as _raw_schema
+
     src = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(src).schema
+    # memoized footer schema (sets nanosAsLong itself): the per-call
+    # listing + footer read was ~0.1 s on every streaming query build
+    raw_schema = _raw_schema(spark, sf_dir, "events")
     if os.path.isdir(src):
         # multi-file dataset (e.g. the scaleproof corpora): stream the
         # directory itself — the single-file glob below would match NO
@@ -1351,8 +1354,10 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete in a lake."""
     import os
 
+    from ..tables import raw_schema as _raw_schema
+
     src = f"{sf_dir}/documents.parquet"
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema = _raw_schema(spark, sf_dir, "documents")
     if os.path.isdir(src):
         # multi-file dataset: the single-file glob below would stream
         # zero rows (same hazard as _events_stream, fixed r10)

@@ -134,9 +134,12 @@ def _events_stream_ntz(spark: SparkSession, sf_dir: str):
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..tables import raw_schema as _raw_schema
+
     src = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(src).schema
+    # memoized footer schema (sets nanosAsLong itself) — see
+    # stateful._events_stream
+    raw_schema = _raw_schema(spark, sf_dir, "events")
     if os.path.isdir(src):
         # multi-file dataset (e.g. the scaleproof corpora): stream the
         # directory itself — the single-file glob below matches NO leaf

@@ -100,6 +100,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_SCHEMA_CACHE: dict = {}
+
+
+def raw_schema(spark: SparkSession, sf_dir: str, name: str):
+    """RAW parquet footer schema (no ts conversion — the streaming
+    sources do their own event-time embed and need the on-disk types),
+    memoized per (session, dir, listing fingerprint, table) exactly like
+    ``load``. Every streaming query used to pay a fresh file listing +
+    footer read (~95-120 ms) per call just to declare its readStream
+    schema; the schema object is immutable metadata, so the memo changes
+    nothing about execution."""
+    fp = dir_fingerprint(sf_dir)
+    key = (spark, sf_dir, fp, name)
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None:
+        return hit
+    evict_memo(_SCHEMA_CACHE, spark, sf_dir, keep_fingerprint=fp)
+    if name == "events":
+        # TIMESTAMP(NANOS) columns need the legacy long read to parse
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def dir_fingerprint(sf_dir: str) -> tuple:
     """Cheap listing fingerprint of a corpus dir: sorted (relative path,
     mtime_ns, size) of every data file under it (one driver-side walk, no

@@ -176,3 +176,38 @@ def test_property_banded_equals_bruteforce(spark, tmp_path_factory, case):
         ).collect()
     }
     assert sym == exp | {(v, u) for u, v in exp}
+
+
+def test_capped_cooc_edges_memo_and_semantics(spark, fixture_dir):
+    """capped_cooc_edges == inline cap over the symmetric banded edges
+    (the relation FoF and Adamic-Adar used to derive per call), and the
+    second call returns the SAME memoized checkpoint object."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dig_aggregator_core_spark.operators.graph import (
+        capped_cooc_edges,
+    )
+
+    cap = 2  # force the cap to bind on the 10-member bucket
+    got = capped_cooc_edges(spark, fixture_dir, cap=cap)
+    again = capped_cooc_edges(spark, fixture_dir, cap=cap)
+    assert again is got  # session memo hit
+
+    base = banded_cooc_edges(
+        spark, fixture_dir, symmetric=True, checkpoint=False
+    )
+    w = Window.partitionBy("u").orderBy("v")
+    exp = {
+        (r["u"], r["v"])
+        for r in base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .drop("rk")
+        .collect()
+    }
+    assert {(r["u"], r["v"]) for r in got.collect()} == exp
+    # per-node degree bound actually binds
+    from collections import Counter
+
+    deg = Counter(u for u, _ in exp)
+    assert max(deg.values()) <= cap
