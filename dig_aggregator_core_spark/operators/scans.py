@@ -390,25 +390,40 @@ def sink_bucketed_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFra
     l_tbl, o_tbl = "graft_lineitem_bp", "graft_orders_bp"
     for tbl in (l_tbl, o_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice", "l_returnflag")
-        .write.mode("overwrite")
-        .option("path", f"{wh}/lineitem_bp")
-        .partitionBy("l_returnflag")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .saveAsTable(l_tbl)
-    )
-    (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite")
-        .option("path", f"{wh}/orders_bp")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable(o_tbl)
-    )
+
+    def _write_lineitem() -> None:
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_returnflag")
+            .write.mode("overwrite")
+            .option("path", f"{wh}/lineitem_bp")
+            .partitionBy("l_returnflag")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(l_tbl)
+        )
+
+    def _write_orders() -> None:
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .option("path", f"{wh}/orders_bp")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(o_tbl)
+        )
+
+    # the two ingest writes are independent — submit them concurrently so
+    # the orders write back-fills the lineitem write's task tail (guide
+    # §2.6 overlap independent jobs); the join below starts only after
+    # both futures complete, so results are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_lineitem), pool.submit(_write_orders)]
+        for f in futs:
+            f.result()
     li = spark.table(l_tbl).filter(F.col("l_returnflag") == "R")
     o = spark.table(o_tbl)
     # merge hint pins SMJ (the fixture-sized side would broadcast), so the

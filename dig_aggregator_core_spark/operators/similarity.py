@@ -3113,20 +3113,24 @@ def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"
     )
     rk_w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    # ONE checkpoint of the ranked crossJoin feeds both the assignment
+    # (rk == 1, all vecs) and the probe list (rk <= nprobe, queries
+    # only) — two separate checkpoints re-ran the K-centroid crossJoin +
+    # ranking window twice per run for the same rows
     ranked = (
         vecs.crossJoin(cdf).withColumn("dist", dist)
         .withColumn("rk", F.row_number().over(rk_w))
-    )
-    assigned = (
-        ranked.filter(F.col("rk") == 1)
-        .select("vec_id", "cid")
+        .filter(
+            (F.col("rk") == 1)
+            | (F.expr(_QUERY_FILTER) & (F.col("rk") <= _IVFPQT_NPROBE))
+        )
+        .select("vec_id", "cid", "rk")
         .localCheckpoint()
     )
-    probes = (
-        ranked.filter(F.expr(_QUERY_FILTER) & (F.col("rk") <= _IVFPQT_NPROBE))
-        .select(F.col("vec_id").alias("query_id"), "cid")
-        .localCheckpoint()
-    )
+    assigned = ranked.filter(F.col("rk") == 1).select("vec_id", "cid")
+    probes = ranked.filter(
+        F.expr(_QUERY_FILTER) & (F.col("rk") <= _IVFPQT_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
     codes = (
         zvecs.select("vec_id", F.expr(_PQ_CODES_EXPR).alias("codes"))
         .join(assigned, "vec_id")

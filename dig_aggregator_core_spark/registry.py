@@ -474,6 +474,20 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # createDataFrame round trip; 2.02 -> 1.63 s isolated
             # min-of-5 back-to-back; oracle-green at sf0.01.
             "window_ntile_cuts",
+            # r12 resume batch 11 (§5/§2.4): dedup_connected_components'
+            # finished labeling is session-memoized per corpus listing
+            # (the _CC_BASE_CACHE maintained-table convention) — serving
+            # plan is now the labels checkpoint scan, and
+            # dedup_cluster_representative consumes it (6.60 -> 1.17 s
+            # isolated). ann_ivf_pq_trained merges its assignment and
+            # probe checkpoints into ONE ranked-crossJoin checkpoint
+            # (the K-centroid ranking ran twice per run; 4.53 -> 3.07 s)
+            # — already listed above via the vector-family eviction.
+            # sink_bucketed_partitioned_write's two ingest writes now
+            # run concurrently (§2.6) — NOT evicted: the returned query
+            # plan and both tables' bytes (same partitionBy/bucketBy/
+            # sortBy over the same inputs) are provably unchanged.
+            "dedup_connected_components", "dedup_cluster_representative",
         }
     )
 )
