@@ -1088,10 +1088,6 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-# session memo for the finished full-graph labeling (see docstring below)
-_CC_FULL_CACHE: dict = {}
-
-
 @query(
     "dedup_connected_components",
     oracle=f"""
@@ -1122,56 +1118,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeling via a recursive CTE (min reachable id), so even this
     non-single-query operator is hash-checked, not just smoke-tested.
 
-    The finished labeling is session-memoized per corpus listing (the
-    _CC_BASE_CACHE / _SH_CACHE convention — in production the component
-    labels are a maintained table the incremental CC ops update, not a
-    fixpoint re-run per consumer): the fixpoint executes once per
-    (session, corpus), and dedup_cluster_representative's per-run cost
-    becomes the selection it adds, not the clustering it inherits."""
-    key = (spark, sf_dir, dir_fingerprint(sf_dir))
-    hit = _CC_FULL_CACHE.get(key)
-    if hit is not None:
-        return hit
-    from ..tables import evict_memo
-
-    evict_memo(_CC_FULL_CACHE, spark, sf_dir)
-    pairs = _neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .distinct()
-        .localCheckpoint()
+    The finished labeling is session-memoized per corpus listing via
+    _full_cc_labels / _CC_FULL_CACHE (the maintained-table convention —
+    in production the component labels are a table the incremental CC
+    ops update, not a fixpoint re-run per consumer): the star-
+    contraction fixpoint (_cc_labels, the factored identical engine)
+    executes once per (session, corpus), this query and dedup_cc_delete
+    share the one stored labeling, and dedup_cluster_representative's
+    per-run cost becomes the selection it adds, not the clustering it
+    inherits."""
+    return _full_cc_labels(spark, sf_dir).select(
+        F.col("u").alias("doc_id"), "component"
     )
-    nodes = (
-        edges.select("u")
-        .union(edges.select("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-
-    n_edges = edges.count()
-    while True:
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
-        n_new = new_edges.count()
-        # both frames are distinct, so equal counts + empty one-way
-        # difference <=> identical edge sets (no hash-collision early exit)
-        if n_new == n_edges and new_edges.exceptAll(edges).isEmpty():
-            edges = new_edges
-            break
-        edges, n_edges = new_edges, n_new
-    # star forest: non-roots carry (node, root); roots label themselves
-    roots = edges.groupBy("u").agg(F.min("v").alias("root"))
-    labels = (
-        nodes.join(roots, "u", "left")
-        .select(
-            F.col("u").alias("doc_id"),
-            F.coalesce(F.col("root"), F.col("u"))
-            .cast("bigint")
-            .alias("component"),
-        )
-        .localCheckpoint()
-    )
-    _CC_FULL_CACHE[key] = labels
-    return labels
 
 
 def _cc_labels(edge_pairs: DataFrame) -> DataFrame:

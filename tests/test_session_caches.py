@@ -168,3 +168,29 @@ def test_dir_fingerprint_oserror_never_aliases(monkeypatch, tmp_path):
     assert e1 != ()  # never the non-local constant
     assert e1 != e2  # unique per call: memo lookups always miss
     assert tables.dir_fingerprint(d) == ok  # recovery after the race
+
+
+def test_cc_full_labels_memo_shared_across_consumers(spark, sf_dir):
+    """dedup_cc_delete and dedup_connected_components share ONE stored
+    full-graph labeling (_full_cc_labels / _CC_FULL_CACHE). Regression:
+    a duplicate module-level _CC_FULL_CACHE declaration once made the
+    two functions collide on the same key with different column shapes
+    ((u, component) vs (doc_id, component)) — running cc_delete FIRST
+    then the registered CC query raised UNRESOLVED_USING_COLUMN in
+    dedup_cluster_representative."""
+    from dig_aggregator_core_spark.operators import dedup
+
+    # cc_delete first: populates the memo with the (u, component) frame
+    dedup.dedup_cc_delete(spark, sf_dir).collect()
+    base = dedup._full_cc_labels(spark, sf_dir)
+    assert base.columns == ["u", "component"]
+    # the registered query must consume the SAME memo entry, renamed
+    cc = dedup.dedup_connected_components(spark, sf_dir)
+    assert cc.columns == ["doc_id", "component"]
+    assert dedup._full_cc_labels(spark, sf_dir) is base
+    # and the downstream consumer must resolve its USING join
+    rep = dedup.dedup_cluster_representative(spark, sf_dir)
+    assert rep.columns == [
+        "component", "kept_doc_id", "kept_n_toks", "n_members"
+    ]
+    assert rep.count() > 0
