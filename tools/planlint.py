@@ -166,6 +166,8 @@ SHUFFLE_CEILING: dict[str, int] = {
     "link_prediction_adamic_adar": 10,  # reverse cap + candidate join + 2 anti + score + top-k over the checkpointed capped adjacency
     "graph_clustering_coefficient": 16,  # degree-orientation joins + two oriented triangle legs + corner-credit rollup (each post-checkpoint, linear)
     "kmeans_balanced_assign_r2": 14,  # 2 enforcement rounds: 3 per-centroid windows + K-row load agg + overflow joins + 3-way union; every shuffle keyed on vec_id/cent_id, linear
+    "ann_recall_eval": 10,  # brute-force truth leg + LSH serving leg + per-query overlap join; the r12 _vecs spread adds its (at-scale no-op) repartition to both legs
+    "mmr_diversified_topk": 9,  # candidate shortlist + K greedy selection windows over it; +1 from the r12 _vecs spread repartition
 }
 
 
