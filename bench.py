@@ -355,15 +355,23 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     stat0 = _cpu_stat()
     times: dict[str, float] = {}
+    # first (cold) run per query, BEFORE min-of-N: separates memo-hit
+    # latency from the cold derivation for memo-consuming ops (VERDICT
+    # r12 "What's wrong #2") — min-of-N stays the headline number, the
+    # cold time is the attribution aid
+    first_run: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
         best = float("inf")
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                first_run[name] = round(dt, 3)
+            best = min(best, dt)
         times[name] = round(best, 3)
     stat1 = _cpu_stat()
 
@@ -376,6 +384,8 @@ def main() -> None:
         "sf": sf,
         "steal_pct": _steal_pct(stat0, stat1),
         "runs_per_query": runs,
+        "cpus": spark.sparkContext.defaultParallelism,
+        "first_run_sec": first_run,
     }
     line = json.dumps(payload)
     # the driver keeps only the last ~2000 chars of stdout, and the full
@@ -387,6 +397,40 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
     )
+    # movers digest vs the previous basis (VERDICT r12 task 2): the
+    # summary line drops the full per-query map to fit the driver's
+    # ~2000-char stdout capture, which left per-query comparisons blind
+    # (PERF_r12 n_common: 0). Read the basis BEFORE overwriting it and
+    # emit the top-15 per-query deltas — name: [prev, now] — plus the
+    # basis provenance (cpus/steal) so a cross-core diff self-labels.
+    basis_path = os.environ.get("SPARK_GRAFT_BENCH_BASIS", out_path)
+    movers: dict[str, list[float]] = {}
+    basis_meta = None
+    try:
+        with open(basis_path) as f:
+            basis = json.loads(f.readline())
+        prev_q = basis.get("queries") or {}
+        import math
+
+        deltas = sorted(
+            (
+                (abs(math.log(times[k] / prev_q[k])), k)
+                for k in times
+                if isinstance(prev_q.get(k), (int, float))
+                and prev_q[k] > 0 and times[k] > 0
+                and max(times[k], prev_q[k]) >= 0.25
+            ),
+            reverse=True,
+        )
+        movers = {k: [prev_q[k], times[k]] for _, k in deltas[:15]}
+        basis_meta = {
+            "total": basis.get("value"),
+            "cpus": basis.get("cpus"),
+            "steal_pct": basis.get("steal_pct"),
+            "n_common": sum(1 for k in times if k in prev_q),
+        }
+    except (OSError, ValueError):
+        pass
     try:
         with open(out_path, "w") as f:
             f.write(line + "\n")
@@ -394,7 +438,11 @@ def main() -> None:
         pass
     print(line)
     summary = dict(payload)
-    if len(line) > 1800:
+    summary.pop("first_run_sec", None)
+    if movers:
+        summary["movers_vs_basis"] = movers
+        summary["basis"] = basis_meta
+    if len(json.dumps(summary)) > 1800:
         # keep the summary line comfortably inside the capture window:
         # per-query numbers move to the file; the headline total stays
         summary["queries"] = {"_full_per_query_map_in": "BENCH_LAST.json"}

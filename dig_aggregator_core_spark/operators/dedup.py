@@ -1347,7 +1347,10 @@ def _full_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is None:
         from ..tables import evict_memo
 
-        evict_memo(_CC_FULL_CACHE, spark, sf_dir)
+        # unpersist on eviction (ADVICE r12): localCheckpointed label
+        # relation — free the storage blocks, _SH_CACHE convention
+        evict_memo(_CC_FULL_CACHE, spark, sf_dir,
+                   unpersist=lambda df: df.unpersist())
         pairs = _neardup_pairs(spark, sf_dir)
         hit = _cc_labels(
             pairs.select(

@@ -892,7 +892,11 @@ def capped_cooc_edges(spark: SparkSession, sf_dir: str,
         return hit
     from ..tables import evict_memo
 
-    evict_memo(_CAPPED_CACHE, spark, sf_dir, keep_fingerprint=key[2])
+    # unpersist on eviction (ADVICE r12): these are localCheckpointed
+    # edge relations — without the callback the evicted blocks stay
+    # pinned until driver GC (the _SH_CACHE convention)
+    evict_memo(_CAPPED_CACHE, spark, sf_dir, keep_fingerprint=key[2],
+               unpersist=lambda df: df.unpersist())
     edges = banded_cooc_edges(spark, sf_dir, symmetric=True)
     wcap = Window.partitionBy("u").orderBy("v")
     ec = (

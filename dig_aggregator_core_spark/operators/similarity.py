@@ -1665,7 +1665,9 @@ def _inc_scratch_dir(sf_dir: str, suffix: str = "") -> str:
     )
 
 
-def _inc_index_path(spark: SparkSession, sf_dir: str) -> str:
+def _inc_index_path(
+    spark: SparkSession, sf_dir: str, suffix: str = ""
+) -> str:
     """Committed-only ANN index for the append-maintenance op: same
     layout and build discipline as _persisted_index_path, but the bucket
     WIDTH is fixed at build time from the COMMITTED corpus count and
@@ -1673,11 +1675,12 @@ def _inc_index_path(spark: SparkSession, sf_dir: str) -> str:
     the index's width, not their own (an index's shard map cannot
     re-hash itself per ingest; it rebuilds when the corpus outgrows the
     occupancy target, which the content fingerprint in the path forces
-    here)."""
+    here). `suffix` names an independent instance of the same build
+    (the streaming twin's never-appended seed)."""
     import fcntl
     import os
 
-    out = _inc_scratch_dir(sf_dir)
+    out = _inc_scratch_dir(sf_dir, suffix)
     done = os.path.join(out, "_done")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
@@ -1687,6 +1690,36 @@ def _inc_index_path(spark: SparkSession, sf_dir: str) -> str:
                 _build_committed_index(spark, sf_dir, out)
                 open(done, "w").close()
     return out
+
+
+def _clone_committed_index(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> None:
+    """Per-run PRIVATE copy of the committed-only index (VERDICT r12
+    task 1): the streaming maintenance twin must append into a dir no
+    other run shares, but the committed build itself is a pure function
+    of the corpus fingerprint — so build it ONCE per fingerprint in a
+    dedicated never-appended seed (flocked, `_seed` suffix so
+    _append_bootstrap's batch append can never interleave with it) and
+    hardlink its immutable part files into `dest`. Parquet files are
+    write-once, and appends only ADD files to the partition dirs, so
+    linked inodes are never modified; `_SUCCESS`/dot files are skipped
+    (Spark's commit would truncate a shared `_SUCCESS` inode in place).
+    In production terms the clone is a zero-copy snapshot of the
+    maintained committed index — exactly what a table format's
+    snapshot/branch gives an ingest test run."""
+    import os
+    import shutil
+
+    seed = _inc_index_path(spark, sf_dir, suffix="_seed")
+    os.makedirs(dest, exist_ok=True)
+    shutil.copytree(
+        os.path.join(seed, "index.parquet"),
+        os.path.join(dest, "index.parquet"),
+        copy_function=os.link,
+        ignore=shutil.ignore_patterns("_*", ".*"),
+    )
+    shutil.copy(os.path.join(seed, "_width"), os.path.join(dest, "_width"))
 
 
 def _build_committed_index(
@@ -1727,6 +1760,48 @@ def _build_committed_index(
     _write_bucketed(keyed.drop("nb"), int(width), data_dir, "overwrite")
     with open(os.path.join(out, "_width"), "w") as wf:
         wf.write(str(int(width)))
+
+
+def _stream_ingest_halves(spark: SparkSession, sf_dir: str) -> str:
+    """Staged ingest files for the streaming ANN twin, built once per
+    corpus fingerprint (flocked, same discipline as _inc_index_path):
+    the 10% ingest split as two single-file parquet halves. The split
+    is a pure function of the corpus, so re-deriving it per run paid
+    two Spark filter+coalesce write jobs for identical bytes. Callers
+    copy the files into their private stream dir and re-pin mtimes
+    (a REAL copy, not a hardlink: os.utime on a linked file would
+    mutate the shared inode's mtime under a concurrent run)."""
+    import fcntl
+    import os
+    import shutil
+
+    out = _inc_scratch_dir(sf_dir, "_halves")
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, ".lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if not os.path.exists(done):
+                batch = _vecs(spark, sf_dir).filter(
+                    ~F.expr(_INC_COMMIT_FILTER)
+                )
+                splits = ("vec_id % 20 = 1", "vec_id % 20 = 11")
+                for i, flt in enumerate(splits):
+                    tmp = os.path.join(out, f"tmp{i}")
+                    batch.filter(F.expr(flt)).coalesce(1).write.mode(
+                        "overwrite"
+                    ).parquet(tmp)
+                    part = [
+                        f for f in os.listdir(tmp)
+                        if f.endswith(".parquet")
+                    ][0]
+                    shutil.copy(
+                        os.path.join(tmp, part),
+                        os.path.join(out, f"half{i}.parquet"),
+                    )
+                    shutil.rmtree(tmp, ignore_errors=True)
+                open(done, "w").close()
+    return out
 
 
 def ann_index_append(

@@ -662,18 +662,31 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sym"),
         "cnt",
     )
+    # the (word-type, count) table is derived once from the corpus; each
+    # round's driver argmax (.first()) re-executed the whole corpus
+    # extract + aggregate through the lineage. localCheckpoint the
+    # vocab-sized symbol table so rounds 2..R read the checkpoint and
+    # re-apply only their (narrow, vocab-sized) merge projections —
+    # guide §2.4/§5; within-run only, dies with the session.
+    cur = cur.localCheckpoint()
     rules = []
     for r in range(1, _BPE_ROUNDS + 1):
         pairs = cur.select(
             "cnt",
             F.explode(
+                # let-bind the symbol split: the inlined form re-ran
+                # split(trim(sym), ' ') TWICE PER EMITTED PAIR (plus the
+                # two size() probes) — O(|sym|^2) per word-type per
+                # round; one split per row is O(|sym|) (r12 batch-4
+                # let-binding audit, applied to the merge trainer)
                 F.expr(
-                    "CASE WHEN size(split(trim(sym), ' ')) >= 2 THEN "
-                    " transform(sequence(1, size(split(trim(sym), ' ')) - 1),"
-                    "  i -> concat(element_at(split(trim(sym), ' '), CAST(i AS INT)),"
-                    "              ' ',"
-                    "              element_at(split(trim(sym), ' '), CAST(i AS INT) + 1)))"
-                    " ELSE array() END"
+                    "element_at(transform(array(split(trim(sym), ' ')),"
+                    " syms -> CASE WHEN size(syms) >= 2 THEN"
+                    "  transform(sequence(1, size(syms) - 1),"
+                    "   i -> concat(element_at(syms, CAST(i AS INT)),"
+                    "               ' ',"
+                    "               element_at(syms, CAST(i AS INT) + 1)))"
+                    " ELSE array() END), 1)"
                 )
             ).alias("pair"),
         )
@@ -1492,35 +1505,98 @@ def _wp_fold(dialect: str, probe: bool = False) -> str:
       (_WP_PROBE_MIN_VOCAB); at 30k pieces the literal form is ~550x
       more inner-loop work per step while the probe form is flat in
       |vocab|.
+
+    r13 state representation (Spark dialect only): the fold state is a
+    named_struct('tk', tokens, 'rem', remaining) instead of the scalar
+    'tokens|remaining' string. The string form paid a REGEX SPLIT of
+    the accumulator per reference — ~19 splits per consumed character
+    across the inner probe loop and the step lambda (the r12 batch-4
+    derived-expression-re-evaluation pathology, one level down: the
+    split was the derivation). Struct field access is free; the emitted
+    token strings are byte-identical (property + oracle pinned). DuckDB
+    keeps the scalar-string fold (its list_reduce requires accumulator
+    type == element type, and v1.0 drops struct fields in lambdas at
+    depth >= 2 — the pack_bins_ffd / _unigram_fold lessons).
     """
     if dialect == "spark":
-        sw, voc = "startswith", _WP_VOCAB_SPARK
+        sw = "startswith"
 
-        def fold(init, seq, lam):
-            return f"aggregate({seq}, {init}, {lam})"
+        def efflen(x):
+            return (
+                f"(length({x}) - CASE WHEN {sw}({x}, '##') THEN 2 ELSE 0"
+                " END)"
+            )
 
-        def bind(val, init, lam):
-            return f"aggregate(array({val}), {init}, {lam})"
+        def eff(x):
+            return (
+                f"CASE WHEN {sw}({x}, '##') THEN substr({x}, 3)"
+                f" ELSE {x} END"
+            )
 
-        def part(acc, i):
-            return f"element_at(split({acc}, '[|]'), {i})"
+        if probe:
+            max_l = max(
+                len(v) - (2 if v.startswith("##") else 0) for v in _WP_VOCAB
+            )
+            wp_map = (
+                "map("
+                + ", ".join(f"'{v}', true" for v in _WP_VOCAB)
+                + ")"
+            )
+            # key(l): the surface form the vocab stores for an l-char
+            # match here; ascending fold keeps the LAST (longest) hit
+            key = (
+                f"(CASE WHEN acc.tk = '' THEN '' ELSE '##' END"
+                f" || substring(acc.rem, 1, l))"
+            )
+            best = (
+                f"aggregate(sequence(1, {max_l}), '',"
+                f" (b, l) -> CASE WHEN l <= length(acc.rem)"
+                f" AND map_contains_key({wp_map}, {key})"
+                f" THEN {key} ELSE b END)"
+            )
+        else:
+            best = (
+                f"aggregate({_WP_VOCAB_SPARK}, '',"
+                f" (b, v) -> CASE WHEN"
+                f" (CASE WHEN acc.tk = '' THEN NOT {sw}(v, '##')"
+                f"  ELSE {sw}(v, '##') END)"
+                f" AND {sw}(acc.rem, {eff('v')})"
+                f" AND {efflen('v')} > {efflen('b')}"
+                f" THEN v ELSE b END)"
+            )
+        # bind the chosen piece (bst) via a 1-element-array fold (SQL
+        # lambdas have no let); the state stays a struct throughout
+        step = (
+            f"aggregate(array({best}), acc,"
+            f" (s, bst) -> CASE WHEN bst = ''"
+            f" THEN named_struct('tk', '[UNK]', 'rem', '')"
+            f" ELSE named_struct("
+            f"  'tk', CASE WHEN s.tk = '' THEN bst"
+            f"        ELSE s.tk || '~' || bst END,"
+            f"  'rem', substr(s.rem, 1 + {efflen('bst')})) END)"
+        )
+        return (
+            f"aggregate(sequence(1, length(w)),"
+            f" named_struct('tk', '', 'rem', w),"
+            f" (acc, i) -> CASE WHEN acc.rem = '' THEN acc"
+            f" ELSE {step} END,"
+            f" acc -> acc.tk)"
+        )
 
-        outer_seq = "sequence(1, length(w))"
-    else:
-        sw, voc = "starts_with", _WP_VOCAB_DUCK
+    sw, voc = "starts_with", _WP_VOCAB_DUCK
 
-        def fold(init, seq, lam):
-            return f"list_reduce(list_prepend({init}, {seq}), {lam})"
+    def fold(init, seq, lam):
+        return f"list_reduce(list_prepend({init}, {seq}), {lam})"
 
-        def bind(val, init, lam):
-            return f"list_reduce(list_prepend({init}, [{val}]), {lam})"
+    def bind(val, init, lam):
+        return f"list_reduce(list_prepend({init}, [{val}]), {lam})"
 
-        def part(acc, i):
-            return f"string_split({acc}, '|')[{i}]"
+    def part(acc, i):
+        return f"string_split({acc}, '|')[{i}]"
 
-        # list_reduce needs a homogeneous list: blank out the counter
-        # (the lambda ignores it) so the VARCHAR seed can be prepended
-        outer_seq = "list_transform(range(1, length(w) + 1), x -> '')"
+    # list_reduce needs a homogeneous list: blank out the counter
+    # (the lambda ignores it) so the VARCHAR seed can be prepended
+    outer_seq = "list_transform(range(1, length(w) + 1), x -> '')"
 
     def efflen(x):
         return f"(length({x}) - CASE WHEN {sw}({x}, '##') THEN 2 ELSE 0 END)"
@@ -1529,40 +1605,17 @@ def _wp_fold(dialect: str, probe: bool = False) -> str:
         return f"CASE WHEN {sw}({x}, '##') THEN substr({x}, 3) ELSE {x} END"
 
     tk, rem = part("acc", 1), part("acc", 2)
-    if probe:
-        assert dialect == "spark", "probe form is the Spark production path"
-        max_l = max(
-            len(v) - (2 if v.startswith("##") else 0) for v in _WP_VOCAB
-        )
-        wp_map = (
-            "map("
-            + ", ".join(f"'{v}', true" for v in _WP_VOCAB)
-            + ")"
-        )
-        # key(l): the surface form the vocab stores for an l-char match at
-        # this position; ascending fold keeps the LAST (longest) hit
-        key = (
-            f"(CASE WHEN {tk} = '' THEN '' ELSE '##' END"
-            f" || substring({rem}, 1, l))"
-        )
-        best = fold(
-            "''",
-            f"sequence(1, {max_l})",
-            f"(b, l) -> CASE WHEN l <= length({rem})"
-            f" AND map_contains_key({wp_map}, {key})"
-            f" THEN {key} ELSE b END",
-        )
-    else:
-        best = fold(
-            "''",
-            voc,
-            f"(b, v) -> CASE WHEN"
-            f" (CASE WHEN {tk} = '' THEN NOT {sw}(v, '##')"
-            f"  ELSE {sw}(v, '##') END)"
-            f" AND {sw}({rem}, {eff('v')})"
-            f" AND {efflen('v')} > {efflen('b')}"
-            f" THEN v ELSE b END",
-        )
+    assert not probe, "probe form is the Spark production path"
+    best = fold(
+        "''",
+        voc,
+        f"(b, v) -> CASE WHEN"
+        f" (CASE WHEN {tk} = '' THEN NOT {sw}(v, '##')"
+        f"  ELSE {sw}(v, '##') END)"
+        f" AND {sw}({rem}, {eff('v')})"
+        f" AND {efflen('v')} > {efflen('b')}"
+        f" THEN v ELSE b END",
+    )
     stk, srem = part("s", 1), part("s", 2)
     step = bind(
         best,
@@ -1817,7 +1870,18 @@ def _unigram_fold(dialect: str, w: str = "w") -> str:
 
     Cost per word: O(|w| * L) map probes (the WordPiece probe-form
     bound) plus O(|w|) string builds; the vocab map literal constant-
-    folds once per plan exactly like the WordPiece probe map."""
+    folds once per plan exactly like the WordPiece probe map.
+
+    r13 state representation (Spark dialect only): the DP state is an
+    array of named_struct('score' BIGINT, 'seg' STRING) instead of
+    'score@seg' strings — the string form paid a regex split (plus a
+    string->bigint cast) per score/segment REFERENCE, ~4 per inner
+    probe step; struct field gets are free and the candidate score is
+    computed once per probe via the 1-element-transform let-binding.
+    The finish lambda re-serializes element 1 to the identical
+    'score@seg' string, so consumers and digests are unchanged (oracle
+    + property pinned). DuckDB keeps the scalar-string DP (v1.0
+    mis-binds struct fields from depth >= 2 lambdas — see above)."""
     if dialect == "spark":
         m = (
             "map("
@@ -1834,25 +1898,33 @@ def _unigram_fold(dialect: str, w: str = "w") -> str:
             )
 
         pos = f"(length({w}) + 1 - size(acc))"
-        prev = "element_at(acc, CAST(l AS INT))"
-        pscore = f"CAST(element_at(split({prev}, '@'), 1) AS BIGINT)"
-        pseg = f"element_at(split({prev}, '@'), 2)"
-        bscore = "CAST(element_at(split(b, '@'), 1) AS BIGINT)"
-        cand = (
-            f"CAST({val(pos, 'l')} + {pscore} AS STRING) || '@' ||"
-            f" substring({w}, {pos}, l) ||"
-            f" (CASE WHEN {pseg} = '' THEN '' ELSE '~' || {pseg} END)"
+        # bind the suffix struct (p), then the candidate score (cs):
+        # each is evaluated ONCE per probe; >= keeps the longest piece
+        # on ties exactly as the string form did (ascending l fold)
+        inner = (
+            f"element_at(transform(array({val(pos, 'l')} + p.score),"
+            f" cs -> CASE WHEN cs >= b.score"
+            f" THEN named_struct('score', cs, 'seg',"
+            f"  substring({w}, {pos}, l) ||"
+            f"  (CASE WHEN p.seg = '' THEN '' ELSE '~' || p.seg END))"
+            f" ELSE b END), 1)"
         )
         best = (
-            f"aggregate(sequence(1, {_UNI_MAXL}), '{_UNI_NEG}@',"
+            f"aggregate(sequence(1, {_UNI_MAXL}),"
+            f" named_struct('score', CAST({_UNI_NEG} AS BIGINT),"
+            f"              'seg', ''),"
             f" (b, l) -> CASE WHEN l <= length({w}) - {pos} + 1"
-            f" AND {val(pos, 'l')} + {pscore} >= {bscore}"
-            f" THEN {cand} ELSE b END)"
+            f" THEN element_at(transform("
+            f"   array(element_at(acc, CAST(l AS INT))),"
+            f"   p -> {inner}), 1)"
+            f" ELSE b END)"
         )
         return (
-            f"element_at(aggregate(sequence(1, length({w})),"
-            f" array('0@'),"
-            f" (acc, i) -> concat(array({best}), acc)), 1)"
+            f"aggregate(sequence(1, length({w})),"
+            f" array(named_struct('score', CAST(0 AS BIGINT), 'seg', '')),"
+            f" (acc, i) -> concat(array({best}), acc),"
+            f" acc -> element_at(transform(array(element_at(acc, 1)),"
+            f"  r -> CAST(r.score AS STRING) || '@' || r.seg), 1))"
         )
     # DuckDB v1.0 re-evaluates a MAP literal at every probe (measured:
     # the inlined-literal oracle ran 22 s at sf0.01 vs 0.4 s with the map

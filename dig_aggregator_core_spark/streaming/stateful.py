@@ -680,8 +680,21 @@ def _events_with_flush_sentinel(spark: SparkSession, sf_dir: str) -> str:
     return os.path.join(out, "events.parquet")
 
 
+# schema memo for the flush-sentinel scratch dirs (VERDICT r12 task 7):
+# the per-call spark.read.parquet(path).schema paid a fresh listing +
+# footer read (~0.1 s) TWICE per stream-stream query build. A scratch
+# path is content-fingerprinted and immutable once its _done marker
+# exists (_events_with_flush_sentinel's flock build), so the footer
+# schema is a pure function of the path — plain dict, schema objects
+# are session-independent Python StructTypes.
+_SCRATCH_SCHEMA_CACHE: dict = {}
+
+
 def _scratch_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    schema = spark.read.parquet(path).schema
+    schema = _SCRATCH_SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCRATCH_SCHEMA_CACHE[path] = schema
     stream = (
         spark.readStream.schema(schema)
         # several batches, sentinel file last (latest mtime): eviction
@@ -2695,29 +2708,29 @@ def stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from ..operators.similarity import (
-        _INC_COMMIT_FILTER,
-        _build_committed_index,
+        _clone_committed_index,
         _serve_appended_index,
-        _vecs,
+        _stream_ingest_halves,
         ann_index_append,
     )
 
     base = tempfile.mkdtemp(prefix="ann_stream_")
     idx_dir = os.path.join(base, "idx")
-    _build_committed_index(spark, sf_dir, idx_dir)
+    # the committed build is a pure function of the corpus fingerprint:
+    # build the shared seed once, hardlink its immutable files into this
+    # run's private dir (VERDICT r12 task 1 — the per-run rebuild was
+    # the regression; the clone keeps the private-append semantics)
+    _clone_committed_index(spark, sf_dir, idx_dir)
 
-    # stage the ingest stream: the 10% batch split in two files
+    # stage the ingest stream: the 10% batch split in two files, staged
+    # once per fingerprint; mtimes re-pinned per run (oldest-first
+    # delivery under maxFilesPerTrigger=1)
     data_dir = os.path.join(base, "data")
     os.makedirs(data_dir, exist_ok=True)
-    batch_vecs = _vecs(spark, sf_dir).filter(~F.expr(_INC_COMMIT_FILTER))
-    for i, flt in enumerate(("vec_id % 20 = 1", "vec_id % 20 = 11")):
-        tmp = os.path.join(base, f"half{i}")
-        batch_vecs.filter(F.expr(flt)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    halves = _stream_ingest_halves(spark, sf_dir)
+    for i in range(2):
         dest = os.path.join(data_dir, f"{chr(97 + i)}.parquet")
-        shutil.copy(os.path.join(tmp, part), dest)
+        shutil.copy(os.path.join(halves, f"half{i}.parquet"), dest)
         ts_file = _time.time() - (10 - i)
         os.utime(dest, (ts_file, ts_file))
 

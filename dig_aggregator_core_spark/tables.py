@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,6 +71,16 @@ TABLES = (
 # under the dir misses the memo and re-lists.
 _LOAD_CACHE: dict = {}
 
+# Guards every session-memo cache that routes through evict_memo
+# (ADVICE r12): two driver threads (guide §2.6 concurrent jobs, e.g.
+# sink_bucketed_partitioned_write's ingest pool) can double-miss the
+# same key — evict_memo's comprehension then iterates the dict while
+# the other thread inserts (RuntimeError), or both pop the same stale
+# key (KeyError). RLock: cache-owning helpers take it around their
+# lookup+derive+insert, and evict_memo re-takes it for callers that
+# invoke it directly.
+_MEMO_LOCK = threading.RLock()
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — filter/column pruning push down into the scan.
@@ -79,25 +90,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamp column-side (floor division — matches DuckDB's
     ns->us truncation).
     """
+    if name == "events":
+        # unconditionally, BEFORE the memo lookup (ADVICE r12): a memo
+        # hit must not assume the conf survived since the miss that set
+        # it — idempotent one-liner, the memo still saves the listing
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fp = dir_fingerprint(sf_dir)
     key = (spark, sf_dir, fp, name)
-    hit = _LOAD_CACHE.get(key)
-    if hit is not None:
-        return hit
-    # keep_fingerprint: a miss on a NEW table name must not evict the
-    # current listing's sibling tables (the _EDGE_CACHE param pattern)
-    evict_memo(_LOAD_CACHE, spark, sf_dir, keep_fingerprint=fp)
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    with _MEMO_LOCK:
+        hit = _LOAD_CACHE.get(key)
+        if hit is not None:
+            return hit
+        # keep_fingerprint: a miss on a NEW table name must not evict the
+        # current listing's sibling tables (the _EDGE_CACHE param pattern)
+        evict_memo(_LOAD_CACHE, spark, sf_dir, keep_fingerprint=fp)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-    else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    _LOAD_CACHE[key] = df
-    return df
+        _LOAD_CACHE[key] = df
+        return df
 
 
 _SCHEMA_CACHE: dict = {}
@@ -111,18 +124,23 @@ def raw_schema(spark: SparkSession, sf_dir: str, name: str):
     footer read (~95-120 ms) per call just to declare its readStream
     schema; the schema object is immutable metadata, so the memo changes
     nothing about execution."""
+    if name == "events":
+        # TIMESTAMP(NANOS) columns need the legacy long read to parse.
+        # Set unconditionally BEFORE the memo lookup (ADVICE r12): the
+        # conf must hold at stream-build/execution time too, not only
+        # on the miss that populated the memo — idempotent one-liner,
+        # the memo still saves the listing + footer read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fp = dir_fingerprint(sf_dir)
     key = (spark, sf_dir, fp, name)
-    hit = _SCHEMA_CACHE.get(key)
-    if hit is not None:
-        return hit
-    evict_memo(_SCHEMA_CACHE, spark, sf_dir, keep_fingerprint=fp)
-    if name == "events":
-        # TIMESTAMP(NANOS) columns need the legacy long read to parse
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
-    _SCHEMA_CACHE[key] = schema
-    return schema
+    with _MEMO_LOCK:
+        hit = _SCHEMA_CACHE.get(key)
+        if hit is not None:
+            return hit
+        evict_memo(_SCHEMA_CACHE, spark, sf_dir, keep_fingerprint=fp)
+        schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        _SCHEMA_CACHE[key] = schema
+        return schema
 
 
 def dir_fingerprint(sf_dir: str) -> tuple:
@@ -189,24 +207,29 @@ def evict_memo(cache: dict, spark, sf_dir: str, unpersist=None,
        accumulate unbounded persisted state.
 
     `unpersist` receives each evicted VALUE (caches store different
-    shapes: a DataFrame, a tuple of DataFrames, a (df, bound) pair)."""
+    shapes: a DataFrame, a tuple of DataFrames, a (df, bound) pair).
+
+    Thread-safe under _MEMO_LOCK (re-entrant): callers that hold the
+    lock around their own lookup+insert nest harmlessly; direct callers
+    get the mutation guarded here (ADVICE r12)."""
     free = unpersist or (lambda _v: None)
-    for k in [
-        k for k in cache
-        if k[0] is spark and k[1] == sf_dir
-        and (keep_fingerprint is None or k[2] != keep_fingerprint)
-    ]:
-        free(cache.pop(k))
-    while True:
-        other_dirs: list = []
-        for k in cache:
-            if k[0] is spark and k[1] != sf_dir and k[1] not in other_dirs:
-                other_dirs.append(k[1])
-        if len(other_dirs) < max_dirs:
-            return
-        oldest = other_dirs[0]
-        for k in [k for k in cache if k[0] is spark and k[1] == oldest]:
+    with _MEMO_LOCK:
+        for k in [
+            k for k in cache
+            if k[0] is spark and k[1] == sf_dir
+            and (keep_fingerprint is None or k[2] != keep_fingerprint)
+        ]:
             free(cache.pop(k))
+        while True:
+            other_dirs: list = []
+            for k in cache:
+                if k[0] is spark and k[1] != sf_dir and k[1] not in other_dirs:
+                    other_dirs.append(k[1])
+            if len(other_dirs) < max_dirs:
+                return
+            oldest = other_dirs[0]
+            for k in [k for k in cache if k[0] is spark and k[1] == oldest]:
+                free(cache.pop(k))
 
 
 _SPLIT_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default

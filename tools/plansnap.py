@@ -1,8 +1,8 @@
-"""Capture .explain("formatted") for registered queries into plans/r12/.
+"""Capture .explain("formatted") for registered queries into plans/r13/.
 
 Usage:
-    python tools/plansnap.py before name1 name2 ...   # plans/r12/<name>_before.txt
-    python tools/plansnap.py after  name1 name2 ...   # plans/r12/<name>_after.txt
+    python tools/plansnap.py before name1 name2 ...   # plans/r13/<name>_before.txt
+    python tools/plansnap.py after  name1 name2 ...   # plans/r13/<name>_after.txt
     python tools/plansnap.py before --headline        # every bench.py HEADLINE query
 
 The snapshot is the analyzed/optimized physical plan BEFORE execution
@@ -27,7 +27,7 @@ def main() -> int:
     assert suffix in ("before", "after"), "first arg must be before|after"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
     )
     os.makedirs(out_dir, exist_ok=True)
     registry.load_all()
