@@ -317,177 +317,52 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
         # re-verified green on their current plans, so that subtraction
         # folded away; plus the one r11 registration:
         "window_ntile_cuts",
+        # green in CORRECTNESS_r12.json (50 rows, all hash-verified):
+        # the four r12 build-phase registrations
+        "ann_index_compact", "ann_index_delete", "dedup_cc_delete",
+        "dedup_index_delete",
     }
     # RE-VERIFY CONVENTION, now mechanical (VERDICT r7 task 2): any query
     # whose PHYSICAL PLAN changed after its latest driver evidence is
     # evicted from this set so the driver re-verifies the shipping plan.
     # "Plan changed" means the executed operators/partitioning differ —
     # not comment/docstring edits and not a knob rewritten to the SAME
-    # effective value (the r7 per-family state-partition split left every
-    # applyInPandasWithState fold at 16 partitions, identical to the
-    # value its r3–r6 evidence ran under, so the fold twins stay
-    # verified). Evicted for r12 (the r11 subtraction of 36 all
-    # re-verified green in CORRECTNESS_r11.json, so it was folded away):
+    # effective value. CORRECTNESS_r12.json verified 46 of the 66-name
+    # r12 queue green (all hash-verified) — those folded back into the
+    # literal above; the 19 streaming names below never made the 50-row
+    # sample and stay queued. Evicted for r13:
     - frozenset(
         {
-            # r12 ADVICE (medium): mmr_over_index reads the same
-            # committed index whose build side got the r11 one-file-
-            # per-bucket repartition (similarity.py _write_bucketed via
-            # _append_bootstrap/_build_committed_index), but was left
-            # out of the r11 eviction set by mistake while its sibling
-            # consumers (ann_index_probe_join, stream_ann_index_append)
-            # were evicted and re-verified. Re-verify it on the current
-            # build-side layout.
-            "mmr_over_index",
-            # r12 bounded driver state (VERDICT r11 task 1): the
-            # streaming CC maintainer's per-epoch probe collect now
-            # goes through limit(bound+1) and the union-find gained
-            # distributed-epoch + compaction legs (streaming/
-            # stateful.py) — plan changed; both legs + the untripped
-            # production path pinned in tests/test_stream_cc_bound.py.
-            "stream_cc_incremental",
-            # r12 size-gated drain (VERDICT r11 task 2): _drain_sink now
-            # hands small drained results back as driver-local rows
-            # (parallelized LocalRelation-style scan) instead of the
-            # unconditional localCheckpoint — the serving plan changed
-            # for every memory-sink consumer (the same 29 as the r11
-            # memory-sink eviction); both legs pinned in
-            # tests/test_drain_gate.py, all 29 re-swept oracle-green at
-            # sf0.01 + sf0.001 this round.
+            # r12 queue carry-over (drain-gate x29 / stream_cc bounded
+            # union-find / _write_bucketed build-side consumers): these
+            # never got a CORRECTNESS_r12 row — keep them first in the
+            # unverified tier until the driver hashes them.
             "session_window", "stream_anomaly_zscore",
-            "stream_assoc_rules", "stream_attribution_last_touch",
-            "stream_changepoint_cusum", "stream_cohort_retention",
-            "stream_decontam", "stream_dedup_minhash",
-            "stream_dedup_watermark", "stream_dedup_within_watermark",
-            "stream_ewma_stateful", "stream_funnel_stateful",
+            "stream_assoc_rules", "stream_cc_incremental",
+            "stream_changepoint_cusum", "stream_decontam",
+            "stream_dedup_minhash", "stream_dedup_within_watermark",
             "stream_golden_record", "stream_interval_coalesce",
-            "stream_kafka_shaped", "stream_quality_drift",
-            "stream_session_availablenow", "stream_session_timeout_close",
-            "stream_sliding_availablenow", "stream_stateful_user_stats",
-            "stream_static_join", "stream_stream_full_outer_join",
-            "stream_stream_interval_join", "stream_stream_left_outer_join",
-            "stream_stream_right_outer_join", "stream_stream_semi_join",
-            "stream_topk_windowed", "stream_transition_matrix",
-            "stream_tumbling_availablenow",
-            # r12 width-ceiling auto-route (VERDICT r11 task 4): the
-            # shared adaptive-LSH plan now derives the used prefix
-            # width driver-side from the same count that drives the
-            # over-ceiling IVF route (the one-row-aggregate broadcast
-            # crossJoin is gone) — serving plan changed for both
-            # registered names; both route legs pinned in
-            # tests/test_lsh_ceiling_route.py.
-            "ann_lsh_adaptive", "ann_lsh_buckets",
-            # r12 optimization-round plan restructures (guide §2.3/§2.4;
-            # oracle-green at sf0.01 + sf0.001, plan diffs in plans/r12/):
-            # dq_constraint_audit folds the five report rows into one
-            # shared-scan stats row + stack() (24 -> 14 scans, 36 -> 24
-            # Exchange refs); minhash_estimate_error fetches signature
-            # columns and shingle sets through one combined side
-            # relation per endpoint (4 probe joins -> 2).
-            "dq_constraint_audit", "minhash_estimate_error",
-            # chunk_cdc_rolling spreads the one-file fixture scan before
-            # the md5-per-position projection (0 -> 2 Exchange refs,
-            # 3.74 -> 0.73 s); dsir_importance_select builds bigrams via
-            # zip_with over slices instead of the index-lambda transform
-            # (pass-1 aggregate 2.64 -> 0.77 s) and embeds the ratio
-            # table as one parsed map literal.
-            "chunk_cdc_rolling", "dsir_importance_select",
-            # r12 vector-family spread + PQ let-binding (guide §2/§5):
-            # _vecs now maybe_spreads the embeddings scan before the
-            # narrow per-row vector math (one fixture file = one
-            # partition serialized the whole family onto one core), and
-            # the shared PQ encode/distance-table exprs let-bind zv via
-            # 1-element transform wrappers so CollapseProject cannot
-            # inline the 64-dim quantization into the per-codeword
-            # lambdas (it re-ran M*K=128x per row). Every query whose
-            # subtree includes the embeddings scan gains the spread
-            # Exchange -> plan changed -> evicted; all swept
-            # oracle-green at sf0.01 this round (22/22).
-            "ann_topk_bruteforce", "ann_ivf_probe", "ann_lsh_multiprobe",
-            "ann_hard_negatives", "ann_rerank_quantized",
-            "ann_index_persist", "ann_recall_eval", "eval_ndcg_at_k",
-            "eval_mrr_map", "eval_rank_fusion_rrf", "ann_index_append",
-            "ann_index_probe_join", "ann_index_append_multiprobe",
-            "ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_trained",
-            "mmr_diversified_topk",
-            # r12 adjacency-intersection triangle listing (guide §2.2
-            # shuffle fewer bytes): graph_clustering_coefficient now
-            # intersects degree-oriented out-neighbor sets per edge
-            # instead of materializing the wedge join (17.2M wedge rows
-            # for 188k edges at sf0.1 never hit an exchange any more);
-            # exec 3.3 s -> 0.9 s, identical 1500-row output,
-            # oracle-green at sf0.01 + sf0.001.
-            "graph_clustering_coefficient",
-            # r12 avro-roundtrip boundary work (guide §4/§2): the sink
-            # spreads an under-partitioned input before the pure-Python
-            # encode (1 partition serialized the whole write), and the
-            # graftavro reader hands each split back as ONE Arrow
-            # RecordBatch instead of per-row pickled tuples. 6.8 s ->
-            # 2.0 s cold-session total; oracle-green, avro interop
-            # tests (both directions vs the bundled Java avro) green.
-            "scan_avro_roundtrip",
-            # r12 simjoin_containment single-eval verification (guide
-            # §2.2 shuffle fewer bytes / §5): the containment filter and
-            # both output ratios evaluated array_intersect over the two
-            # shingle sets 2x per candidate pair (pushdown substitutes
-            # the alias into the Filter; codegen CSE only dedups within
-            # one Project). The pair-sized scored relation (ids + 3
-            # ints) is materialized once via localCheckpoint and the
-            # filter/ratios run on the stored `inter`. 3.00 -> 2.55 s
-            # sf0.1; oracle-green at sf0.01 + sf0.001.
-            "simjoin_containment",
-            # r12 small-scan spread before CPU-heavy narrow maps (guide
-            # §2, same mechanism as chunk_cdc_rolling / _vecs): the
-            # per-char rolling-hash fold (text_fingerprint, 1.59 ->
-            # 0.27 s) and the char-sort + run fold (entropy_filter,
-            # 1.13 -> 0.40 s) ran on the 1-partition fixture scan.
-            # maybe_spread is a no-op at real scale. 0 -> 2 Exchange
-            # refs each; oracle-green at sf0.01 + sf0.001.
-            "text_fingerprint", "entropy_filter",
-            # r12 unconditional one-file-per-bucket index write (guide
-            # §6): after the _vecs spread, _write_bucketed's below-gate
-            # direct leg emitted tasks x buckets files (840 for 32
-            # buckets at sf0.1); the repartition("pbucket") now applies
-            # at every width (write 2.4 -> 1.25 s, readback 0.49 ->
-            # 0.16 s, stream_ann_index_append 5.6 -> 3.6 s), and the
-            # committed-index width comes from the 1-row count aggregate
-            # instead of an extra pass through the signs pipeline. The
-            # serving PLAN shape is unchanged (file layout only), but
-            # per the standing build-side-changed convention — and
-            # ADVICE r11 item 1 (mmr_over_index reads the same committed
-            # index) — every consumer of a _write_bucketed index is
-            # (re-)listed: ann_index_persist/append/probe_join/
-            # append_multiprobe above, plus the two below. All six
-            # oracle-green at sf0.01 + sf0.001 on the new layout.
-            "mmr_over_index", "stream_ann_index_append",
-            # r12 resume batch 8 (guide §2.4 remove shuffles / §5): FoF
-            # and Adamic-Adar each re-derived the banded cooc relation +
-            # the _FOF_CAP window per call (checkpoint=False bypassed
-            # _EDGE_CACHE entirely); both now read the session-memoized
-            # capped_cooc_edges checkpoint (graph.py). FoF+AA isolated
-            # min-of-3 7.09 -> 3.78 s combined; oracle-green at sf0.01.
-            "graph_neighborhood_2hop", "link_prediction_adamic_adar",
-            # r12 resume batch 9 (guide §5 the driver does no data
-            # work): window_ntile_cuts computes bucket offsets + grand
-            # total IN the plan (two windows over the <= 65-row counts
-            # relation, broadcast back) instead of a collect +
-            # createDataFrame round trip; 2.02 -> 1.63 s isolated
-            # min-of-5 back-to-back; oracle-green at sf0.01.
-            "window_ntile_cuts",
-            # r12 resume batch 11 (§5/§2.4): dedup_connected_components'
-            # finished labeling is session-memoized per corpus listing
-            # (the _CC_BASE_CACHE maintained-table convention) — serving
-            # plan is now the labels checkpoint scan, and
-            # dedup_cluster_representative consumes it (6.60 -> 1.17 s
-            # isolated). ann_ivf_pq_trained merges its assignment and
-            # probe checkpoints into ONE ranked-crossJoin checkpoint
-            # (the K-centroid ranking ran twice per run; 4.53 -> 3.07 s)
-            # — already listed above via the vector-family eviction.
-            # sink_bucketed_partitioned_write's two ingest writes now
-            # run concurrently (§2.6) — NOT evicted: the returned query
-            # plan and both tables' bytes (same partitionBy/bucketBy/
-            # sortBy over the same inputs) are provably unchanged.
-            "dedup_connected_components", "dedup_cluster_representative",
+            "stream_quality_drift", "stream_session_availablenow",
+            "stream_session_timeout_close", "stream_sliding_availablenow",
+            "stream_stream_full_outer_join", "stream_topk_windowed",
+            "stream_transition_matrix", "stream_tumbling_availablenow",
+            # r13 struct-state fold rewrites (guide §4-adjacent/§5, see
+            # OPTIMIZATION_r13.md): the WordPiece greedy fold and the
+            # unigram Viterbi DP now carry named_struct fold states
+            # instead of regex-split scalar strings (plan expression
+            # changed; emitted strings byte-identical), and the BPE
+            # merge trainer let-binds its symbol split and
+            # localCheckpoints the vocab-sized symbol table. All four
+            # oracle-green at sf0.01 + sf0.001 this round.
+            "tokenizer_wordpiece_apply", "tokenizer_unigram_viterbi",
+            "tokenizer_unigram_em_step", "tokenizer_bpe_merges",
+            # r13 build-side change (the standing convention): the
+            # streaming ANN twin's committed index is now a hardlink
+            # clone of a flocked content-fingerprinted seed instead of
+            # a per-run rebuild (similarity._clone_committed_index);
+            # serving plan unchanged, bytes identical, but build-side
+            # changed -> re-verify (it is also in the carry-over).
+            "stream_ann_index_append",
         }
     )
 )
