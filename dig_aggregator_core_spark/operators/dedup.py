@@ -2538,35 +2538,21 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the LSH floor (0.5 here) are invisible to every threshold
     >= the floor, so the curve is exact over the swept range."""
     sh = _shingled(spark, sf_dir)
-    mh = sh.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.expr(f"transform(sh_set, s -> md5(concat('{i}|', s)))")
-            ).alias(f"h{i}")
-            for i in range(_N_HASH)
-        ],
-    )
-    bands = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{b}:"),
-                        F.col(f"h{2 * b}"),
-                        F.col(f"h{2 * b + 1}"),
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("band_key"),
-    )
+    # Candidates come from the SAME session-memoized persisted band
+    # relation dedup_minhash_lsh reads (r13): the sweep used to inline
+    # its own signature fold (8 md5 minhashes over every shingle set)
+    # UNDER BOTH SIDES of the band self-join — two full corpus signature
+    # passes per call for a relation _bands_with_bound already holds
+    # persisted. Join on (band, band_key) == the old "b:" || h2b || h2b1
+    # string key: the band id plus the two concatenated minhashes
+    # partition pairs identically, so the candidate set is unchanged.
+    bands, pair_bound = _bands_with_bound(spark, sf_dir)
     cand = (
         bands.alias("x")
         .join(
             bands.alias("y"),
-            (F.col("x.band_key") == F.col("y.band_key"))
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
@@ -2575,16 +2561,22 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # verify-join order per _minhash_verify_join: broadcast the
+    # output-linear candidate set (when the occupancy bound proves it
+    # modest) so the heavy shingle relation shuffles once, not twice
+    cand_hinted = (
+        F.broadcast(cand)
+        if pair_bound <= _CAND_BROADCAST_MAX_PAIRS
+        else cand
+    )
     sa = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
     )
     sb = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
     )
-    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    union = F.size("set_a") + F.size("set_b") - inter
     verified = (
-        cand.join(sa, "doc_a")
+        sa.join(cand_hinted, "doc_a")
         .join(sb, "doc_b")
         .select(
             F.expr(

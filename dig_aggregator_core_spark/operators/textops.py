@@ -439,7 +439,18 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")
         ).alias("b"),
     )
-    model = bg.groupBy("b").agg(F.count("*").cast("double").alias("c"))
+    # The model is CHARSET^2-bounded (tiny at any corpus size), but its
+    # subtree is the full corpus explode + aggregation. Materializing it
+    # once via localCheckpoint means the grand-total aggregation and the
+    # broadcast build read vocabulary-sized stored rows instead of each
+    # re-running the corpus pass: 3 explode passes -> 2 (model + probe).
+    # The probe-side aggregation is byte-identical to the pre-r13 plan,
+    # so per-doc nll floats are unchanged.
+    model = (
+        bg.groupBy("b")
+        .agg(F.count("*").cast("double").alias("c"))
+        .localCheckpoint()
+    )
     tot = model.agg(F.sum("c").alias("n"))
     return (
         bg.join(F.broadcast(model), "b")
@@ -860,26 +871,43 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = maybe_spread(
         load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
     )
+    # LET-BIND the token split (r12 batch-4 idiom): with the split spelled
+    # inside the transform lambda, CollapseProject left 3 full splits of
+    # the document re-evaluated PER SHINGLE POSITION (O(len^2) per doc —
+    # verified in plans/r13/source_similarity_matrix_before.txt). The
+    # 1-element transform binder evaluates split(text) once per row and
+    # the lambda references are free.
     sh = (
         docs.select(
             "source",
             F.explode(
                 F.expr(
-                    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-                    " transform(sequence(0, size(split(text, ' ')) - 3),"
-                    "   i -> concat_ws(' ', split(text, ' ')[i],"
-                    "        split(text, ' ')[i+1], split(text, ' ')[i+2]))"
-                    " ELSE array(concat_ws(' ', split(text, ' '))) END"
+                    "element_at(transform(array(split(text, ' ')), toks ->"
+                    " CASE WHEN size(toks) >= 3 THEN"
+                    "  transform(sequence(0, size(toks) - 3),"
+                    "    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                    " ELSE array(concat_ws(' ', toks)) END), 1)"
                 )
             ).alias("g"),
         )
         .distinct()
     )
-    per = sh.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    # ONE shingle pass for the whole op: by_g (one row per distinct
+    # corpus shingle, |sources|-bounded source set) is materialized via
+    # localCheckpoint; the per-source totals re-derive from the stored
+    # rows (explode of ss counts exactly the distinct (source, g) pairs,
+    # same integers as counting sh by source), so the corpus
+    # explode+distinct no longer runs once per consumer subtree (it ran
+    # 3x: per at both join sides + pairs).
+    by_g = (
+        sh.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .localCheckpoint()
     )
-    by_g = sh.groupBy("g").agg(
-        F.sort_array(F.collect_set("source")).alias("ss")
+    per = (
+        by_g.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
     )
     combos = F.expr(
         "flatten(transform(ss, (x, i) ->"
@@ -888,7 +916,7 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         by_g.filter(F.size("ss") >= 2)
-        .select(F.explode(combos).alias("p"))
+        .select(F.explode(combos).alias("p"))  # reads the checkpoint
         .groupBy(
             F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
         )
