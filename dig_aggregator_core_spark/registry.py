@@ -363,6 +363,16 @@ _VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
             # serving plan unchanged, bytes identical, but build-side
             # changed -> re-verify (it is also in the carry-over).
             "stream_ann_index_append",
+            # r13 batch-3 structural rewrites (OPTIMIZATION_r13.md):
+            # source_similarity_matrix let-binds the token split and
+            # derives per-source totals from one checkpointed shingle
+            # pass; dedup_threshold_sweep reads the shared memoized band
+            # relation with the gate-broadcast verify order;
+            # text_perplexity_proxy checkpoints the vocabulary-sized
+            # bigram model (probe aggregation byte-identical). All
+            # three oracle-green at sf0.01 + sf0.001 this round.
+            "source_similarity_matrix", "dedup_threshold_sweep",
+            "text_perplexity_proxy",
         }
     )
 )

@@ -8,9 +8,15 @@ disjoint symmetrization."""
 
 from __future__ import annotations
 
+
+# integration-style tier: excluded from the default fast gate run
+# (pytest.ini); the full suite runs with -m "slow or not slow"
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import datetime
 
-import pytest
 
 from dig_aggregator_core_spark.operators.graph import (
     banded_cooc_edges,

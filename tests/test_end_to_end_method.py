@@ -7,6 +7,12 @@ only the delta when a new dataset lands."""
 
 from __future__ import annotations
 
+import pytest
+
+# integration-style tier: excluded from the default fast gate run
+# (pytest.ini); the full suite runs with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import time

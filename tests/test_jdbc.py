@@ -5,9 +5,15 @@ parquet ledger (reference Runs.scala:93-102, runs.sql:11)."""
 
 from __future__ import annotations
 
+
+# integration-style tier: excluded from the default fast gate run
+# (pytest.ini); the full suite runs with -m "slow or not slow"
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from datetime import datetime, timedelta
 
-import pytest
 from pyspark.sql import functions as F
 
 from dig_aggregator_core_spark.sources.jdbcio import (

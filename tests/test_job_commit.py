@@ -12,9 +12,15 @@ is pinned for time_block, including the log-on-error finally semantics.
 
 from __future__ import annotations
 
+
+# integration-style tier: excluded from the default fast gate run
+# (pytest.ini); the full suite runs with -m "slow or not slow"
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from datetime import datetime
 
-import pytest
 
 from dig_aggregator_core_spark.plans.context import Context
 from dig_aggregator_core_spark.plans.inputs import Input, Source

@@ -4,9 +4,15 @@ RunStatus started/ended reset."""
 
 from __future__ import annotations
 
+
+# integration-style tier: excluded from the default fast gate run
+# (pytest.ini); the full suite runs with -m "slow or not slow"
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from datetime import datetime, timedelta
 
-import pytest
 
 from dig_aggregator_core_spark.plans.inputs import Input
 from dig_aggregator_core_spark.plans.ledger import RunsLedger, RunStatusLedger

@@ -10,6 +10,12 @@ cold compute."""
 
 from __future__ import annotations
 
+import pytest
+
+# integration-style tier: excluded from the default fast gate run
+# (pytest.ini); the full suite runs with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 from dig_aggregator_core_spark.operators import dedup, graph, training
 
 

@@ -5,9 +5,15 @@ only/exclude filtering, --insert-runs / --no-insert-runs modes."""
 
 from __future__ import annotations
 
+
+# integration-style tier: excluded from the default fast gate run
+# (pytest.ini); the full suite runs with -m "slow or not slow"
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from datetime import datetime, timedelta
 
-import pytest
 
 from dig_aggregator_core_spark.plans.context import Context
 from dig_aggregator_core_spark.plans.inputs import Input, Source

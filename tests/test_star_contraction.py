@@ -9,6 +9,12 @@ forest (each edge points non-root -> component minimum)."""
 
 from __future__ import annotations
 
+import pytest
+
+# integration-style tier: excluded from the default fast gate run
+# (pytest.ini); the full suite runs with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

@@ -4,6 +4,12 @@ plus ledger provenance per epoch."""
 
 from __future__ import annotations
 
+import pytest
+
+# integration-style tier: excluded from the default fast gate run
+# (pytest.ini); the full suite runs with -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
 import os
 
 from pyspark.sql import functions as F
